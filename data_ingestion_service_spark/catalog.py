@@ -1,0 +1,60 @@
+"""Table loaders over the driver-generated parquet fixtures.
+
+Schemas documented in FIXTURES.md; generated per TESTDATA.md. All loaders
+are plain ``spark.read.parquet`` scans — columnar, vectorized, with
+predicate pushdown and column pruning left to Catalyst (SURVEY.md §4).
+
+The one irregularity: ``events.parquet`` stores ``ts`` as parquet
+TIMESTAMP(NANOS), which Spark cannot map to a timestamp directly. We read
+nanos as long (``spark.sql.legacy.parquet.nanosAsLong``) and convert to
+``timestamp_ntz`` by integer-dividing to microseconds — the exact
+truncation DuckDB applies when it casts its TIMESTAMP_NS to TIMESTAMP, so
+both engines see identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_service_spark.session import ensure_session_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables — always broadcast-joinable; used by operators to
+# add explicit broadcast() hints (at 100 TB the fact side scales, these
+# stay O(MB)).
+DIM_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table with oracle-parity normalizations applied."""
+    ensure_session_confs(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ns since epoch -> us since epoch -> naive timestamp (UTC session).
+        # Integer `div`, NOT `/`: epoch-ns (~1.7e18) exceeds double's 2^53
+        # mantissa, so float division mis-rounds the last microsecond.
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

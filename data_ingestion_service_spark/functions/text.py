@@ -1,0 +1,39 @@
+"""Text-processing column helpers for the documents table.
+
+Tokenization is whitespace splitting (the fixture corpus is pre-normalized
+word soup, FIXTURES.md); shingling builds k-grams positionally with
+built-in ``transform``/``sequence`` so the same shingles are derivable in
+ANSI SQL for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column | str) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    return F.split(col, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def shingles(toks: Column, k: int = 3) -> Column:
+    """All k-token shingles (space-joined), in document order.
+
+    Empty array when the document has fewer than k tokens (guarded: Spark's
+    ``sequence(0, n)`` with n < 0 would generate a *descending* sequence).
+    """
+    idx = F.sequence(F.lit(0), F.size(toks) - k)
+    built = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.when(F.size(toks) >= k, built).otherwise(
+        F.array().cast("array<string>")
+    )

@@ -1,0 +1,157 @@
+"""Aggregation variants: exact/approx distinct, ROLLUP/CUBE, HAVING,
+statistical aggregates (SURVEY.md §2.4).
+
+All Spark hash aggregates run partial (map-side) + final automatically;
+ROLLUP/CUBE expand grouping sets in a single shuffle. ``approx_count_
+distinct`` is the HLL sketch — constant memory per group at any scale,
+registered without an oracle (approx ≠ hash-matchable by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_service_spark.catalog import load_table
+from data_ingestion_service_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# q_distinct_users — exact count-distinct per group.
+# ---------------------------------------------------------------------------
+
+_DISTINCT_ORACLE = """
+SELECT
+  event_type,
+  count(DISTINCT user_id)        AS n_users,
+  count(*)                       AS n_events,
+  round(sum(value), 2)           AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("q_distinct_users", oracle=_DISTINCT_ORACLE)
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_approx_distinct — HLL approximate count-distinct (rows-only check: the
+# sketch estimate is engine-specific; SURVEY.md §2.4 declares it ◐).
+# ---------------------------------------------------------------------------
+
+
+@register("q_approx_distinct")
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_rollup_orders / q_cube_orders — grouping-set aggregates.
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  count(*)                      AS n_orders,
+  round(sum(o_totalprice), 2)   AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("q_rollup_orders", oracle=_ROLLUP_ORACLE)
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+_CUBE_ORACLE = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  count(*)                      AS n_orders,
+  round(avg(o_totalprice), 4)   AS avg_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("q_cube_orders", oracle=_CUBE_ORACLE)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_having — post-aggregation filter.
+# ---------------------------------------------------------------------------
+
+_HAVING_ORACLE = """
+SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 15
+"""
+
+
+@register("q_having", oracle=_HAVING_ORACLE)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_stats — stddev / variance / min / max / exact interpolated percentile.
+# Variance magnitudes are ~price², so it is rounded coarsely (2dp) to keep
+# last-ulp engine differences away from rounding boundaries (SURVEY.md §5).
+# ---------------------------------------------------------------------------
+
+_STATS_ORACLE = """
+SELECT
+  l_returnflag,
+  round(stddev_samp(l_extendedprice), 2)        AS sd_price,
+  round(var_samp(l_extendedprice), 0)           AS var_price,
+  round(min(l_extendedprice), 2)                AS min_price,
+  round(max(l_extendedprice), 2)                AS max_price,
+  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+  round(avg(l_quantity), 4)                     AS avg_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("q_stats", oracle=_STATS_ORACLE)
+def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        F.round(F.var_samp("l_extendedprice"), 0).alias("var_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("median_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+    )

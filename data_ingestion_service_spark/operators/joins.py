@@ -1,0 +1,162 @@
+"""Join variants beyond plain equi-inner: semi/anti, outer, band/theta,
+and the as-of enrichment join (SURVEY.md §2.3).
+
+Scale notes:
+  - semi/anti compile to broadcast/shuffled hash semi-joins; Spark never
+    materializes the probe side's payload columns.
+  - the band join keeps an equi component (``l_partkey = p_partkey``) so it
+    plans as a hash join with a residual range predicate — NOT a nested
+    loop; this is the pattern that survives 100 TB.
+  - as-of join: no native Spark as-of; implemented as equi-join on the
+    entity key + window top-1 on the time condition. The join shuffles by
+    user key (even distribution here); the window partitions by event_id
+    which is unique → no skew. At extreme fan-out per key, the scale path
+    is per-key merge via applyInPandas over key-range buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_service_spark.catalog import load_table
+from data_ingestion_service_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# q_semi_anti — orders with / without lineitems (left-semi + left-anti).
+# ---------------------------------------------------------------------------
+
+_SEMI_ANTI_ORACLE = """
+SELECT
+  (SELECT count(*) FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey))     AS n_with_items,
+  (SELECT count(*) FROM orders
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)) AS n_without_items
+"""
+
+
+@register("q_semi_anti", oracle=_SEMI_ANTI_ORACLE)
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    on = F.col("o_orderkey") == F.col("l_orderkey")
+    semi = orders.join(li, on, "left_semi").agg(F.count(F.lit(1)).alias("n_with_items"))
+    anti = orders.join(li, on, "left_anti").agg(F.count(F.lit(1)).alias("n_without_items"))
+    return semi.crossJoin(anti)
+
+
+# ---------------------------------------------------------------------------
+# q_outer_join — left outer + NULL handling via coalesce.
+# ---------------------------------------------------------------------------
+
+_OUTER_ORACLE = """
+SELECT
+  o_orderstatus,
+  count(*)                                              AS n_rows,
+  sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)   AS n_unmatched,
+  round(sum(coalesce(l_extendedprice, 0.0)), 2)         AS total_price
+FROM orders
+LEFT JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+@register("q_outer_join", oracle=_OUTER_ORACLE)
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)).alias("n_unmatched"),
+            F.round(F.sum(F.coalesce(F.col("l_extendedprice"), F.lit(0.0))), 2).alias(
+                "total_price"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_theta_range — band join: lineitems whose quantity falls within ±5 of
+# their part's size (equi on partkey + range residual).
+# ---------------------------------------------------------------------------
+
+_THETA_ORACLE = """
+SELECT
+  p_size,
+  count(*)                          AS n_items,
+  round(sum(l_extendedprice), 2)    AS band_price
+FROM part
+JOIN lineitem
+  ON l_partkey = p_partkey
+ AND l_quantity BETWEEN p_size - 5 AND p_size + 5
+GROUP BY p_size
+"""
+
+
+@register("q_theta_range", oracle=_THETA_ORACLE)
+def q_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(part),
+            (F.col("l_partkey") == F.col("p_partkey"))
+            & F.col("l_quantity").between(F.col("p_size") - 5, F.col("p_size") + 5),
+        )
+        .groupBy("p_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("band_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_asof_enrich — as-of join: each event picks the latest order of the same
+# user with o_orderdate <= event ts (standard stream-enrichment pattern).
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+SELECT event_id, user_id, o_orderkey AS asof_orderkey, o_orderdate AS asof_orderdate
+FROM (
+  SELECT
+    e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+    row_number() OVER (
+      PARTITION BY e.event_id
+      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+    ) AS rn
+  FROM events e
+  JOIN orders o
+    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+) WHERE rn = 1
+"""
+
+
+@register("q_asof_enrich", oracle=_ASOF_ORACLE)
+def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        events.select("event_id", "user_id", "ts")
+        .join(
+            orders,
+            (F.col("user_id") == F.col("o_custkey"))
+            & (F.col("o_orderdate") <= F.col("ts")),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("o_orderkey").alias("asof_orderkey"),
+            F.col("o_orderdate").alias("asof_orderdate"),
+        )
+    )

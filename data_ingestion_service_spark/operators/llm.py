@@ -1,0 +1,329 @@
+"""LLM-training-data pipeline operators (SURVEY.md §2.10; mandated by
+BASELINE.json:6): deduplication, similarity search, text analysis,
+multimodal column handling.
+
+Scale notes (the whole point of these operators):
+  - exact dedup: hash-groupBy on a content digest — one shuffle keyed by
+    md5(text); at 100 TB the digest (16B) shuffles, never the text.
+  - near-dedup: shingle inverted-index self-join (explode → join on
+    shingle → Jaccard). The join key is the shingle, so only documents
+    *sharing* a shingle ever meet — the classic candidate-pair pruning.
+    At 100 TB you'd add MinHash banding first (see minhash_signature in
+    functions/ once added); the inverted-index join is the exact
+    verifier stage of that same pipeline.
+  - kNN: brute-force cosine against a broadcast probe — embarrassingly
+    parallel scan + TakeOrderedAndProject top-k. The grouped variant
+    shows the blocked/partitioned pattern (rank within label partitions)
+    that IVF-style pruning builds on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_service_spark.catalog import load_table
+from data_ingestion_service_spark.functions.text import shingles, token_count, tokens
+from data_ingestion_service_spark.functions.vector import as_double, cosine
+from data_ingestion_service_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# q_dedup_docs — exact dedup by content hash (one summary row).
+# ---------------------------------------------------------------------------
+
+_DEDUP_ORACLE = """
+SELECT
+  count(*)                                  AS n_docs,
+  count(DISTINCT md5(text))                 AS n_unique,
+  count(*) - count(DISTINCT md5(text))      AS n_dupes
+FROM documents
+"""
+
+
+@register("q_dedup_docs", oracle=_DEDUP_ORACLE)
+def q_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5(F.col("text").cast("binary")))).alias(
+            "n_dupes"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_near_dedup — n-gram (3-shingle) Jaccard similarity pairs via inverted-
+# index self-join. Returns candidate pairs above the threshold.
+# ---------------------------------------------------------------------------
+
+_NEAR_DEDUP_THRESHOLD = 0.25
+
+_NEAR_DEDUP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM toks
+    WHERE len(t) >= 3
+  )
+),
+sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT
+  p.doc_a,
+  p.doc_b,
+  round(p.n_common * 1.0 / (sa.sz + sb.sz - p.n_common), 4) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE p.n_common * 1.0 / (sa.sz + sb.sz - p.n_common) >= {_NEAR_DEDUP_THRESHOLD}
+"""
+
+
+@register("q_near_dedup", oracle=_NEAR_DEDUP_ORACLE)
+def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", F.explode(shingles(tokens("text"), 3)).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= _NEAR_DEDUP_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_knn_self — brute-force cosine top-10 neighbors of probe vector 0.
+# Both engines compute the dot product in f64 over identical f32 inputs in
+# the same sequential order → bit-identical before rounding.
+# ---------------------------------------------------------------------------
+
+_KNN_ORACLE = """
+WITH probe AS (
+  SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0
+)
+SELECT
+  e.vec_id,
+  round(list_cosine_similarity(e.embedding::DOUBLE[], probe.p), 4) AS cos_sim
+FROM embeddings e, probe
+WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@register("q_knn_self", oracle=_KNN_ORACLE)
+def q_knn_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        as_double("embedding").alias("p")
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.round(cosine(as_double("embedding"), F.col("p")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_knn_grouped — top-3 neighbors of the probe within each label block
+# (the blocked/partitioned pruning pattern for scale).
+# ---------------------------------------------------------------------------
+
+_KNN_GROUPED_ORACLE = """
+WITH probe AS (
+  SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+  SELECT
+    e.label,
+    e.vec_id,
+    round(list_cosine_similarity(e.embedding::DOUBLE[], probe.p), 4) AS cos_sim
+  FROM embeddings e, probe
+  WHERE e.vec_id <> 0
+)
+SELECT label, vec_id, cos_sim, rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY label ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= 3
+"""
+
+
+@register("q_knn_grouped", oracle=_KNN_GROUPED_ORACLE)
+def q_knn_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(as_double("embedding").alias("p"))
+    w = Window.partitionBy("label").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "label",
+            "vec_id",
+            F.round(cosine(as_double("embedding"), F.col("p")), 4).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_doc_tokens — text analysis: token counting + length stats per language.
+# ---------------------------------------------------------------------------
+
+_DOC_TOKENS_ORACLE = """
+SELECT
+  lang,
+  count(*)                                      AS n_docs,
+  sum(len(string_split(text, ' ')))             AS total_tokens,
+  round(avg(len(string_split(text, ' '))), 4)   AS avg_tokens,
+  round(avg(n_chars), 4)                        AS avg_chars,
+  max(n_chars)                                  AS max_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("q_doc_tokens", oracle=_DOC_TOKENS_ORACLE)
+def q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = token_count("text")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).cast("bigint").alias("total_tokens"),
+        F.round(F.avg(n_tok), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_quality_score — per-document quality heuristics (length bounds,
+# stopword ratio, mean token length) — the standard pre-training filters.
+# ---------------------------------------------------------------------------
+
+_QUALITY_ORACLE = """
+SELECT
+  doc_id,
+  len(string_split(text, ' '))::BIGINT AS n_tokens,
+  n_chars,
+  round(len(list_filter(string_split(text, ' '),
+                        w -> w IN ('the', 'a', 'of', 'and', 'to'))) * 1.0
+        / len(string_split(text, ' ')), 4)                        AS stopword_ratio,
+  round(n_chars * 1.0 / len(string_split(text, ' ')), 4)          AS mean_token_len,
+  CASE WHEN n_chars BETWEEN 200 AND 5000 THEN 1 ELSE 0 END        AS len_ok
+FROM documents
+"""
+
+
+@register("q_quality_score", oracle=_QUALITY_ORACLE)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    stop = F.size(
+        F.filter(toks, lambda w: w.isin("the", "a", "of", "and", "to"))
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        "n_chars",
+        F.round(stop / n_tok, 4).alias("stopword_ratio"),
+        F.round(F.col("n_chars") / n_tok, 4).alias("mean_token_len"),
+        F.when(F.col("n_chars").between(200, 5000), 1).otherwise(0).alias("len_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_tf_top_terms — corpus-wide term frequency, top 15.
+# ---------------------------------------------------------------------------
+
+_TF_ORACLE = """
+SELECT term, count(*) AS freq
+FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+WHERE term <> ''
+GROUP BY term
+ORDER BY freq DESC, term
+LIMIT 15
+"""
+
+
+@register("q_tf_top_terms", oracle=_TF_ORACLE)
+def q_tf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_docs_with_embeddings — multimodal column join: text + vector + metadata
+# in one row (documents ⋈ embeddings on id).
+# ---------------------------------------------------------------------------
+
+_MULTIMODAL_ORACLE = """
+SELECT
+  d.doc_id,
+  d.lang,
+  d.source,
+  d.n_chars,
+  e.label,
+  round(list_aggregate(e.embedding::DOUBLE[], 'sum'), 4) AS emb_sum
+FROM documents d
+JOIN embeddings e ON d.doc_id = e.vec_id
+"""
+
+
+@register("q_docs_with_embeddings", oracle=_MULTIMODAL_ORACLE)
+def q_docs_with_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return docs.join(emb, F.col("doc_id") == F.col("vec_id")).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "label",
+        F.round(
+            F.aggregate(as_double("embedding"), F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("emb_sum"),
+    )

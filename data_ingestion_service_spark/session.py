@@ -1,0 +1,80 @@
+"""SparkSession factory and per-session configuration.
+
+Two contexts use this module:
+
+1. Our own tests / bench create sessions via :func:`get_spark`.
+2. The driver hands us an *existing* session (``__spark_entry__.entry`` /
+   ``queries()``); we cannot rebuild it, so everything the engine needs at
+   query time must be settable at runtime — :func:`ensure_session_confs`
+   applies exactly that subset and is called from the catalog loaders.
+
+Scale posture (100 TB / 1000 executors): all tuning here is *declarative*
+(AQE, broadcast thresholds, partition sizing) so the same plan text scales
+with cluster size; nothing below hard-codes local-mode assumptions except
+the test-only shuffle-partition count in :func:`get_spark`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe (and necessary) to set on a live session.
+RUNTIME_CONFS: dict[str, str] = {
+    # events.parquet stores TIMESTAMP(NANOS); Spark's reader rejects it
+    # unless nanos are surfaced as raw longs (catalog.py converts to
+    # timestamp_ntz, truncating ns -> us exactly like DuckDB does).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Oracle parity: DuckDB timestamps are wall-clock/naive; pin UTC so any
+    # TIMESTAMP (LTZ) value collects to the same wall-clock instant.
+    "spark.sql.session.timeZone": "UTC",
+    # Runtime re-planning: shuffle coalescing, skew-join splitting, dynamic
+    # broadcast — the main lever that lets one plan serve sf0.001..100TB.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to a session we did not build (driver's session)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            # Non-fatal: a conf may be static on some builds; queries that
+            # don't need it still run.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "data-ingestion-service-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a tuned local session for tests and bench runs."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Local fixtures are tiny; AQE coalesces upward-sized shuffles at
+        # runtime, so a small static number keeps per-query overhead low
+        # while the same code on a real cluster would set this ~2-3x cores.
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))),
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # Arrow for any pandas_udf / toPandas path (vectorized transfer).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return ensure_session_confs(spark)

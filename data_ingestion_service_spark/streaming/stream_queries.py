@@ -1,0 +1,282 @@
+"""Structured Streaming operators over a file-replay of the events table
+(SURVEY.md §2.9; declarative model per the Structured Streaming paper,
+PAPERS.md).
+
+Verification strategy: the oracle cannot run a stream, so each streaming
+query replays ``events.parquet`` through ``readStream``, drains it with
+``processAllAvailable()`` into an in-memory sink, and returns the final
+sink state — which, for these operators, provably equals the batch
+query the oracle runs (SURVEY.md §2.9). Window/session operators that are
+identical batch/streaming by construction (same ``window()`` /
+``session_window()`` expression) run in whichever mode verifies strongest.
+
+State & scale: tumbling windows keep one row of state per (window, type);
+dedup state is bounded by ``withWatermark`` in production (unbounded here
+on purpose — the fixture replay is in-order and finite). At 100 TB/day the
+same plans run with RocksDB state store and watermarked eviction.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_service_spark.catalog import load_table, table_path
+from data_ingestion_service_spark.registry import register
+from data_ingestion_service_spark.session import ensure_session_confs
+
+_EVENTS_RAW_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
+    """Replayable stream over events.parquet (optionally duplicated).
+
+    ``ts`` arrives as raw nanos (legacy nanosAsLong read) and is converted
+    to timestamp_ntz exactly like the batch loader, so stream and batch
+    see identical values.
+    """
+    ensure_session_confs(spark)
+    src = table_path(sf_dir, "events")
+    # Spark's file-stream source requires a directory; stage the fixture
+    # file(s) into a per-call replay dir (multiple copies = duplicate
+    # delivery for the dedup operator).
+    replay_dir = tempfile.mkdtemp(prefix="ingest_replay_")
+    for i in range(copies):
+        shutil.copy(src, f"{replay_dir}/events_{i}.parquet")
+    src = replay_dir
+    # Integer `div` (epoch-ns overflows double precision); stays TIMESTAMP
+    # (LTZ) because streaming event-time ops (watermark, window state)
+    # require it — final projections cast to NTZ batch-side under the UTC
+    # session, which is value-preserving.
+    raw = spark.readStream.schema(_EVENTS_RAW_SCHEMA).parquet(src)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+    """Drain a streaming DataFrame into a memory sink; return final state."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = df.sparkSession
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# q_events_tumbling — streaming tumbling 1h window aggregate (complete
+# mode; final state == batch GROUP BY date_trunc hour).
+# ---------------------------------------------------------------------------
+
+_TUMBLING_ORACLE = """
+SELECT
+  date_trunc('hour', ts)  AS hour_start,
+  event_type,
+  count(*)                AS n,
+  round(sum(value), 2)    AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("q_events_tumbling", oracle=_TUMBLING_ORACLE)
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_value"),
+    )
+    final = run_to_memory(agg, "complete")
+    return final.select(
+        F.col("window.start").cast("timestamp_ntz").alias("hour_start"),
+        "event_type",
+        "n",
+        F.round(F.col("sum_value"), 2).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_events_sliding — sliding windows (1h size, 30m slide): every event
+# lands in exactly 2 epoch-aligned windows. Same window() expression is
+# batch/streaming-identical; run batch for the strongest oracle check.
+# ---------------------------------------------------------------------------
+
+_SLIDING_ORACLE = """
+SELECT ws AS window_start, event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM (
+  SELECT
+    make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 - k * 1800000000) AS ws,
+    event_type,
+    value
+  FROM events
+  CROSS JOIN (SELECT unnest([0, 1]) AS k) offsets
+)
+GROUP BY ws, event_type
+"""
+
+
+@register("q_events_sliding", oracle=_SLIDING_ORACLE)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_events_session — session windows, 30-minute gap, per user.
+# Spark merges an event into a session iff ts < session_end (= last ts +
+# gap); the oracle's lag-and-cumulative-flag sessionization uses >= gap as
+# the break condition — the exact same boundary rule.
+# ---------------------------------------------------------------------------
+
+_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT
+  user_id,
+  min(ts)              AS session_start,
+  max(ts)              AS session_end,
+  count(*)             AS n_events,
+  round(sum(value), 2) AS total_value
+FROM sess
+GROUP BY user_id, sess_id
+"""
+
+
+@register("q_events_session", oracle=_SESSION_ORACLE)
+def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_dedup — streaming dropDuplicates over a doubled replay: the
+# source directory holds TWO copies of events.parquet; exactly-once output
+# must equal a single copy.
+# ---------------------------------------------------------------------------
+
+_STREAM_DEDUP_ORACLE = """
+SELECT event_id, user_id, event_type, round(value, 2) AS value
+FROM events
+"""
+
+
+@register("q_stream_dedup", oracle=_STREAM_DEDUP_ORACLE)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir, copies=2)
+    deduped = ev.dropDuplicates(["event_id"]).select(
+        "event_id", "user_id", "event_type", F.round(F.col("value"), 2).alias("value")
+    )
+    return run_to_memory(deduped, "append")
+
+
+# ---------------------------------------------------------------------------
+# q_stream_stateful — custom stateful operator via applyInPandasWithState:
+# per-user running counters. The replay is a single file → single
+# micro-batch → the emitted update per user is the final total, which the
+# batch GROUP BY oracle checks exactly.
+# ---------------------------------------------------------------------------
+
+_STATEFUL_ORACLE = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("q_stream_stateful", oracle=_STATEFUL_ORACLE)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir).select("user_id", "value")
+
+    def update_counters(key, pdf_iter, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    updated = ev.groupBy("user_id").applyInPandasWithState(
+        update_counters,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    final = run_to_memory(updated, "update")
+    return final.select(
+        "user_id", "n_events", F.round(F.col("total_value"), 2).alias("total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_watermark — watermarked tumbling aggregate (update mode).
+# Watermark semantics (late-data drop) can't be SQL-oracled: the in-order
+# finite replay never produces late rows, so this is registered rows-only
+# (◐) as the watermark plumbing demo; state-bounding is the production
+# point.
+# ---------------------------------------------------------------------------
+
+
+@register("q_stream_watermark")
+def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    final = run_to_memory(agg, "update")
+    return final.select(
+        F.col("window.start").cast("timestamp_ntz").alias("hour_start"), "n"
+    )
