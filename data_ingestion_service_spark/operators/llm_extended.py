@@ -1,0 +1,417 @@
+"""Extended LLM-pipeline operators (BASELINE.json:6 mandate, beyond the
+§2.10 core): MinHash-LSH candidate pairs, IVF-style pruned kNN,
+embedding-cosine near-dup, language-ID, document fingerprinting, and
+binary ("multimodal") column plumbing.
+
+These are the operators that justify the engine at 100 TB:
+  - MinHash-LSH: signature = 16 md5-derived min-hashes over 3-shingles;
+    8 bands × 2 rows. Candidate pairs = docs sharing a band hash — the
+    shuffle is keyed by (band, band_hash), so only near-duplicates ever
+    meet, vs the O(n²) pairwise join. md5 is used as the hash family so
+    the *identical* signature is derivable in ANSI SQL for the oracle.
+  - IVF kNN: rank label-block centroids against the probe, search only
+    the top-2 blocks — the inverted-file pruning pattern (EDBT 2020
+    background, PAPERS.md). Centroid components are rounded to 6dp on
+    both engines so averaging-order noise can't flip block selection.
+  - binary columns: media bytes are opaque `binary` + typed metadata;
+    decode is a deterministic stub (container lacks codec libs) but the
+    Spark plumbing — schema, Arrow batches, mapInPandas — is real.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_service_spark.catalog import load_table
+from data_ingestion_service_spark.functions.text import shingles, tokens
+from data_ingestion_service_spark.functions.vector import as_double, cosine
+from data_ingestion_service_spark.registry import register
+
+_SHINGLE_SQL = """
+WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM toks
+    WHERE len(t) >= 3
+  )
+)
+"""
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(shingles(tokens("text"), 3)).alias("shingle")
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# q_minhash_pairs — LSH candidate pairs (8 bands × 2 hashes).
+# ---------------------------------------------------------------------------
+
+_MINHASH_ORACLE = (
+    _SHINGLE_SQL
+    + """,
+hashes AS (
+  SELECT doc_id, ii.i, min(md5(ii.i::VARCHAR || '|' || shingle)) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS i) ii
+  GROUP BY doc_id, ii.i
+),
+bands AS (
+  SELECT doc_id, i // 2 AS band, md5(string_agg(mh, '' ORDER BY i)) AS band_hash
+  FROM hashes
+  GROUP BY doc_id, i // 2
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+            AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+)
+
+
+@register("q_minhash_pairs", oracle=_MINHASH_ORACLE)
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    idx = spark.range(16).select(F.col("id").alias("i"))
+    hashes = (
+        sh.crossJoin(idx)
+        .groupBy("doc_id", "i")
+        .agg(
+            F.min(
+                F.md5(
+                    F.concat(F.col("i").cast("string"), F.lit("|"), F.col("shingle"))
+                )
+            ).alias("mh")
+        )
+    )
+    bands = (
+        hashes.withColumn("band", F.expr("i div 2"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("i", "mh"))),
+                        lambda s: s["mh"],
+                    ),
+                )
+            ).alias("band_hash")
+        )
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", F.col("band_hash").alias("bh_a")
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band", F.col("band_hash").alias("bh_b")
+    )
+    return (
+        a.join(b, ["band"])
+        .filter((F.col("bh_a") == F.col("bh_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_fingerprint — document fingerprints: content digest + min-shingle-hash
+# (1-permutation MinHash, the winnowing building block).
+# ---------------------------------------------------------------------------
+
+_FINGERPRINT_ORACLE = (
+    _SHINGLE_SQL
+    + """
+SELECT
+  d.doc_id,
+  md5(d.text)          AS content_md5,
+  s.min_shingle_md5,
+  s.n_shingles
+FROM documents d
+JOIN (
+  SELECT doc_id, min(md5(shingle)) AS min_shingle_md5, count(*) AS n_shingles
+  FROM sh GROUP BY doc_id
+) s ON s.doc_id = d.doc_id
+"""
+)
+
+
+@register("q_fingerprint", oracle=_FINGERPRINT_ORACLE)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(spark, sf_dir)
+    agg = sh.groupBy("doc_id").agg(
+        F.min(F.md5(F.col("shingle").cast("binary"))).alias("min_shingle_md5"),
+        F.count(F.lit(1)).alias("n_shingles"),
+    )
+    return docs.join(agg, "doc_id").select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("content_md5"),
+        "min_shingle_md5",
+        "n_shingles",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_embed_near_dup — embedding-cosine near-duplicate pairs (brute-force
+# pairwise; the LSH/IVF variants above/below are the scale path).
+# ---------------------------------------------------------------------------
+
+_EMBED_NEAR_DUP_ORACLE = """
+WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT
+  a.vec_id AS vec_a,
+  b.vec_id AS vec_b,
+  round(list_cosine_similarity(a.e, b.e), 4) AS cos_sim
+FROM p a
+JOIN p b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.45
+"""
+
+
+@register("q_embed_near_dup", oracle=_EMBED_NEAR_DUP_ORACLE)
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), as_double("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), as_double("embedding").alias("eb"))
+    sim = F.round(cosine(F.col("ea"), F.col("eb")), 4)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.45)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_knn_ivf — IVF-style pruned kNN: label-block centroids, probe top-2
+# blocks only, then exact rank within the searched blocks.
+# ---------------------------------------------------------------------------
+
+_KNN_IVF_ORACLE = """
+WITH pos AS (SELECT unnest(range(1, 65)) AS p),
+elems AS (
+  SELECT label, e.embedding[pos.p]::DOUBLE AS v, pos.p
+  FROM embeddings e, pos
+),
+cent AS (
+  SELECT label, list(cv ORDER BY p) AS centroid
+  FROM (SELECT label, p, round(avg(v), 6) AS cv FROM elems GROUP BY label, p)
+  GROUP BY label
+),
+probe AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0),
+lab_rank AS (
+  SELECT label,
+         row_number() OVER (
+           ORDER BY round(list_cosine_similarity(centroid, pe), 4) DESC, label
+         ) AS lr
+  FROM cent, probe
+)
+SELECT vec_id, label, cos_sim
+FROM (
+  SELECT e.vec_id, e.label,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], probe.pe), 4) AS cos_sim
+  FROM embeddings e, probe
+  WHERE e.label IN (SELECT label FROM lab_rank WHERE lr <= 2)
+    AND e.vec_id <> 0
+)
+ORDER BY cos_sim DESC, vec_id
+LIMIT 5
+"""
+
+
+@register("q_knn_ivf", oracle=_KNN_IVF_ORACLE)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "label", F.posexplode(as_double("embedding")).alias("p0", "v")
+    ).select("label", (F.col("p0") + 1).alias("p"), "v")
+    cent = (
+        elems.groupBy("label", "p")
+        .agg(F.round(F.avg("v"), 6).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("p", "cv"))), lambda s: s["cv"]
+            ).alias("centroid")
+        )
+    )
+    probe = emb.filter(F.col("vec_id") == 0).select(as_double("embedding").alias("pe"))
+    lab_rank = (
+        cent.crossJoin(F.broadcast(probe))
+        .select(
+            "label", F.round(cosine(F.col("centroid"), F.col("pe")), 4).alias("csim")
+        )
+        .orderBy(F.desc("csim"), F.asc("label"))
+        .limit(2)
+        .select("label")
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(lab_rank), "label", "left_semi")
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(as_double("embedding"), F.col("pe")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_lang_id — n-gram/marker-token language-ID heuristic. The fixture corpus
+# shares one vocabulary across langs, so accuracy is meaningless — but the
+# classifier is deterministic and oracle-checkable, which is what the
+# operator contract needs. Markers chosen per language; argmax with a
+# fixed CASE order on ties (identical in both engines).
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "de": ("der", "und", "das", "nicht"),
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "que", "y"),
+    "fr": ("le", "les", "et", "une"),
+    "zh": ("的", "是", "在", "了"),
+}
+
+
+def _marker_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(string_split(text, ' '), w -> w IN ({lst})))"
+    )
+
+
+_LANG_ID_ORACLE = f"""
+SELECT doc_id, lang,
+  CASE
+    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+    WHEN s_fr >= s_zh THEN 'fr'
+    ELSE 'zh'
+  END AS pred_lang
+FROM (
+  SELECT doc_id, lang,
+    {_marker_sql('de')} AS s_de,
+    {_marker_sql('en')} AS s_en,
+    {_marker_sql('es')} AS s_es,
+    {_marker_sql('fr')} AS s_fr,
+    {_marker_sql('zh')} AS s_zh
+  FROM documents
+)
+"""
+
+
+@register("q_lang_id", oracle=_LANG_ID_ORACLE)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+
+    def marker_counter(markers):
+        # Closure factory: a `lambda w, m=markers:` default arg would make
+        # PySpark treat `m` as the HOF's index parameter.
+        return F.size(F.filter(toks, lambda w: w.isin(*markers)))
+
+    scores = {lang: marker_counter(m) for lang, m in _LANG_MARKERS.items()}
+    pred = (
+        F.when(
+            (scores["de"] >= scores["en"])
+            & (scores["de"] >= scores["es"])
+            & (scores["de"] >= scores["fr"])
+            & (scores["de"] >= scores["zh"]),
+            "de",
+        )
+        .when(
+            (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["zh"]),
+            "en",
+        )
+        .when((scores["es"] >= scores["fr"]) & (scores["es"] >= scores["zh"]), "es")
+        .when(scores["fr"] >= scores["zh"], "fr")
+        .otherwise("zh")
+    )
+    return docs.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+# ---------------------------------------------------------------------------
+# q_binary_meta — multimodal/binary column handling: opaque bytes + typed
+# metadata, all JVM-side (encode/octet_length/md5 on binary).
+# ---------------------------------------------------------------------------
+
+_BINARY_META_ORACLE = """
+SELECT
+  doc_id,
+  octet_length(encode(text))    AS n_bytes,
+  md5(text)                     AS digest,
+  encode(substring(text, 1, 8)) AS head_bytes,
+  lang
+FROM documents
+"""
+
+
+@register("q_binary_meta", oracle=_BINARY_META_ORACLE)
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(blob).cast("bigint").alias("n_bytes"),
+        F.md5(blob).alias("digest"),
+        F.encode(F.substring("text", 1, 8), "UTF-8").alias("head_bytes"),
+        "lang",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_media_features — multimodal decode pipeline (rows-only ◐): treats the
+# bytes as an opaque media payload and runs a *deterministic stub* feature
+# extractor through mapInPandas (real image/audio codecs aren't in this
+# container — the Spark plumbing is the deliverable: binary in, Arrow
+# batches through Python, typed feature struct out; at scale this is the
+# exact shape of a frame-sampler or embedding extractor).
+# ---------------------------------------------------------------------------
+
+
+@register("q_media_features")
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.col("n_chars").alias("declared_len"),
+        ).alias("meta"),
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len),
+                    # Deterministic stand-in for a real decoder: a real
+                    # build would decode image/audio here (PIL/ffmpeg) —
+                    # see module docstring.
+                    "feat_checksum": payloads.map(lambda b: sum(b[:64]) % 65536),
+                    "mime": pdf["meta"].map(lambda m: m["mime"]),
+                }
+            )
+
+    return media.mapInPandas(
+        extract, schema="doc_id bigint, n_bytes bigint, feat_checksum bigint, mime string"
+    )

@@ -51,9 +51,11 @@ def load_all_operators() -> None:
     # Imports are deferred so `import data_ingestion_service_spark` stays
     # cheap and so a syntax error in one module is easy to localize.
     from data_ingestion_service_spark.operators import (  # noqa: F401
+        advanced,
         aggregation,
         joins,
         llm,
+        llm_extended,
         relational,
         scalar_funcs,
         setops,

@@ -268,6 +268,74 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# q_stream_static_join — stream-static enrichment join: the event stream
+# joins the customer dimension (classic ingestion enrichment). The static
+# side is re-read per micro-batch; Catalyst broadcasts it. Final state ==
+# batch join + GROUP BY.
+# ---------------------------------------------------------------------------
+
+_STREAM_STATIC_ORACLE = """
+SELECT c.c_mktsegment, e.event_type, count(*) AS n, round(sum(e.value), 2) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+"""
+
+
+@register("q_stream_static_join", oracle=_STREAM_STATIC_ORACLE)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value")
+    )
+    final = run_to_memory(agg, "complete")
+    return final.select(
+        "c_mktsegment", "event_type", "n", F.round(F.col("sum_value"), 2).alias("total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_to_parquet — streaming parquet sink with checkpointing: filter
+# the stream, append to a parquet directory (exactly-once via the commit
+# log), then read the sink back as a batch table.
+# ---------------------------------------------------------------------------
+
+_STREAM_TO_PARQUET_ORACLE = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events
+WHERE event_type IN ('purchase', 'signup')
+GROUP BY event_type
+"""
+
+
+@register("q_stream_to_parquet", oracle=_STREAM_TO_PARQUET_ORACLE)
+def q_stream_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    filtered = ev.filter(F.col("event_type").isin("purchase", "signup")).select(
+        "event_id", "event_type", "value"
+    )
+    out = tempfile.mkdtemp(prefix="ingest_stream_sink_")
+    q = (
+        filtered.writeStream.format("parquet")
+        .option("path", f"{out}/data")
+        .option("checkpointLocation", f"{out}/checkpoint")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(f"{out}/data")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 @register("q_stream_watermark")
 def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_stream(spark, sf_dir)
