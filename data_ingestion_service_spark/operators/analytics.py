@@ -1,0 +1,250 @@
+"""Product-analytics and robustness operators: grouping sets, null
+discipline, skew-resistant (salted) aggregation, event funnels and
+retention cohorts, regex transforms.
+
+The salted aggregate is the documented skew pattern at 100 TB: a hot key
+would overload one reducer, so stage 1 aggregates on (key, salt) — random
+fan-out spreads a hot key over N partial groups — and stage 2 merges
+partials by key. Its oracle is the *plain* GROUP BY: the whole point is
+that salting is result-invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_service_spark.catalog import load_table
+from data_ingestion_service_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# q_grouping_sets — explicit GROUPING SETS with grouping_id disambiguation.
+# ---------------------------------------------------------------------------
+
+_GROUPING_SETS_ORACLE = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  grouping(o_orderstatus)::BIGINT * 2 + grouping(o_orderpriority)::BIGINT AS gid,
+  count(*)                    AS n_orders,
+  round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register("q_grouping_sets", oracle=_GROUPING_SETS_ORACLE)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    # GROUPING SETS has no DataFrame-API equivalent — this is the one spot
+    # where the engine's own SQL front-end (spark.sql) is the idiomatic path.
+    return spark.sql(
+        """
+        SELECT
+          o_orderstatus,
+          o_orderpriority,
+          CAST(grouping(o_orderstatus) AS BIGINT) * 2
+            + CAST(grouping(o_orderpriority) AS BIGINT) AS gid,
+          count(*)                    AS n_orders,
+          round(sum(o_totalprice), 2) AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_null_handling — NULL discipline: NULLIF-produced nulls, coalesce,
+# null-aware aggregation, explicit NULLS FIRST/LAST ranking.
+# ---------------------------------------------------------------------------
+
+_NULL_ORACLE = """
+SELECT
+  o_orderstatus,
+  count(*)                                         AS n_rows,
+  count(bal)                                       AS n_nonnull,
+  count(*) - count(bal)                            AS n_null,
+  round(sum(coalesce(bal, 0.0)), 2)                AS sum_bal,
+  round(avg(bal), 4)                               AS avg_nonnull_bal,
+  min(rn_nulls_last)                               AS min_rn
+FROM (
+  SELECT
+    o.o_orderstatus,
+    nullif(c.c_acctbal, 0.0) AS bal,
+    row_number() OVER (
+      ORDER BY CASE WHEN nullif(c.c_acctbal, 0.0) IS NULL THEN 1 ELSE 0 END,
+               c.c_acctbal, o.o_orderkey
+    ) AS rn_nulls_last
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_acctbal < 100
+)
+GROUP BY o_orderstatus
+"""
+
+
+@register("q_null_handling", oracle=_NULL_ORACLE)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 100)
+    joined = orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    bal = F.nullif(F.col("c_acctbal"), F.lit(0.0))
+    w = Window.orderBy(
+        F.when(bal.isNull(), 1).otherwise(0), F.asc("c_acctbal"), F.asc("o_orderkey")
+    )
+    staged = joined.select(
+        "o_orderstatus",
+        bal.alias("bal"),
+        F.row_number().over(w).alias("rn_nulls_last"),
+    )
+    return staged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("bal").alias("n_nonnull"),
+        (F.count(F.lit(1)) - F.count("bal")).alias("n_null"),
+        F.round(F.sum(F.coalesce(F.col("bal"), F.lit(0.0))), 2).alias("sum_bal"),
+        F.round(F.avg("bal"), 4).alias("avg_nonnull_bal"),
+        F.min("rn_nulls_last").alias("min_rn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_salted_agg — two-stage salted aggregation (skew pattern), result-
+# invariant vs plain GROUP BY. Counts stay integral through both stages so
+# the result is exact; the money sum re-aggregates integer cents.
+# ---------------------------------------------------------------------------
+
+_SALTED_ORACLE = """
+SELECT
+  l_returnflag,
+  count(*) AS n_items,
+  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_cents
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("q_salted_agg", oracle=_SALTED_ORACLE)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn("salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(16)))
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")).alias("pc"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n_items"), F.sum("pc").alias("price_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_funnel — signup→purchase conversion funnel per user (event-sequence
+# analytics: the first purchase strictly after the first signup).
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+SELECT
+  count(*)                                                   AS n_users,
+  sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END)  AS n_signed_up,
+  sum(CASE WHEN first_purchase > first_signup THEN 1 ELSE 0 END) AS n_converted
+FROM (
+  SELECT
+    user_id,
+    min(CASE WHEN event_type = 'signup'  THEN ts END)  AS first_signup,
+    min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events
+  GROUP BY user_id
+)
+"""
+
+
+@register("q_funnel", oracle=_FUNNEL_ORACLE)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("first_signup").isNotNull(), 1).otherwise(0)).alias(
+            "n_signed_up"
+        ),
+        F.sum(
+            F.when(F.col("first_purchase") > F.col("first_signup"), 1).otherwise(0)
+        ).alias("n_converted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_retention — daily cohort retention: users bucketed by first-seen day,
+# counted per (cohort_day, activity_day) — the classic engagement matrix.
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('day', min(ts))::TIMESTAMP AS cohort_day
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts)::TIMESTAMP AS activity_day
+  FROM events
+)
+SELECT
+  f.cohort_day,
+  date_diff('day', f.cohort_day, a.activity_day)::BIGINT AS day_offset,
+  count(*) AS n_active
+FROM firsts f
+JOIN activity a ON f.user_id = a.user_id
+WHERE date_diff('day', f.cohort_day, a.activity_day) <= 7
+GROUP BY 1, 2
+"""
+
+
+@register("q_retention", oracle=_RETENTION_ORACLE)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("timestamp_ntz").alias("cohort_day")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("activity_day")
+    ).distinct()
+    offset = F.datediff(F.col("activity_day"), F.col("cohort_day")).cast("bigint")
+    return (
+        firsts.join(activity, "user_id")
+        .filter(offset <= 7)
+        .groupBy("cohort_day", offset.alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_regex_funcs — regexp transform family over part names.
+# ---------------------------------------------------------------------------
+
+_REGEX_ORACLE = """
+SELECT
+  p_partkey,
+  regexp_replace(p_name, '[aeiou]', '_', 'g')              AS devoweled,
+  regexp_matches(p_name, '^(red|blue|green)')              AS has_color,
+  regexp_extract(p_name, '([a-z]+)$')                      AS last_word,
+  len(regexp_split_to_array(p_name, '\\s+'))::INT          AS n_words
+FROM part
+WHERE p_partkey <= 300
+"""
+
+
+@register("q_regex_funcs", oracle=_REGEX_ORACLE)
+def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(F.col("p_partkey") <= 300).select(
+        "p_partkey",
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        (F.regexp_extract("p_name", "^(red|blue|green)", 0) != "").alias("has_color"),
+        F.regexp_extract("p_name", "([a-z]+)$", 0).alias("last_word"),
+        F.size(F.split(F.col("p_name"), "\\s+")).alias("n_words"),
+    )

@@ -376,6 +376,170 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_tfidf — TF-IDF top terms per source (the classic corpus-weighting
+# step). ln() computed on exact integer counts → identical doubles both
+# engines; score rounded at 6dp (values O(1), noise ~1e-16).
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH term_doc AS (
+  SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT source, term, count(*) AS n_docs_with_term_in_source
+  FROM term_doc GROUP BY source, term
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS doc_freq FROM term_doc GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT source, term, score, rnk
+FROM (
+  SELECT
+    tf.source, tf.term,
+    round(tf.n_docs_with_term_in_source
+          * ln(n.n_docs * 1.0 / df.doc_freq), 6) AS score,
+    row_number() OVER (
+      PARTITION BY tf.source
+      ORDER BY round(tf.n_docs_with_term_in_source
+                     * ln(n.n_docs * 1.0 / df.doc_freq), 6) DESC, tf.term
+    ) AS rnk
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+WHERE rnk <= 3
+"""
+
+
+@register("q_tfidf", oracle=_TFIDF_ORACLE)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    term_doc = docs.select(
+        "doc_id", "source", F.explode(tokens("text")).alias("term")
+    ).distinct()
+    tf = term_doc.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("n_docs_with_term_in_source")
+    )
+    df_ = term_doc.groupBy("term").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    # corpus size joined declaratively (no driver-side count action)
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.round(
+        F.col("n_docs_with_term_in_source")
+        * F.log(F.col("n_docs") * F.lit(1.0) / F.col("doc_freq")),
+        6,
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select("source", "term", score.alias("score"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_ngram_stats — bigram frequency top-10 (n-gram text analysis).
+# ---------------------------------------------------------------------------
+
+_NGRAM_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bi AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks WHERE len(t) >= 2
+)
+SELECT bigram, count(*) AS freq
+FROM bi
+GROUP BY bigram
+ORDER BY freq DESC, bigram
+LIMIT 10
+"""
+
+
+@register("q_ngram_stats", oracle=_NGRAM_ORACLE)
+def q_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(shingles(tokens("text"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("bigram"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_keep_first — dedup that returns the survivors: one row per
+# content hash, keeping the lowest doc_id (deterministic keep-first).
+# ---------------------------------------------------------------------------
+
+_DEDUP_FIRST_ORACLE = """
+SELECT
+  md5(text)     AS content_key,
+  min(doc_id)   AS keep_doc_id,
+  count(*)      AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@register("q_dedup_keep_first", oracle=_DEDUP_FIRST_ORACLE)
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(F.col("text").cast("binary")).alias("content_key")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_embed_normalize — L2-normalize embeddings (the standard pre-ANN step);
+# emits the normalized head and the post-norm length (≡1) as proof.
+# ---------------------------------------------------------------------------
+
+_EMBED_NORM_ORACLE = """
+WITH p AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 50
+),
+n AS (
+  SELECT vec_id, e,
+         sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS l2
+  FROM p
+)
+SELECT
+  vec_id,
+  round(l2, 6)                                   AS l2_norm,
+  round(e[1] / l2, 6)                            AS u1,
+  round(e[2] / l2, 6)                            AS u2,
+  round(list_aggregate(list_transform(list_transform(e, x -> x / l2),
+                                      x -> x * x), 'sum'), 6) AS unit_sq
+FROM n
+"""
+
+
+@register("q_embed_normalize", oracle=_EMBED_NORM_ORACLE)
+def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    e = as_double("embedding")
+    l2 = F.sqrt(F.aggregate(F.transform(e, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    staged = emb.select("vec_id", e.alias("e"), l2.alias("l2"))
+    unit = F.transform(F.col("e"), lambda x: x / F.col("l2"))
+    return staged.select(
+        "vec_id",
+        F.round(F.col("l2"), 6).alias("l2_norm"),
+        F.round(F.element_at(F.col("e"), 1) / F.col("l2"), 6).alias("u1"),
+        F.round(F.element_at(F.col("e"), 2) / F.col("l2"), 6).alias("u2"),
+        F.round(
+            F.aggregate(F.transform(unit, lambda x: x * x), F.lit(0.0), lambda a, x: a + x),
+            6,
+        ).alias("unit_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_media_features — multimodal decode pipeline (rows-only ◐): treats the
 # bytes as an opaque media payload and runs a *deterministic stub* feature
 # extractor through mapInPandas (real image/audio codecs aren't in this

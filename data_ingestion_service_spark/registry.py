@@ -53,6 +53,7 @@ def load_all_operators() -> None:
     from data_ingestion_service_spark.operators import (  # noqa: F401
         advanced,
         aggregation,
+        analytics,
         joins,
         llm,
         llm_extended,
