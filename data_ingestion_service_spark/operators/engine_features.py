@@ -1,0 +1,270 @@
+"""Engine-feature operators: the SQL front-end, bucketed co-located
+joins, snapshot upsert/merge, and advanced window frames.
+
+q_bucketed_join is the headline scale feature here: both join sides are
+written bucketed on the join key, so the sort-merge join reads
+pre-partitioned buckets and the plan contains NO shuffle exchange before
+the join — the layout a 100 TB fact/fact join depends on (re-verified by
+tests/test_scale_posture.py).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_service_spark.catalog import load_table
+from data_ingestion_service_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# q_sql_frontend — the same engine through its SQL API (spark.sql over
+# registered temp views): proves the surface is dual DataFrame/SQL.
+# ---------------------------------------------------------------------------
+
+_SQL_FRONTEND_ORACLE = """
+SELECT
+  n.n_name,
+  count(DISTINCT c.c_custkey)  AS n_customers,
+  count(o.o_orderkey)          AS n_orders,
+  round(sum(o.o_totalprice), 2) AS total_spend
+FROM nation n
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+GROUP BY n.n_name
+"""
+
+
+@register("q_sql_frontend", oracle=_SQL_FRONTEND_ORACLE)
+def q_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT
+          n.n_name,
+          count(DISTINCT c.c_custkey)   AS n_customers,
+          count(o.o_orderkey)           AS n_orders,
+          round(sum(o.o_totalprice), 2) AS total_spend
+        FROM v_nation n
+        JOIN v_customer c ON c.c_nationkey = n.n_nationkey
+        JOIN v_orders o   ON o.o_custkey = c.c_custkey
+        GROUP BY n.n_name
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_bucketed_join — co-located fact/fact join over bucketed tables.
+# ---------------------------------------------------------------------------
+
+_BUCKETED_ORACLE = """
+SELECT
+  o_orderpriority,
+  count(*)                       AS n_items,
+  round(sum(l_quantity), 2)      AS total_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def _write_bucketed_inputs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Bucket both join sides on the join key; unique table names per call
+    (a stale spark-warehouse/ location from a previous session would make
+    mode('overwrite') fail with LOCATION_ALREADY_EXISTS)."""
+    tag = uuid.uuid4().hex[:10]
+    li_tbl, ord_tbl = f"li_bucketed_{tag}", f"orders_bucketed_{tag}"
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(li_tbl)
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ord_tbl)
+    return li_tbl, ord_tbl
+
+
+def _drop_tables(spark: SparkSession, *names: str) -> None:
+    for n in names:
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+        except Exception:
+            pass
+
+
+@register("q_bucketed_join", oracle=_BUCKETED_ORACLE)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li_tbl, ord_tbl = _write_bucketed_inputs(spark, sf_dir)
+    # Disable broadcast for this plan so the bucketed sort-merge join path
+    # (zero shuffles — what a fact/fact join needs at scale) is the one
+    # exercised; restore afterwards.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table(li_tbl)
+            .join(spark.table(ord_tbl), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            )
+        )
+        # Materialize into a local result while the override + tables are
+        # alive, then rebuild a DataFrame the driver can re-collect later.
+        rows = joined.collect()
+        return spark.createDataFrame(rows, schema=joined.schema)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        _drop_tables(spark, li_tbl, ord_tbl)
+
+
+def bucketed_join_plan(spark: SparkSession, sf_dir: str) -> str:
+    """Expose the executed physical plan for the posture test."""
+    li_tbl, ord_tbl = _write_bucketed_inputs(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(li_tbl).join(
+            spark.table(ord_tbl), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        return joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        _drop_tables(spark, li_tbl, ord_tbl)
+
+
+# ---------------------------------------------------------------------------
+# q_upsert_snapshot — merge/upsert: latest event value per user applied to
+# the customer snapshot (full-outer merge with status classification) —
+# the core ingestion-service "apply changes" semantic, expressed as a
+# declarative join (Delta-style MERGE INTO without the table format).
+# ---------------------------------------------------------------------------
+
+_UPSERT_ORACLE = """
+WITH latest AS (
+  SELECT user_id, value AS latest_value
+  FROM (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT
+  coalesce(c.c_custkey, l.user_id)       AS entity_id,
+  round(coalesce(l.latest_value, c.c_acctbal), 2) AS current_value,
+  CASE
+    WHEN c.c_custkey IS NULL THEN 'inserted'
+    WHEN l.user_id  IS NULL THEN 'unchanged'
+    ELSE 'updated'
+  END AS merge_status
+FROM customer c
+FULL OUTER JOIN latest l ON c.c_custkey = l.user_id
+"""
+
+
+@register("q_upsert_snapshot", oracle=_UPSERT_ORACLE)
+def q_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("value").alias("latest_value"))
+    )
+    merged = cust.join(latest, F.col("c_custkey") == F.col("user_id"), "full_outer")
+    return merged.select(
+        F.coalesce(F.col("c_custkey"), F.col("user_id")).alias("entity_id"),
+        F.round(F.coalesce(F.col("latest_value"), F.col("c_acctbal")), 2).alias(
+            "current_value"
+        ),
+        F.when(F.col("c_custkey").isNull(), "inserted")
+        .when(F.col("user_id").isNull(), "unchanged")
+        .otherwise("updated")
+        .alias("merge_status"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_range_frame — RANGE window frame: trailing-7-day revenue (value-based
+# frame over an integer day key, vs the ROWS frames elsewhere).
+# ---------------------------------------------------------------------------
+
+_RANGE_FRAME_ORACLE = """
+SELECT
+  o_orderdate,
+  daily_rev,
+  round(sum(daily_rev) OVER (
+    ORDER BY epoch_day
+    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+  ), 2) AS rev_7d
+FROM (
+  SELECT
+    o_orderdate,
+    date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS epoch_day,
+    round(sum(o_totalprice), 2) AS daily_rev
+  FROM orders
+  GROUP BY 1, 2
+)
+"""
+
+
+@register("q_range_frame", oracle=_RANGE_FRAME_ORACLE)
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy("o_orderdate").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("daily_rev")
+    ).withColumn(
+        "epoch_day",
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+        ).cast("long"),
+    )
+    w = Window.orderBy("epoch_day").rangeBetween(-6, 0)
+    return daily.select(
+        "o_orderdate",
+        "daily_rev",
+        F.round(F.sum("daily_rev").over(w), 2).alias("rev_7d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_window_nav — navigation window functions: first/last value in frame,
+# percent_rank, cume_dist.
+# ---------------------------------------------------------------------------
+
+_WINDOW_NAV_ORACLE = """
+SELECT
+  c_custkey,
+  c_mktsegment,
+  round(first_value(c_acctbal) OVER seg_full, 2)  AS seg_min_bal,
+  round(last_value(c_acctbal)  OVER seg_full, 2)  AS seg_max_bal,
+  round(percent_rank() OVER seg_order, 6)         AS bal_pct_rank,
+  round(cume_dist()    OVER seg_order, 6)         AS bal_cume_dist
+FROM customer
+WINDOW
+  seg_full  AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+  seg_order AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@register("q_window_nav", oracle=_WINDOW_NAV_ORACLE)
+def q_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    order = [F.asc("c_acctbal"), F.asc("c_custkey")]
+    seg_full = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    seg_order = Window.partitionBy("c_mktsegment").orderBy(*order)
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.first("c_acctbal").over(seg_full), 2).alias("seg_min_bal"),
+        F.round(F.last("c_acctbal").over(seg_full), 2).alias("seg_max_bal"),
+        F.round(F.percent_rank().over(seg_order), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(seg_order), 6).alias("bal_cume_dist"),
+    )

@@ -54,6 +54,7 @@ def load_all_operators() -> None:
         advanced,
         aggregation,
         analytics,
+        engine_features,
         joins,
         llm,
         llm_extended,

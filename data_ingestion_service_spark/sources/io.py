@@ -69,6 +69,92 @@ def src_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEXT_ORACLE = """
+SELECT l_returnflag, count(*) AS n, sum(l_orderkey) AS key_sum
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("src_text_roundtrip", oracle=_TEXT_ORACLE)
+def src_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text source: serialize to delimited lines, re-parse.
+
+    Exercises spark.read.text + string parsing — the shape of raw-log
+    ingestion (the most common ingestion-service input at scale).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    out = tempfile.mkdtemp(prefix="ingest_text_")
+    li.select(
+        F.concat_ws("|", F.col("l_returnflag"), F.col("l_orderkey").cast("string")).alias(
+            "value"
+        )
+    ).write.mode("overwrite").text(out)
+    back = spark.read.text(out).select(
+        F.split_part(F.col("value"), F.lit("|"), F.lit(1)).alias("l_returnflag"),
+        F.split_part(F.col("value"), F.lit("|"), F.lit(2)).cast("bigint").alias(
+            "l_orderkey"
+        ),
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_orderkey").alias("key_sum")
+    )
+
+
+_ORC_ORACLE = """
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("src_orc_roundtrip", oracle=_ORC_ORACLE)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC columnar source (Spark-native reader/writer; the oracle checks
+    the round-tripped aggregate against the original table, so lossless-
+    ness of the format conversion is what's being proven)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    out = tempfile.mkdtemp(prefix="ingest_orc_")
+    orders.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+_SCHEMA_EVOLUTION_ORACLE = """
+SELECT
+  count(*)                                                   AS n,
+  count(CASE WHEN event_id % 2 = 1 THEN event_type END)      AS n_typed,
+  round(sum(value), 2)                                       AS total_value
+FROM events
+"""
+
+
+@register("src_schema_evolution", oracle=_SCHEMA_EVOLUTION_ORACLE)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution: two parquet generations (the newer adds a
+    column), read with mergeSchema — older rows surface NULLs for the
+    added column. The standard widening path for an evolving feed."""
+    ev = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="ingest_evo_")
+    gen1 = ev.filter(F.col("event_id") % 2 == 0).select("event_id", "value")
+    gen2 = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "value", "event_type"
+    )
+    gen1.write.mode("overwrite").parquet(f"{out}/g=1")
+    gen2.write.mode("overwrite").parquet(f"{out}/g=2")
+    back = spark.read.option("mergeSchema", "true").parquet(f"{out}/g=1", f"{out}/g=2")
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("event_type").alias("n_typed"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 _PARTITIONED_SINK_ORACLE = """
 SELECT l_returnflag, l_linestatus, count(*) AS n,
        round(sum(l_extendedprice), 2) AS total_price

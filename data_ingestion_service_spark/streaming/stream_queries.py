@@ -260,6 +260,50 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_stream_foreach_batch — foreachBatch sink: per-micro-batch custom
+# logic using the full batch API (the escape hatch for sinks Spark lacks
+# natively — JDBC upserts, external indexes, multi-sink fan-out). Here
+# each batch appends to parquet; result re-read batch-side.
+# ---------------------------------------------------------------------------
+
+_FOREACH_BATCH_ORACLE = """
+SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events
+WHERE value >= 250
+GROUP BY event_type
+"""
+
+
+@register("q_stream_foreach_batch", oracle=_FOREACH_BATCH_ORACLE)
+def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="ingest_feb_")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.filter(F.col("value") >= 250)
+            .select("event_id", "event_type", "value")
+            .write.mode("append")
+            .parquet(f"{out}/data")
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", f"{out}/checkpoint")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(f"{out}/data")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_stream_watermark — watermarked tumbling aggregate (update mode).
 # Watermark semantics (late-data drop) can't be SQL-oracled: the in-order
 # finite replay never produces late rows, so this is registered rows-only

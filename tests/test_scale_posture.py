@@ -61,6 +61,18 @@ def test_q1_partial_aggregation(spark, sf_dir):
     assert tree.count("Exchange") == 1
 
 
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    from data_ingestion_service_spark.operators.engine_features import (
+        bucketed_join_plan,
+    )
+
+    plan = bucketed_join_plan(spark, sf_dir)
+    assert "SortMergeJoin" in plan
+    # co-located bucketed sides: the join must read buckets directly,
+    # with no shuffle exchange on either input
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
 @pytest.mark.parametrize("key", ["q1_pricing_summary", "q5_regional_revenue"])
 def test_whole_stage_codegen(spark, sf_dir, key):
     df = QUERIES[key](spark, sf_dir)
