@@ -59,6 +59,7 @@ def load_all_operators() -> None:
         llm,
         llm_extended,
         relational,
+        reporting,
         scalar_funcs,
         setops,
         udf_surface,

@@ -304,6 +304,34 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_stream_topk — complete-mode streaming top-k: most active users by
+# event count (sorting is only legal in complete mode — the final ranking
+# over total state is exactly the batch answer).
+# ---------------------------------------------------------------------------
+
+_STREAM_TOPK_ORACLE = """
+SELECT user_id, n
+FROM (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+)
+ORDER BY n DESC, user_id
+LIMIT 5
+"""
+
+
+@register("q_stream_topk", oracle=_STREAM_TOPK_ORACLE)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(5)
+    )
+    return run_to_memory(top, "complete")
+
+
+# ---------------------------------------------------------------------------
 # q_stream_watermark — watermarked tumbling aggregate (update mode).
 # Watermark semantics (late-data drop) can't be SQL-oracled: the in-order
 # finite replay never produces late rows, so this is registered rows-only
