@@ -14,6 +14,8 @@ both engines see identical values.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -42,8 +44,24 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+# Analyzed-DataFrame cache, per live session (weak keys: a restarted
+# session drops its entries; id-reuse can't alias a dead one). Re-running
+# spark.read.parquet per query re-lists files and re-reads footers
+# (~60-80ms/table, the dominant cost of ms-scale queries); a real
+# ingestion service registers its catalog once. Execution still scans
+# fresh data — only the *plan* (schema + file listing) is reused.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with oracle-parity normalizations applied."""
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir.rstrip("/"), name)
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
     ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -53,6 +71,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
+    per_session[key] = df
     return df
 
 

@@ -17,6 +17,7 @@ the test-only shuffle-partition count in :func:`get_spark`.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -37,8 +38,18 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+_CONFIGURED_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
 def ensure_session_confs(spark: SparkSession) -> SparkSession:
-    """Apply runtime confs to a session we did not build (driver's session)."""
+    """Apply runtime confs to a session we did not build (driver's session).
+
+    Idempotent and memoized per live session (weak refs — a restarted
+    session re-applies) — conf round-trips are py4j calls and this runs on
+    every table load.
+    """
+    if spark in _CONFIGURED_SESSIONS:
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             if spark.conf.get(k, None) != v:
@@ -47,6 +58,7 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
             # Non-fatal: a conf may be static on some builds; queries that
             # don't need it still run.
             pass
+    _CONFIGURED_SESSIONS.add(spark)
     return spark
 
 
