@@ -540,6 +540,89 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_simhash — 16-bit SimHash fingerprints: per-token hash bits are the
+# high bit of each md5 hex digit (derivable identically in ANSI SQL), the
+# signature takes the per-bit majority over the doc's distinct tokens
+# (ties → 1). Completes the dedup family: exact (q_dedup_docs), n-gram
+# Jaccard (q_near_dedup), MinHash-LSH (q_minhash_pairs), SimHash,
+# embedding-cosine (q_embed_near_dup).
+# ---------------------------------------------------------------------------
+
+_SIMHASH_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+bits AS (
+  SELECT doc_id, ii.i,
+         CASE WHEN substr(md5(t), ii.i + 1, 1) IN
+                   ('8','9','a','b','c','d','e','f') THEN 1 ELSE 0 END AS b
+  FROM tok CROSS JOIN (SELECT unnest(range(0, 16)) AS i) ii
+),
+sig AS (
+  SELECT doc_id, i,
+         CASE WHEN 2 * sum(b) >= count(*) THEN '1' ELSE '0' END AS bit
+  FROM bits GROUP BY doc_id, i
+)
+SELECT doc_id, string_agg(bit, '' ORDER BY i) AS simhash16
+FROM sig GROUP BY doc_id
+"""
+
+
+@register("q_simhash", oracle=_SIMHASH_ORACLE)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("t")).distinct()
+    idx = spark.range(16).select(F.col("id").alias("i"))
+    bits = tok.crossJoin(idx).select(
+        "doc_id",
+        "i",
+        F.when(
+            F.substring(F.md5(F.col("t").cast("binary")), F.col("i") + 1, 1).isin(
+                "8", "9", "a", "b", "c", "d", "e", "f"
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("b"),
+    )
+    sig = bits.groupBy("doc_id", "i").agg(
+        F.when(2 * F.sum("b") >= F.count(F.lit(1)), "1").otherwise("0").alias("bit")
+    )
+    return sig.groupBy("doc_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "bit"))), lambda s: s["bit"]
+            ),
+        ).alias("simhash16")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_explode_outer — lateral explode with empty-array null preservation
+# (explode_outer): the row survives even when its array is empty — how a
+# multimodal pipeline keeps documents whose media failed to decode.
+# ---------------------------------------------------------------------------
+
+_EXPLODE_OUTER_ORACLE = """
+WITH t AS (
+  SELECT vec_id, (embedding[1 : (vec_id % 3)])::DOUBLE[] AS arr
+  FROM embeddings WHERE vec_id < 200
+)
+SELECT vec_id, u.x AS element FROM t, unnest(t.arr) AS u(x)
+UNION ALL
+SELECT vec_id, NULL AS element FROM t WHERE len(arr) = 0
+"""
+
+
+@register("q_explode_outer", oracle=_EXPLODE_OUTER_ORACLE)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    arr = F.slice(as_double("embedding"), 1, (F.col("vec_id") % 3).cast("int"))
+    return emb.select("vec_id", F.explode_outer(arr).alias("element"))
+
+
+# ---------------------------------------------------------------------------
 # q_media_features — multimodal decode pipeline (rows-only ◐): treats the
 # bytes as an opaque media payload and runs a *deterministic stub* feature
 # extractor through mapInPandas (real image/audio codecs aren't in this

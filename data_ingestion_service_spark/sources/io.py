@@ -163,6 +163,28 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+_COMPACTED_SINK_ORACLE = """
+SELECT l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS total_qty
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
+@register("sink_compacted", oracle=_COMPACTED_SINK_ORACLE)
+def sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction sink: repartition-on-write to a fixed file
+    count — the maintenance job every streaming ingest needs (thousands
+    of micro-batch files → a few scan-efficient ones), then re-read."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_linestatus", "l_quantity")
+    out = tempfile.mkdtemp(prefix="ingest_compact_")
+    li.repartition(4).write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+
+
 @register("sink_parquet_partitioned", oracle=_PARTITIONED_SINK_ORACLE)
 def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-style partitioned parquet sink, then re-scan.

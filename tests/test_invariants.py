@@ -1,0 +1,93 @@
+"""Cross-query invariants (SURVEY.md §5's property-style spot checks):
+cheap relationships that must hold between query outputs and the raw
+tables, independent of the oracle — a second, structurally different line
+of defense against "both engines wrong the same way".
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_ingestion_service_spark.catalog import load_table
+from data_ingestion_service_spark.registry import QUERIES, load_all_operators
+
+load_all_operators()
+
+
+@pytest.fixture(scope="module")
+def run(spark, sf_dir):
+    def _run(key):
+        return QUERIES[key](spark, sf_dir).collect()
+
+    return _run
+
+
+def test_semi_anti_partitions_orders(spark, sf_dir, run):
+    [row] = run("q_semi_anti")
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert row.n_with_items + row.n_without_items == n_orders
+
+
+def test_union_all_counts_add(spark, sf_dir, run):
+    rows = run("q_union_all")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    expected = cust.filter("c_mktsegment = 'BUILDING'").count() + supp.count()
+    assert len(rows) == expected
+
+
+def test_topk_is_sorted_and_sized(run):
+    rows = run("q_topk")
+    assert len(rows) == 25
+    prices = [r.totalprice for r in rows]
+    assert prices == sorted(prices, reverse=True)
+
+
+def test_knn_cosine_bounds(run):
+    rows = run("q_knn_self")
+    assert len(rows) == 10
+    sims = [r.cos_sim for r in rows]
+    assert all(-1.0 <= s <= 1.0 for s in sims)
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_dedup_counts_consistent(spark, sf_dir, run):
+    [row] = run("q_dedup_docs")
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert row.n_docs == n_docs
+    assert row.n_unique + row.n_dupes == row.n_docs
+    assert 0 < row.n_unique <= row.n_docs
+
+
+def test_decile_shares_sum_to_one(run):
+    rows = run("q_decile_share")
+    assert len(rows) == 10
+    assert abs(sum(r.revenue_share for r in rows) - 1.0) < 1e-4
+    assert sum(r.n_customers for r in rows) > 0
+
+
+def test_running_revenue_monotone(run):
+    rows = run("q_running_revenue")
+    by_date = sorted(rows, key=lambda r: r.o_orderdate)
+    running = [r.running_rev for r in by_date]
+    assert running == sorted(running)  # daily revenue is non-negative
+    assert abs(running[-1] - round(sum(r.daily_rev for r in by_date), 2)) < 0.05
+
+
+def test_simhash_shape(run):
+    rows = run("q_simhash")
+    assert all(len(r.simhash16) == 16 and set(r.simhash16) <= {"0", "1"} for r in rows)
+
+
+def test_explode_outer_preserves_rows(spark, sf_dir, run):
+    rows = run("q_explode_outer")
+    emb = load_table(spark, sf_dir, "embeddings").filter("vec_id < 200")
+    base = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert {r.vec_id for r in rows} == base  # empty arrays keep their row
+
+
+def test_stream_dedup_equals_batch(spark, sf_dir, run):
+    rows = run("q_stream_dedup")
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert len(rows) == n_events  # doubled replay deduped back to one copy
+    assert len({r.event_id for r in rows}) == n_events
