@@ -304,6 +304,30 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_stream_sliding — the sliding-window aggregate actually run as a
+# stream (complete mode): same window('1 hour','30 minutes') expression
+# as the batch variant, so the drained final state equals the same
+# oracle. Demonstrates batch/stream unification on one plan.
+# ---------------------------------------------------------------------------
+
+
+@register("q_stream_sliding", oracle=_SLIDING_ORACLE)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_value"),
+    )
+    final = run_to_memory(agg, "complete")
+    return final.select(
+        F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n",
+        F.round(F.col("sum_value"), 2).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_stream_topk — complete-mode streaming top-k: most active users by
 # event count (sorting is only legal in complete mode — the final ranking
 # over total state is exactly the batch answer).
