@@ -61,6 +61,7 @@ def load_all_operators() -> None:
         relational,
         reporting,
         scalar_funcs,
+        semistructured,
         setops,
         udf_surface,
         windows,

@@ -260,6 +260,31 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_stream_dedup_watermark — dropDuplicatesWithinWatermark: the bounded-
+# state production variant of stream dedup (state for a key is evictable
+# once the watermark passes it; unbounded dropDuplicates would grow
+# forever on an infinite stream). The in-order doubled replay still
+# dedups to exactly one copy, so the batch oracle is exact.
+# ---------------------------------------------------------------------------
+
+_STREAM_DEDUP_WM_ORACLE = """
+SELECT event_id, user_id, event_type
+FROM events
+"""
+
+
+@register("q_stream_dedup_watermark", oracle=_STREAM_DEDUP_WM_ORACLE)
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir, copies=2)
+    deduped = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return run_to_memory(deduped, "append")
+
+
+# ---------------------------------------------------------------------------
 # q_stream_foreach_batch — foreachBatch sink: per-micro-batch custom
 # logic using the full batch API (the escape hatch for sinks Spark lacks
 # natively — JDBC upserts, external indexes, multi-sink fan-out). Here
