@@ -63,6 +63,7 @@ def load_all_operators() -> None:
         scalar_funcs,
         semistructured,
         setops,
+        tpch_extended,
         udf_surface,
         windows,
     )
