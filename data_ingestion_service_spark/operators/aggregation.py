@@ -144,6 +144,64 @@ GROUP BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# q_corr_stats — bivariate + shape statistics: Pearson correlation,
+# sample covariance, skewness. Values are O(1)–O(price²); rounding sits
+# far above both engines' last-ulp noise for each magnitude.
+# ---------------------------------------------------------------------------
+
+_CORR_ORACLE = """
+SELECT
+  l_returnflag,
+  round(corr(l_quantity, l_extendedprice), 6)        AS qty_price_corr,
+  round(covar_samp(l_quantity, l_discount), 6)       AS qty_disc_covar,
+  round(skewness(l_extendedprice), 4)                AS price_skew,
+  count(*)                                           AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("q_corr_stats", oracle=_CORR_ORACLE)
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    # Spark's skewness is the population estimator g1 = m3/m2^1.5; DuckDB
+    # reports the bias-corrected sample estimator G1 = g1·√(n(n−1))/(n−2).
+    g1_to_G1 = F.sqrt(n * (n - 1)) / (n - 2)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
+        F.round(F.skewness("l_extendedprice") * g1_to_G1, 4).alias("price_skew"),
+        n.alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_bool_agg — boolean aggregates (every / any ≡ bool_and / bool_or).
+# ---------------------------------------------------------------------------
+
+_BOOL_ORACLE = """
+SELECT
+  o_orderstatus,
+  bool_and(o_totalprice > 1000)    AS all_over_1k,
+  bool_or(o_totalprice > 400000)   AS any_over_400k,
+  count(*)                         AS n
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("q_bool_agg", oracle=_BOOL_ORACLE)
+def q_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.some(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 @register("q_stats", oracle=_STATS_ORACLE)
 def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
