@@ -43,19 +43,22 @@ def events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFram
     see identical values.
     """
     ensure_session_confs(spark)
-    src = table_path(sf_dir, "events")
-    # Spark's file-stream source requires a directory; stage the fixture
-    # file(s) into a per-call replay dir (multiple copies = duplicate
-    # delivery for the dedup operator).
-    replay_dir = tempfile.mkdtemp(prefix="ingest_replay_")
-    for i in range(copies):
-        shutil.copy(src, f"{replay_dir}/events_{i}.parquet")
-    src = replay_dir
+    # Spark's file-stream source requires a directory: stream the fixture
+    # dir with a glob filter for the single-copy case; stage copies into a
+    # per-call replay dir when duplicate delivery is wanted (dedup ops).
+    reader = spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+    if copies == 1:
+        reader = reader.option("pathGlobFilter", "events.parquet")
+        src = sf_dir
+    else:
+        src = tempfile.mkdtemp(prefix="ingest_replay_")
+        for i in range(copies):
+            shutil.copy(table_path(sf_dir, "events"), f"{src}/events_{i}.parquet")
     # Integer `div` (epoch-ns overflows double precision); stays TIMESTAMP
     # (LTZ) because streaming event-time ops (watermark, window state)
     # require it — final projections cast to NTZ batch-side under the UTC
     # session, which is value-preserving.
-    raw = spark.readStream.schema(_EVENTS_RAW_SCHEMA).parquet(src)
+    raw = reader.parquet(src)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
