@@ -160,3 +160,53 @@ def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").alias("asof_orderdate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_skew_join_salted — skew-resistant equi-join: the (skewed) fact side is
+# salted with pmod(hash, 16) and the dimension side is replicated across
+# all 16 salt values (explode of a literal range), so one hot join key
+# spreads over 16 reducers instead of melting a single one. The join runs
+# on (key, salt); results are invariant vs the plain join the oracle runs.
+# Counts and integer-cent sums keep the post-join aggregate exact. This is
+# the manual fallback for when AQE's skew-join split cannot kick in (e.g.
+# a shuffle-free bucketed plan or an explicitly hinted strategy).
+# ---------------------------------------------------------------------------
+
+_SKEW_JOIN_ORACLE = """
+SELECT
+  o.o_orderpriority,
+  count(*) AS n_items,
+  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+    AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("q_skew_join_salted", oracle=_SKEW_JOIN_ORACLE)
+def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_salts = 16
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salts))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .withColumn(
+            "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+        )
+    )
+    joined = li.join(
+        orders,
+        (li.l_orderkey == orders.o_orderkey) & (li.salt == orders.salt),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+                "bigint"
+            )
+        ).alias("revenue_cents"),
+    )

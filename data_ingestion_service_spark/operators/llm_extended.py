@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_service_spark.catalog import load_table
@@ -711,4 +711,119 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return media.mapInPandas(
         extract, schema="doc_id bigint, n_bytes bigint, feat_checksum bigint, mime string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_knn_ivf_kmeans — IVF kNN with *learned* centroids: one deterministic
+# Lloyd iteration (seed centroids = vec_id 0..3, assignment by rounded
+# cosine with cid tiebreak, per-dim mean re-centering), then probe the
+# top-1 learned cell only and rank exactly inside it. Complements
+# q_knn_ivf's label-block variant: same probe-prune-exact pipeline but the
+# partition function is learned from data, which is what an IVF index at
+# 100 TB actually does (train on a sample, broadcast centroids, map-side
+# assign). Rounding at each stage keeps the iteration bit-identical to the
+# DuckDB oracle's replay of the same algorithm.
+# ---------------------------------------------------------------------------
+
+_KNN_KMEANS_ORACLE = """
+WITH init AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < 4
+),
+assign1 AS (
+  SELECT vec_id, cid, emb FROM (
+    SELECT e.vec_id, i.cid, e.embedding::DOUBLE[] AS emb,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], i.c), 4) DESC, i.cid
+           ) AS rn
+    FROM embeddings e, init i
+  ) WHERE rn = 1
+),
+pos AS (SELECT unnest(range(1, 65)) AS p),
+cent AS (
+  SELECT cid, list(cv ORDER BY p) AS c
+  FROM (
+    SELECT a.cid, pos.p, round(avg(a.emb[pos.p]), 6) AS cv
+    FROM assign1 a, pos GROUP BY a.cid, pos.p
+  ) GROUP BY cid
+),
+assign2 AS (
+  SELECT vec_id, cid, emb FROM (
+    SELECT a.vec_id, c.cid, a.emb,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round(list_cosine_similarity(a.emb, c.c), 4) DESC, c.cid
+           ) AS rn
+    FROM assign1 a, cent c
+  ) WHERE rn = 1
+),
+probe AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0),
+best AS (
+  SELECT cid FROM (
+    SELECT cent.cid,
+           row_number() OVER (
+             ORDER BY round(list_cosine_similarity(cent.c, probe.pe), 4) DESC, cent.cid
+           ) AS rn
+    FROM cent, probe
+  ) WHERE rn = 1
+)
+SELECT a.vec_id, round(list_cosine_similarity(a.emb, probe.pe), 4) AS cos_sim
+FROM assign2 a, probe
+WHERE a.cid = (SELECT cid FROM best) AND a.vec_id <> 0
+ORDER BY cos_sim DESC, a.vec_id
+LIMIT 5
+"""
+
+
+def _argmax_centroid(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign each (vec_id, emb) row to its nearest centroid (cid, c)."""
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("csim", F.round(cosine(F.col("emb"), F.col("c")), 4))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "emb")
+    )
+
+
+@register("q_knn_ivf_kmeans", oracle=_KNN_KMEANS_ORACLE)
+def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double("embedding").alias("emb"))
+    init = vecs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("c")
+    )
+    a1 = _argmax_centroid(vecs, init)
+    cent = (
+        a1.select("cid", F.posexplode("emb").alias("p0", "v"))
+        .groupBy("cid", (F.col("p0") + 1).alias("p"))
+        .agg(F.round(F.avg("v"), 6).alias("cv"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("p", "cv"))), lambda s: s["cv"]
+            ).alias("c")
+        )
+    )
+    a2 = _argmax_centroid(a1.select("vec_id", "emb"), cent)
+    probe = vecs.filter(F.col("vec_id") == 0).select(F.col("emb").alias("pe"))
+    best = (
+        cent.crossJoin(F.broadcast(probe))
+        .select("cid", F.round(cosine(F.col("c"), F.col("pe")), 4).alias("csim"))
+        .orderBy(F.desc("csim"), F.asc("cid"))
+        .limit(1)
+        .select("cid")
+    )
+    return (
+        a2.join(F.broadcast(best), "cid", "left_semi")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("emb"), F.col("pe")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(5)
     )

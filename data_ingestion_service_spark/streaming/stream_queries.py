@@ -472,3 +472,159 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         F.col("window.start").cast("timestamp_ntz").alias("hour_start"), "n"
     )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_session_window — session_window aggregation actually run as a
+# stream. Spark only supports APPEND mode for streaming session windows:
+# a session is emitted once the event-time watermark passes its end
+# (last ts + gap). The watermark is global, so a single far-future
+# sentinel event (dummy user -1) staged alongside the replay closes every
+# real session; the sentinel's own still-open session is filtered out of
+# the drained result. Final state then equals the batch sessionization
+# the oracle runs (same 30-minute-gap boundary rule as q_events_session).
+# ---------------------------------------------------------------------------
+
+_STREAM_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT
+  user_id,
+  min(ts)              AS session_start,
+  count(*)             AS n_events,
+  round(sum(value), 2) AS total_value
+FROM sess
+GROUP BY user_id, sess_id
+"""
+
+
+@register("q_stream_session_window", oracle=_STREAM_SESSION_ORACLE)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
+    src = tempfile.mkdtemp(prefix="ingest_sess_replay_")
+    shutil.copy(table_path(sf_dir, "events"), f"{src}/events_0.parquet")
+    # Sentinel 2h past the corpus max: watermark (max - 10min) then clears
+    # every real session's end (last ts + 30min gap).
+    max_ns = (
+        spark.read.schema(_EVENTS_RAW_SCHEMA)
+        .parquet(table_path(sf_dir, "events"))
+        .agg(F.max("ts"))
+        .collect()[0][0]
+    )
+    spark.createDataFrame(
+        [(-1, max_ns + 2 * 3600 * 10**9, -1, "sentinel", 0.0, "{}")],
+        _EVENTS_RAW_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/sentinel")
+    raw = spark.readStream.schema(_EVENTS_RAW_SCHEMA).option(
+        "recursiveFileLookup", "true"
+    ).parquet(src)
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start_ltz"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+    final = run_to_memory(agg, "append")
+    return final.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        F.col("session_start_ltz").cast("timestamp_ntz").alias("session_start"),
+        "n_events",
+        F.round(F.col("sum_value"), 2).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_ivm_merge — incremental view maintenance: the stream is split
+# into four files replayed one per micro-batch (maxFilesPerTrigger=1);
+# each foreachBatch invocation computes the batch's partial aggregate and
+# MERGEs it into a versioned parquet snapshot keyed by (hour, event_type)
+# — the upsert composite a warehouse sink (JDBC/Delta MERGE) would run.
+# Counts and integer-cent sums re-aggregate exactly, so the final
+# snapshot is invariant to how rows were split across batches and equals
+# the one-shot batch aggregate the oracle runs.
+# ---------------------------------------------------------------------------
+
+_STREAM_IVM_ORACLE = """
+SELECT
+  date_trunc('hour', ts)                        AS hour_start,
+  event_type,
+  count(*)                                      AS n,
+  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("q_stream_ivm_merge", oracle=_STREAM_IVM_ORACLE)
+def q_stream_ivm_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
+    work = tempfile.mkdtemp(prefix="ingest_ivm_")
+    # Stage the fixture into four chunk files so the file source yields
+    # four micro-batches — the multi-batch path is the point of the test.
+    (
+        spark.read.schema(_EVENTS_RAW_SCHEMA)
+        .parquet(table_path(sf_dir, "events"))
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(f"{work}/chunks")
+    )
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/chunks")
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    snap_state = {"version": -1}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("value_cents"),
+        )
+        sess = batch_df.sparkSession
+        if snap_state["version"] >= 0:
+            prev = sess.read.parquet(f"{work}/snap_v{snap_state['version']}")
+            merged = (
+                prev.unionByName(partial)
+                .groupBy("hour_start", "event_type")
+                .agg(F.sum("n").alias("n"), F.sum("value_cents").alias("value_cents"))
+            )
+        else:
+            merged = partial
+        merged.write.mode("overwrite").parquet(f"{work}/snap_v{batch_id}")
+        snap_state["version"] = batch_id
+
+    q = (
+        ev.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", f"{work}/checkpoint")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = spark.read.parquet(f"{work}/snap_v{snap_state['version']}")
+    return final.select(
+        F.col("hour_start").cast("timestamp_ntz").alias("hour_start"),
+        "event_type",
+        "n",
+        "value_cents",
+    )
