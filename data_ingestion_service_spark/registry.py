@@ -64,6 +64,7 @@ def load_all_operators() -> None:
         semistructured,
         setops,
         tpch_extended,
+        tpch_more,
         udf_surface,
         windows,
     )
