@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_service_spark.catalog import load_table
@@ -243,3 +243,48 @@ def q_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = ev.mapInPandas(boost, schema="event_id bigint, event_type string, boosted double")
     return out.select("event_id", "event_type", F.round(F.col("boosted"), 4).alias("boosted"))
+
+
+# ---------------------------------------------------------------------------
+# q_order_streaks — gaps-and-islands: runs of consecutive order days per
+# customer via the classic daynumber-minus-row_number grouping. Both
+# engines anchor the day number to a fixed epoch date so the island key is
+# an exact integer. Scale: one shuffle on o_custkey shared by the window
+# and the island aggregation (same partitioning reused).
+# ---------------------------------------------------------------------------
+
+_STREAKS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT o_custkey, o_orderdate::DATE AS d FROM orders
+),
+isl AS (
+  SELECT o_custkey, d,
+         date_diff('day', DATE '1990-01-01', d)
+           - row_number() OVER (PARTITION BY o_custkey ORDER BY d) AS grp
+  FROM days
+)
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS streak_len, min(d) AS streak_start
+FROM isl
+GROUP BY o_custkey, grp
+HAVING count(*) >= 2
+"""
+
+
+@register("q_order_streaks", oracle=_STREAKS_ORACLE)
+def q_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    days = orders.select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    isl = days.withColumn(
+        "grp",
+        F.datediff(F.col("d"), F.lit("1990-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    return (
+        isl.groupBy("o_custkey", "grp")
+        .agg(F.count(F.lit(1)).alias("streak_len"), F.min("d").alias("streak_start"))
+        .filter(F.col("streak_len") >= 2)
+        .select("o_custkey", "streak_len", "streak_start")
+    )

@@ -628,3 +628,77 @@ def q_stream_ivm_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "value_cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_rocksdb — the 100 TB state-store posture actually exercised:
+# the same watermarked tumbling aggregate, but (a) the replay is split
+# into four files consumed one per micro-batch, (b) the state lives in
+# the RocksDB state store (off-heap, incremental-checkpoint — the
+# provider a large cluster runs, vs the default in-memory HDFS-backed
+# map), and (c) the query runs with trigger(availableNow) — the bounded
+# "drain everything then stop" replay used for backfills. Complete-mode
+# final state equals the batch aggregate regardless of the 4-way split.
+# ---------------------------------------------------------------------------
+
+_ROCKSDB_ORACLE = """
+SELECT
+  date_trunc('hour', ts) AS hour_start,
+  event_type,
+  count(*)               AS n,
+  round(max(value), 2)   AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@register("q_stream_rocksdb", oracle=_ROCKSDB_ORACLE)
+def q_stream_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
+    work = tempfile.mkdtemp(prefix="ingest_rocksdb_")
+    (
+        spark.read.schema(_EVENTS_RAW_SCHEMA)
+        .parquet(table_path(sf_dir, "events"))
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(f"{work}/chunks")
+    )
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/chunks")
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("max_val"))
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER)
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{work}/checkpoint")
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    return spark.table(name).select(
+        F.col("window.start").cast("timestamp_ntz").alias("hour_start"),
+        "event_type",
+        "n",
+        F.round(F.col("max_val"), 2).alias("max_value"),
+    )

@@ -91,3 +91,44 @@ def test_stream_dedup_equals_batch(spark, sf_dir, run):
     n_events = load_table(spark, sf_dir, "events").count()
     assert len(rows) == n_events  # doubled replay deduped back to one copy
     assert len({r.event_id for r in rows}) == n_events
+
+
+def test_skew_join_salted_equals_plain(spark, sf_dir, run):
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    plain = {
+        r.o_orderpriority: (r.n_items, r.revenue_cents)
+        for r in li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                ).cast("bigint")
+            ).alias("revenue_cents"),
+        )
+        .collect()
+    }
+    salted = {
+        r.o_orderpriority: (r.n_items, r.revenue_cents)
+        for r in run("q_skew_join_salted")
+    }
+    assert salted == plain
+
+
+def test_kmeans_knn_wellformed(run):
+    rows = run("q_knn_ivf_kmeans")
+    assert len(rows) == 5
+    sims = [r.cos_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in sims)
+    assert all(r.vec_id != 0 for r in rows)
+
+
+def test_order_streaks_are_real_runs(run):
+    rows = run("q_order_streaks")
+    assert rows, "expected at least one streak"
+    assert all(r.streak_len >= 2 for r in rows)

@@ -80,3 +80,45 @@ def test_whole_stage_codegen(spark, sf_dir, key):
     simple = df._jdf.queryExecution().simpleString()
     # codegen'd plans mark stages with '*(n)' prefixes
     assert "*(" in simple, f"no WholeStageCodegen in {key}: {simple[:400]}"
+
+
+def test_q7_dimension_joins_broadcast(spark, sf_dir):
+    plan = formatted_plan(QUERIES["q7_volume_shipping"](spark, sf_dir))
+    # supplier, customer and both nation aliases broadcast; only the
+    # lineitem⋈orders fact join may shuffle.
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The configured 100 TB skew posture: AQE detects a hot key in a
+    sort-merge join and splits the skewed partition. Forced here with tiny
+    thresholds over a synthetic 90%-one-key build side."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(50_000).select(F.col("id").alias("k"))
+        joined = left.join(right, "k")
+        joined.collect()  # materialize so AQE finalizes the physical plan
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
