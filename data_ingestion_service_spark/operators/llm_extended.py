@@ -83,42 +83,45 @@ GROUP BY 1, 2
 @register("q_minhash_pairs", oracle=_MINHASH_ORACLE)
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles(spark, sf_dir)
-    idx = spark.range(16).select(F.col("id").alias("i"))
-    hashes = (
-        sh.crossJoin(idx)
-        .groupBy("doc_id", "i")
-        .agg(
-            F.min(
-                F.md5(
-                    F.concat(F.col("i").cast("string"), F.lit("|"), F.col("shingle"))
-                )
-            ).alias("mh")
-        )
+    # All 16 min-hashes in ONE aggregation pass: 16 column-wise `min`
+    # aggregates (map-side partial min, one shuffle on doc_id) instead of
+    # replicating every shingle row 16× through a cross join. At 100 TB
+    # the shuffle volume drops from 16×|shingles| to |docs|×16 hashes.
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+            for i in range(16)
+        ]
     )
-    bands = (
-        hashes.withColumn("band", F.expr("i div 2"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    "",
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("i", "mh"))),
-                        lambda s: s["mh"],
-                    ),
-                )
-            ).alias("band_hash")
-        )
+    # Band signature = md5 of the band's two row hashes — same bytes as the
+    # oracle's string_agg(mh, '' ORDER BY i) within each 2-hash band.
+    wide = mins.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))).alias(
+                f"bh{b}"
+            )
+            for b in range(8)
+        ],
     )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), "band", F.col("band_hash").alias("bh_a")
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), "band", F.col("band_hash").alias("bh_b")
-    )
+    stack_args = ", ".join(f"{b}L, bh{b}" for b in range(8))
+    # The band-signature index is materialized (MEMORY_AND_DISK): the
+    # self-join would otherwise recompute the whole shingle→minhash
+    # pipeline per side (Spark's self-join dedup blocks exchange reuse).
+    # This is how an LSH index behaves in production anyway — build once,
+    # probe many; it is docs×8 small rows. Bucket join keyed on the full
+    # (band, band_hash) signature — only true LSH-bucket collisions meet,
+    # never whole-band cross products.
+    bands = wide.select(
+        "doc_id", F.expr(f"stack(8, {stack_args}) AS (band, band_hash)")
+    ).persist()
     return (
-        a.join(b, ["band"])
-        .filter((F.col("bh_a") == F.col("bh_b")) & (F.col("doc_a") < F.col("doc_b")))
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
@@ -621,30 +624,33 @@ FROM sig GROUP BY doc_id
 @register("q_simhash", oracle=_SIMHASH_ORACLE)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens("text")).alias("t")).distinct()
-    idx = spark.range(16).select(F.col("id").alias("i"))
-    bits = tok.crossJoin(idx).select(
+    # All 16 bit-majorities in ONE aggregation pass (16 conditional sums +
+    # a count, map-side partials, single shuffle on doc_id) — no 16× row
+    # replication through a cross join and no collect_list re-sort. The
+    # md5 is computed once per token row.
+    tok = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("t"))
+        .distinct()
+        .select("doc_id", F.md5(F.col("t").cast("binary")).alias("h"))
+    )
+    high = ("8", "9", "a", "b", "c", "d", "e", "f")
+    sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring(F.col("h"), i + 1, 1).isin(*high), 1).otherwise(0)
+            ).alias(f"s{i}")
+            for i in range(16)
+        ],
+        F.count(F.lit(1)).alias("n"),
+    )
+    return sums.select(
         "doc_id",
-        "i",
-        F.when(
-            F.substring(F.md5(F.col("t").cast("binary")), F.col("i") + 1, 1).isin(
-                "8", "9", "a", "b", "c", "d", "e", "f"
-            ),
-            1,
-        )
-        .otherwise(0)
-        .alias("b"),
-    )
-    sig = bits.groupBy("doc_id", "i").agg(
-        F.when(2 * F.sum("b") >= F.count(F.lit(1)), "1").otherwise("0").alias("bit")
-    )
-    return sig.groupBy("doc_id").agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("i", "bit"))), lambda s: s["bit"]
-            ),
-        ).alias("simhash16")
+        F.concat(
+            *[
+                F.when(2 * F.col(f"s{i}") >= F.col("n"), "1").otherwise("0")
+                for i in range(16)
+            ]
+        ).alias("simhash16"),
     )
 
 
