@@ -5,12 +5,12 @@ multimodal column handling.
 Scale notes (the whole point of these operators):
   - exact dedup: hash-groupBy on a content digest — one shuffle keyed by
     md5(text); at 100 TB the digest (16B) shuffles, never the text.
-  - near-dedup: shingle inverted-index self-join (explode → join on
-    shingle → Jaccard). The join key is the shingle, so only documents
-    *sharing* a shingle ever meet — the classic candidate-pair pruning.
-    At 100 TB you'd add MinHash banding first (see minhash_signature in
-    functions/ once added); the inverted-index join is the exact
-    verifier stage of that same pipeline.
+  - near-dedup: shingle inverted index → per-shingle posting-list pair
+    expansion → Jaccard. Only documents *sharing* a shingle ever pair —
+    the classic candidate-pair pruning — and the posting-list expansion
+    needs ONE pass over the index (a self-join would compute it per
+    side). At 100 TB you'd add MinHash banding first (q_minhash_pairs);
+    this is the exact verifier stage of that same pipeline.
   - kNN: brute-force cosine against a broadcast probe — embarrassingly
     parallel scan + TakeOrderedAndProject top-k. The grouped variant
     shows the blocked/partitioned pattern (rank within label partitions)
@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_service_spark.catalog import load_table
-from data_ingestion_service_spark.functions.text import shingles, token_count, tokens
+from data_ingestion_service_spark.functions.text import shingle_rows, shingles, token_count, tokens
 from data_ingestion_service_spark.functions.vector import as_double, cosine
 from data_ingestion_service_spark.registry import register
 
@@ -95,22 +95,30 @@ WHERE p.n_common * 1.0 / (sa.sz + sb.sz - p.n_common) >= {_NEAR_DEDUP_THRESHOLD}
 @register("q_near_dedup", oracle=_NEAR_DEDUP_ORACLE)
 def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        docs.select("doc_id", F.explode(shingles(tokens("text"), 3)).alias("shingle"))
-        .distinct()
-    )
+    sh = shingle_rows(docs, 3).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    # Measured tradeoff (sf0.1): persisting the inverted index halves the
-    # warm re-run but doubles the one-shot cost (materialization blocks
-    # the pipelined explode) — the recompute is cheap next to the
-    # pair-explosion shuffle, so the index stays unmaterialized.
-    pairs = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    # Candidate pairs WITHOUT a self-join: group doc_ids per shingle and
+    # expand each posting list's ordered pairs with array HOFs. One pass
+    # over the shingle pipeline and one shuffle (by shingle) instead of
+    # re-computing the index per join side (self-join dedup blocks
+    # exchange reuse). Production caveat encoded here too: a hot shingle
+    # with k docs emits k(k-1)/2 pairs — at 100 TB you cap/stop-list hot
+    # shingles; the fixture corpus has no such shingle.
+    grouped = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
+    )
+    pairs = (
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_service_spark.catalog import load_table
-from data_ingestion_service_spark.functions.text import shingles, tokens
+from data_ingestion_service_spark.functions.text import shingle_rows, shingles, tokens
 from data_ingestion_service_spark.functions.vector import as_double, cosine
 from data_ingestion_service_spark.registry import register
 
@@ -49,9 +49,7 @@ sh AS (
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.explode(shingles(tokens("text"), 3)).alias("shingle")
-    ).distinct()
+    return shingle_rows(docs, 3).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -516,7 +514,8 @@ LIMIT 10
 def q_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(shingles(tokens("text"), 2)).alias("bigram"))
+        shingle_rows(docs, 2)
+        .select(F.col("shingle").alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.desc("freq"), F.asc("bigram"))
