@@ -122,3 +122,22 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize("key", ["q_minhash_pairs", "q_near_dedup", "q_simhash"])
+def test_dedup_family_no_nested_loop_join(spark, sf_dir, key):
+    """The dedup pipelines must never degrade to a nested-loop/cartesian
+    plan (the pre-optimization MinHash replicated rows through a
+    BroadcastNestedLoopJoin cross join; the LSH bucket join must key on
+    the full signature, not the 8-value band index)."""
+    plan = formatted_plan(QUERIES[key](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_single_pass_aggregation(spark, sf_dir):
+    """Min-hash signatures come from ONE aggregation over the shingle
+    index (16 min columns), not a 16× row replication: the plan has no
+    ObjectHashAggregate (collect_list) and only hash aggregates."""
+    plan = formatted_plan(QUERIES["q_minhash_pairs"](spark, sf_dir))
+    assert "ObjectHashAggregate" not in plan
