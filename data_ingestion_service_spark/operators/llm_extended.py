@@ -832,3 +832,85 @@ def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(5)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_knn_ivf_arrow — the SAME learned-centroid IVF search as
+# q_knn_ivf_kmeans, executed on the Arrow path: centroids (tiny: k×64)
+# are computed relationally and collected once, then a mapInPandas
+# kernel scores whole Arrow batches against them with one numpy matmul —
+# assignment, cell filter and cosine in vectorized float64 — and the JVM
+# does the exact top-k. This is the execution shape for wide fan-out ANN
+# at 100 TB: broadcast small centroids, stream vector batches through
+# BLAS, never materialize per-pair rows. Same oracle as the DataFrame
+# variant (identical algorithm, 4dp rounding pins the cell assignment).
+# ---------------------------------------------------------------------------
+
+
+@register("q_knn_ivf_arrow", oracle=_KNN_KMEANS_ORACLE)
+def q_knn_ivf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double("embedding").alias("emb"))
+    init = vecs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("c")
+    )
+    a1 = _argmax_centroid(vecs, init)
+    cent_rows = (
+        a1.select("cid", F.posexplode("emb").alias("p0", "v"))
+        .groupBy("cid", (F.col("p0") + 1).alias("p"))
+        .agg(F.round(F.avg("v"), 6).alias("cv"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("p", "cv"))), lambda s: s["cv"]
+            ).alias("c")
+        )
+        .collect()
+    )
+    cids = np.array([r.cid for r in cent_rows])
+    cents = np.array([r.c for r in cent_rows], dtype=np.float64)  # k × 64
+    probe = np.array(
+        vecs.filter(F.col("vec_id") == 0).collect()[0].emb, dtype=np.float64
+    )
+
+    def _cos(mat: "np.ndarray", v: "np.ndarray") -> "np.ndarray":
+        return (mat @ v) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(v))
+
+    # Probe's target cell: max rounded centroid cosine, tie → lowest cid.
+    csim = np.round(_cos(cents, probe), 4)
+    order = np.lexsort((cids, -csim))
+    best_cid = int(cids[order[0]])
+
+    def search_cell(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
+            # Second Lloyd assignment, vectorized: cells × batch cosines.
+            sims = np.round(
+                (mat @ cents.T)
+                / np.outer(np.linalg.norm(mat, axis=1), np.linalg.norm(cents, axis=1)),
+                4,
+            )
+            # argmax with lowest-cid tiebreak via lexsort-equivalent trick:
+            # visit cids in ascending order, keep strictly-greater maxima.
+            asc = np.argsort(cids)
+            assigned = np.full(len(mat), -1)
+            best = np.full(len(mat), -np.inf)
+            for j in asc:
+                better = sims[:, j] > best
+                assigned[better] = cids[j]
+                best[better] = sims[better, j]
+            mask = (assigned == best_cid) & (pdf["vec_id"].to_numpy() != 0)
+            if not mask.any():
+                continue
+            out = pdf.loc[mask, ["vec_id"]].copy()
+            out["cos_sim"] = np.round(_cos(mat[mask], probe), 4)
+            yield out
+
+    scored = a1.select("vec_id", "emb").mapInPandas(
+        search_cell, schema="vec_id bigint, cos_sim double"
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(5)
