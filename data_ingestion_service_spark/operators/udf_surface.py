@@ -59,3 +59,57 @@ def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("discounted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_udtf_installments — Python UDTF (user-defined TABLE function,
+# Spark 3.5+/4): each order row expands to 3 installment rows via a
+# lateral generator. Arithmetic stays in integer cents (floor-divide,
+# remainder on installment 1) so the expansion is exact and the DuckDB
+# oracle reproduces it with an unnest + CASE — the table-function
+# surface, verified.
+# ---------------------------------------------------------------------------
+
+_UDTF_ORACLE = """
+SELECT o_orderkey, i.i AS installment,
+       CASE WHEN i.i = 1 THEN cents // 3 + cents % 3 ELSE cents // 3 END
+         AS amount_cents
+FROM (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 50 = 0
+)
+CROSS JOIN (SELECT unnest(range(1, 4)) AS i) i
+"""
+
+
+def _make_installments_udtf():
+    # Built lazily (mirrors _make_discounted_udf): udtf registration needs
+    # an active session in the driver's verify flow.
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="installment int, amount_cents bigint")
+    class Installments:
+        def eval(self, cents: int):
+            base, rem = divmod(cents, 3)
+            for i in range(1, 4):
+                yield i, base + (rem if i == 1 else 0)
+
+    return Installments
+
+
+@register("q_udtf_installments", oracle=_UDTF_ORACLE)
+def q_udtf_installments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 50 == 0
+    ).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    ).createOrReplaceTempView("udtf_orders_subset")
+    spark.udtf.register("installments_udtf", _make_installments_udtf())
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.installment, t.amount_cents
+        FROM udtf_orders_subset o,
+             LATERAL installments_udtf(o.cents) t
+        """
+    )

@@ -204,3 +204,60 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# src_python_datasource — the Spark 4 Python DataSource API: a custom
+# batch source written entirely in Python (schema + partition planning +
+# per-partition generator), registered with spark.dataSource.register and
+# consumed through the normal spark.read path. The generator is
+# deterministic, so the DuckDB oracle reproduces it from range() — the
+# extensibility surface a connector to an internal system would use,
+# verified. Partition planning is real: rows are generated across 4
+# independent input partitions.
+# ---------------------------------------------------------------------------
+
+_PYTHON_DS_ORACLE = """
+SELECT i AS id, i % 4 AS bucket, i * 25 AS val_cents
+FROM (SELECT unnest(range(0, 40)) AS i)
+"""
+
+
+def _make_range_label_source():
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _Reader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", 40))
+            self.parts = int(options.get("parts", 4))
+
+        def partitions(self):
+            return [InputPartition(p) for p in range(self.parts)]
+
+        def read(self, partition):
+            for i in range(partition.value, self.n, self.parts):
+                yield (i, i % 4, i * 25)
+
+    class RangeLabelSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "range_label"
+
+        def schema(self):
+            return "id bigint, bucket bigint, val_cents bigint"
+
+        def reader(self, schema):
+            return _Reader(self.options)
+
+    return RangeLabelSource
+
+
+@register("src_python_datasource", oracle=_PYTHON_DS_ORACLE)
+def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.dataSource.register(_make_range_label_source())
+    return (
+        spark.read.format("range_label")
+        .option("n", "40")
+        .option("parts", "4")
+        .load()
+    )

@@ -702,3 +702,53 @@ def q_stream_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("max_val"), 2).alias("max_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_stream_join — stream-stream interval join: the signup stream
+# inner-joins the purchase stream per user where the purchase lands
+# within 1 hour of the signup. Both sides carry watermarks and the join
+# condition is time-bounded — the two requirements that let Spark expire
+# buffered state instead of holding both streams forever. Inner-join
+# matches emit as soon as both rows have arrived, so the drained result
+# of the finite replay equals the batch interval self-join the oracle
+# runs.
+# ---------------------------------------------------------------------------
+
+_STREAM_STREAM_ORACLE = """
+SELECT s.user_id, s.ts AS signup_ts, p.ts AS purchase_ts
+FROM events s
+JOIN events p
+  ON s.user_id = p.user_id
+ AND p.ts >= s.ts
+ AND p.ts <= s.ts + INTERVAL 1 HOUR
+WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+"""
+
+
+@register("q_stream_stream_join", oracle=_STREAM_STREAM_ORACLE)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    signups = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"))
+        .withWatermark("s_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = signups.join(
+        purchases,
+        F.expr(
+            "s_user = p_user AND p_ts >= s_ts AND p_ts <= s_ts + interval 1 hour"
+        ),
+    )
+    final = run_to_memory(joined, "append")
+    return final.select(
+        F.col("s_user").alias("user_id"),
+        F.col("s_ts").cast("timestamp_ntz").alias("signup_ts"),
+        F.col("p_ts").cast("timestamp_ntz").alias("purchase_ts"),
+    )
