@@ -192,3 +192,78 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 2).alias("lo"),
         F.round(F.max("value"), 2).alias("hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_resample_ffill — time-series resampling: click events land on a
+# 6-hour grid spanning the corpus (spine via sequence/generate_series);
+# empty buckets forward-fill from the last observed bucket (last_value
+# IGNORE NULLS over an unbounded-preceding frame). Averages divide two
+# exact integers (cent-sums / counts), so the doubles are bit-identical
+# across engines before the display rounding.
+# ---------------------------------------------------------------------------
+
+_RESAMPLE_ORACLE = """
+WITH bounds AS (
+  SELECT date_trunc('day', min(ts)) AS t0, max(ts) AS t1 FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(t0, t1, INTERVAL 6 HOUR)) AS bucket FROM bounds
+),
+agg AS (
+  SELECT time_bucket(INTERVAL 6 HOUR, ts, (SELECT t0 FROM bounds)) AS bucket,
+         count(*) AS n,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+  FROM events WHERE event_type = 'click'
+  GROUP BY 1
+)
+SELECT
+  s.bucket,
+  coalesce(a.n, 0) AS n_clicks,
+  round(last_value(a.cents / a.n / 100.0 IGNORE NULLS)
+          OVER (ORDER BY s.bucket ROWS UNBOUNDED PRECEDING), 4) AS avg_value_ffill
+FROM spine s LEFT JOIN agg a ON a.bucket = s.bucket
+"""
+
+
+@register("q_resample_ffill", oracle=_RESAMPLE_ORACLE)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("t0"), F.max("ts").alias("t1")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("t0", "t1", F.expr("interval 6 hours"))
+        ).alias("bucket")
+    )
+    agg = (
+        ev.filter(F.col("event_type") == "click")
+        .crossJoin(F.broadcast(bounds.select("t0")))
+        .groupBy(
+            (
+                F.col("t0")
+                + F.expr(
+                    "make_interval(0, 0, 0, 0, 0, 0, "
+                    "floor((unix_micros(cast(ts as timestamp)) - "
+                    "unix_micros(cast(t0 as timestamp))) / 21600000000) * 21600)"
+                )
+            ).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(agg, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_clicks"),
+            F.round(
+                F.last(F.col("cents") / F.col("n") / 100.0, ignorenulls=True).over(w),
+                4,
+            ).alias("avg_value_ffill"),
+        )
+    )

@@ -556,3 +556,87 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# q12_late_shipments — TPC-H Q12 adapted: no l_shipmode/l_receiptdate in
+# the fixture, so "late" = shipped more than 90 days after the order
+# date, counted per order priority (same conditional-count-over-join
+# shape as the original's two-mode CASE sums).
+# ---------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+SELECT o_orderpriority,
+       sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                THEN 1 ELSE 0 END)          AS late_count,
+       count(*)                             AS total_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@register("q12_late_shipments", oracle=_Q12_ORACLE)
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 90 days"),
+                    1,
+                ).otherwise(0)
+            ).alias("late_count"),
+            F.count(F.lit(1)).alias("total_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20_promo_volume_suppliers — TPC-H Q20 adapted: no partsupp/dates, so
+# the "excess stock" predicate becomes: suppliers who shipped more than
+# half of a PROMO part's total quantity (quantities are integer-valued
+# doubles — sums and the ×2 comparison are exact).
+# ---------------------------------------------------------------------------
+
+_Q20_ORACLE = """
+WITH part_qty AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_type = 'PROMO'
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT l_partkey, sum(supp_qty) AS total_qty FROM part_qty GROUP BY 1
+)
+SELECT DISTINCT s_suppkey, s_name
+FROM part_qty pq
+JOIN tot ON tot.l_partkey = pq.l_partkey
+JOIN supplier ON s_suppkey = pq.l_suppkey
+WHERE pq.supp_qty * 2 > tot.total_qty
+"""
+
+
+@register("q20_promo_volume_suppliers", oracle=_Q20_ORACLE)
+def q20_promo_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    part_qty = (
+        li.join(
+            F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    tot = part_qty.groupBy("l_partkey").agg(F.sum("supp_qty").alias("total_qty"))
+    return (
+        part_qty.join(tot, "l_partkey")
+        .filter(F.col("supp_qty") * 2 > F.col("total_qty"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
