@@ -268,3 +268,75 @@ def q_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(seg_order), 6).alias("bal_pct_rank"),
         F.round(F.cume_dist().over(seg_order), 6).alias("bal_cume_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dpp_join — dynamic partition pruning: the fact table is laid out
+# partitioned by month (hive-style directories), the dim side carries a
+# selective filter (year = 1997), and Spark injects the dim's surviving
+# join keys as a runtime partition filter on the fact scan — only ~12 of
+# ~80 month directories are read. This is THE partition-layout payoff at
+# 100 TB: the scan cost tracks the filter's selectivity, not the table
+# size. The plan shows `dynamicpruning#...` in the fact's PartitionFilters
+# (pinned by tests/test_scale_posture.py).
+# ---------------------------------------------------------------------------
+
+_DPP_ORACLE = """
+SELECT
+  strftime(o_orderdate, '%Y-%m') AS order_month,
+  count(*)                        AS n_orders,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+FROM orders
+WHERE year(o_orderdate) = 1997
+GROUP BY 1
+"""
+
+_DPP_CACHE: dict[str, str] = {}
+
+
+def _partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per sf_dir per process) orders partitioned by month."""
+    out = _DPP_CACHE.get(sf_dir)
+    if out is None:
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="ingest_dpp_")
+        (
+            load_table(spark, sf_dir, "orders")
+            .withColumn("order_month", F.date_format("o_orderdate", "yyyy-MM"))
+            .write.mode("overwrite")
+            .partitionBy("order_month")
+            .parquet(out)
+        )
+        _DPP_CACHE[sf_dir] = out
+    return out
+
+
+@register("q_dpp_join", oracle=_DPP_ORACLE)
+def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact = spark.read.parquet(_partitioned_orders(spark, sf_dir))
+    # Dim side: the month dimension, filtered on an attribute (yr) that is
+    # NOT the join key — so no static filter on the key can be inferred at
+    # plan time and pruning the fact scan genuinely requires DPP (a filter
+    # on the key itself would be propagated through the equi-join as a
+    # static partition filter, proving nothing).
+    months = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .distinct()
+        .filter(F.col("yr") == 1997)
+        .select("order_month")
+    )
+    return (
+        fact.join(months, "order_month")
+        .groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )

@@ -92,8 +92,10 @@ WHERE p.n_common * 1.0 / (sa.sz + sb.sz - p.n_common) >= {_NEAR_DEDUP_THRESHOLD}
 """
 
 
-@register("q_near_dedup", oracle=_NEAR_DEDUP_ORACLE)
-def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard>=threshold candidate pairs (doc_a < doc_b) — shared by
+    q_near_dedup (which reports them) and q_dup_clusters (which runs
+    connected components over them)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = shingle_rows(docs, 3).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -131,6 +133,11 @@ def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= _NEAR_DEDUP_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+@register("q_near_dedup", oracle=_NEAR_DEDUP_ORACLE)
+def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return near_dup_pairs(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -27,6 +27,10 @@ from pyspark.sql import functions as F
 
 from data_ingestion_service_spark.catalog import load_table
 from data_ingestion_service_spark.functions.text import shingle_rows, shingles, tokens
+from data_ingestion_service_spark.operators.llm import (
+    _NEAR_DEDUP_THRESHOLD,
+    near_dup_pairs,
+)
 from data_ingestion_service_spark.functions.vector import as_double, cosine
 from data_ingestion_service_spark.registry import register
 
@@ -914,3 +918,164 @@ def q_knn_ivf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         search_cell, schema="vec_id bigint, cos_sim double"
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(5)
+
+
+# ---------------------------------------------------------------------------
+# q_dup_clusters — duplicate-cluster formation: connected components over
+# the n-gram-Jaccard near-dup pair graph (the step after candidate
+# generation in a dedup pipeline: pairs -> clusters -> keep one rep per
+# cluster). Implemented as iterative min-label propagation — each
+# iteration is ONE shuffle (edges join labels, groupBy dst, min) and the
+# iteration count is the component diameter (tiny for similarity
+# clusters: duplicates of one source doc form near-cliques). At 100 TB
+# the same loop holds; the known refinement for adversarial long-chain
+# graphs is the large-star/small-star variant (Kiveris et al., "Connected
+# Components in MapReduce and Beyond"), which this structure extends to
+# directly. Oracle: DuckDB recursive CTE computing min reachable id —
+# exact transitive closure, feasible at oracle scale.
+# ---------------------------------------------------------------------------
+
+_DUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM toks
+    WHERE len(t) >= 3
+  )
+),
+sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT p.doc_a, p.doc_b
+  FROM cand p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  WHERE p.n_common * 1.0 / (sa.sz + sb.sz - p.n_common) >= {_NEAR_DEDUP_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+),
+comp AS (
+  SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY id
+)
+SELECT c.doc_id, c.rep_id, s.n_members
+FROM comp c
+JOIN (SELECT rep_id, count(*) AS n_members FROM comp GROUP BY rep_id) s
+  ON s.rep_id = c.rep_id
+"""
+
+
+@register("q_dup_clusters", oracle=_DUP_CLUSTERS_ORACLE)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .persist()
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist()
+    prev_sum = None
+    for _ in range(20):
+        nbr = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("nbr_doc"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.doc_id == nbr.nbr_doc, "left")
+            .select(
+                labels.doc_id,
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        # Labels only decrease; an unchanged sum means a fixed point.
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    comp = labels.select("doc_id", F.col("label").alias("rep_id"))
+    sizes = comp.groupBy("rep_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return comp.join(F.broadcast(sizes), "rep_id").select(
+        "doc_id", "rep_id", "n_members"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_edit_distance — Levenshtein near-match pairs with length blocking:
+# the character-level member of the dedup family (catches typo-level
+# mutations that token-level Jaccard/MinHash miss). Candidate pairs are
+# blocked on |n_chars delta| <= 2 — edit distance >= length delta, so a
+# tight length band is a sound prefilter that turns the O(n^2) pair space
+# into short per-length runs (at 100 TB you'd AND this with an LSH band
+# key; the blocking column is a plain sortable int, so the join shuffles
+# by length band and stays skew-free). The distance itself is Spark's
+# built-in `levenshtein` — JVM-side, codegen, identical unit-cost
+# semantics to DuckDB's, computed on a 120-char prefix to bound per-pair
+# cost.
+# ---------------------------------------------------------------------------
+
+_EDIT_DISTANCE_ORACLE = """
+SELECT
+  a.doc_id AS a_id,
+  b.doc_id AS b_id,
+  levenshtein(substr(a.text, 1, 120), substr(b.text, 1, 120)) AS dist
+FROM documents a
+JOIN documents b
+  ON a.doc_id < b.doc_id
+ AND abs(a.n_chars - b.n_chars) <= 2
+WHERE levenshtein(substr(a.text, 1, 120), substr(b.text, 1, 120)) <= 45
+"""
+
+
+@register("q_edit_distance", oracle=_EDIT_DISTANCE_ORACLE)
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 120).alias("prefix"), "n_chars"
+    )
+    a = docs.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("prefix").alias("a_prefix"),
+        F.col("n_chars").alias("a_len"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("prefix").alias("b_prefix"),
+        F.col("n_chars").alias("b_len"),
+    )
+    dist = F.levenshtein("a_prefix", "b_prefix")
+    return (
+        a.join(
+            b,
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("a_len") - F.col("b_len")) <= 2),
+        )
+        .filter(dist <= 45)
+        .select("a_id", "b_id", dist.alias("dist"))
+    )

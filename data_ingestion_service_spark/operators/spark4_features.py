@@ -1,0 +1,178 @@
+"""Spark 4-native engine features: VARIANT semi-structured values,
+collation-aware string comparison, SQL scripting (procedural blocks),
+and ordered listagg.
+
+These are the Spark 4 additions a modern ingestion engine exposes on top
+of the classic relational surface (SURVEY.md §2.8/§2.11 extensions):
+
+- ``q_variant_json``: the open-format VARIANT type (binary-encoded
+  semi-structured values, Spark 4's answer to JSON columns at scale —
+  parse once with ``parse_json``, extract fields with ``variant_get``
+  without re-parsing text per access). At 100 TB a VARIANT column beats
+  repeated ``get_json_object`` string parsing: the binary encoding is
+  shredded/columnar-friendly and each extraction is O(field), not
+  O(document re-parse).
+- ``q_collated_filter``: collation-aware comparison (``UTF8_LCASE``) —
+  case-insensitive predicates expressed as collation, not ``lower()``
+  rewrites, so Catalyst still sees a plain equality (sargable, usable
+  for pushdown / join keys).
+- ``q_sql_scripting``: Spark 4 SQL scripting — ``BEGIN … END`` blocks
+  with ``DECLARE``/``SET`` session variables, the procedural front-end
+  for parameterized reports (compute a data-driven threshold, then use
+  it in a query) without round-tripping through the driver.
+- ``q_listagg``: ``listagg(...) WITHIN GROUP (ORDER BY ...)`` — ordered
+  string aggregation (ANSI SQL:2016), deterministic because the order
+  clause is total.
+
+Oracle note: protobuf is absent in this container, so Spark 4's
+``transformWithStateInPandas`` (StatefulProcessor API) cannot start its
+driver worker; custom stateful streaming is covered by
+``q_stream_stateful`` (applyInPandasWithState) instead — see NOTES.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_service_spark.catalog import load_table
+from data_ingestion_service_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# q_variant_json — VARIANT ingestion: parse the JSON props column once
+# into a VARIANT, extract typed fields with variant_get, aggregate.
+# ---------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+SELECT
+  event_type,
+  count(*)                                                          AS n,
+  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+                                                                    AS k_sum,
+  count(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+        THEN 1 END)                                                 AS n_high
+FROM events
+WHERE event_id < 5000
+GROUP BY event_type
+"""
+
+
+@register("q_variant_json", oracle=_VARIANT_ORACLE)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.count_if(F.col("k") >= 50).alias("n_high"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_collated_filter — UTF8_LCASE collation: the predicate is a plain
+# equality against a collated literal (no lower() rewrite of the column,
+# so the comparison stays sargable for pushdown and join planning).
+# ---------------------------------------------------------------------------
+
+_COLLATED_ORACLE = """
+SELECT
+  n.n_name,
+  count(*) AS n_customers,
+  CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE lower(c.c_mktsegment) = 'building'
+GROUP BY n.n_name
+"""
+
+
+@register("q_collated_filter", oracle=_COLLATED_ORACLE)
+def q_collated_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.expr("c_mktsegment = collate('building', 'UTF8_LCASE')")
+    )
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+            .cast("long")
+            .alias("acctbal_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_sql_scripting — procedural SQL block: DECLARE a session variable, SET
+# it from a data-driven scalar subquery (mean quantity), then run the
+# parameterized report. The block's value is its final statement.
+# ---------------------------------------------------------------------------
+
+_SCRIPTING_ORACLE = """
+SELECT
+  l_returnflag,
+  count(*) AS n_above,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+FROM lineitem
+WHERE l_quantity > (SELECT round(avg(l_quantity), 4) FROM lineitem)
+GROUP BY l_returnflag
+"""
+
+
+@register("q_sql_scripting", oracle=_SCRIPTING_ORACLE)
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE cutoff DOUBLE DEFAULT 0;
+          SET cutoff = (SELECT round(avg(l_quantity), 4) FROM v_lineitem);
+          SELECT
+            l_returnflag,
+            count(*) AS n_above,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+              AS price_cents
+          FROM v_lineitem
+          WHERE l_quantity > cutoff
+          GROUP BY l_returnflag;
+        END
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_listagg — ANSI listagg WITHIN GROUP: ordered string aggregation;
+# deterministic because the ORDER BY is total (n_name is unique).
+# ---------------------------------------------------------------------------
+
+_LISTAGG_ORACLE = """
+SELECT
+  r.r_name,
+  count(*)                                  AS n_nations,
+  string_agg(n.n_name, ',' ORDER BY n.n_name) AS nation_csv
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+@register("q_listagg", oracle=_LISTAGG_ORACLE)
+def q_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        region.join(nation, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias(
+                "nation_csv"
+            ),
+        )
+    )

@@ -113,3 +113,41 @@ def q_udtf_installments(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL installments_udtf(o.cents) t
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q_arrow_udf — Arrow-optimized Python scalar UDF (Spark 4 `useArrow=True`):
+# rows cross the JVM<->Python boundary as Arrow batches instead of pickled
+# rows, the middle ground between a legacy row-at-a-time UDF and a full
+# pandas_udf. Same contract as any scalar UDF, so the plain-SQL oracle is
+# exact. (In the hot path built-ins still win — SURVEY.md §2.11 — this op
+# pins the surface, not a recommendation.)
+# ---------------------------------------------------------------------------
+
+_ARROW_UDF_ORACLE = """
+SELECT
+  source,
+  count(*)                                              AS n_docs,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT)     AS total_tokens,
+  max(len(string_split(text, ' ')))                     AS max_tokens
+FROM documents
+GROUP BY source
+"""
+
+
+@register("q_arrow_udf", oracle=_ARROW_UDF_ORACLE)
+def q_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.udf(returnType="bigint", useArrow=True)
+    def n_tokens(text: str) -> int:
+        return len(text.split(" "))
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", n_tokens("text").alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("total_tokens"),
+            F.max("nt").alias("max_tokens"),
+        )
+    )

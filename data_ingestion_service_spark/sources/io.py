@@ -261,3 +261,34 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("parts", "4")
         .load()
     )
+
+
+_XML_ORACLE = """
+SELECT
+  c_mktsegment,
+  count(*) AS n,
+  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@register("src_xml_roundtrip", oracle=_XML_ORACLE)
+def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source (native in Spark 4): write customers as XML rows, read
+    back with rowTag inference, aggregate. Doubles round-trip exactly
+    (shortest-repr text -> same double); the oracle checks the aggregate
+    against the original table, proving lossless conversion including
+    XML entity escaping."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    out = tempfile.mkdtemp(prefix="ingest_xml_")
+    cust.write.format("xml").option("rowTag", "customer").mode("overwrite").save(out)
+    back = spark.read.format("xml").option("rowTag", "customer").load(out)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+        .cast("long")
+        .alias("acctbal_cents"),
+    )

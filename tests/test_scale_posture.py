@@ -141,3 +141,48 @@ def test_minhash_single_pass_aggregation(spark, sf_dir):
     ObjectHashAggregate (collect_list) and only hash aggregates."""
     plan = formatted_plan(QUERIES["q_minhash_pairs"](spark, sf_dir))
     assert "ObjectHashAggregate" not in plan
+
+
+def test_dpp_join_prunes_partitions(spark, sf_dir):
+    """q_dpp_join's fact scan must carry a dynamic-partition-pruning
+    filter (the dim's surviving join keys injected at runtime) — the
+    scan cost then tracks the dim filter's selectivity, not fact size."""
+    plan = formatted_plan(QUERIES["q_dpp_join"](spark, sf_dir))
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("dynamicpruning" in l for l in pf), pf
+
+
+def test_runtime_bloom_filter_semi_join(spark, sf_dir):
+    """With broadcast disabled (the 100 TB fact/fact shape), Spark's
+    InjectRuntimeFilter must add a bloom-filter semi-join reduction on
+    the fact side of a selective join: rows that cannot match are
+    dropped before the shuffle, not after it."""
+    from data_ingestion_service_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = formatted_plan(j)
+        assert "might_contain" in plan, "no bloom-filter runtime reduction injected"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
