@@ -49,6 +49,8 @@ LLM_OPS = [
     "q_knn_ivf_kmeans",
     "q_lang_id",
     "q_quality_score",
+    "q_dup_clusters",
+    "q_edit_distance",
 ]
 
 

@@ -213,3 +213,35 @@ def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", 0.5), 4).alias("median_price"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_group_median — exact per-group percentiles (interpolated): median and
+# p90 of extended price per return flag. Spark's `percentile` and
+# DuckDB's `quantile_cont` share the linear-interpolation definition, so
+# 4dp rounding on both sides is hash-stable. Exact percentiles need the
+# full sorted group (one shuffle, sort within groups); at 100 TB you
+# reach for approx_percentile's mergeable sketch unless exactness is a
+# requirement — both surfaces exist in this engine (q_stats pins the
+# global exact path).
+# ---------------------------------------------------------------------------
+
+_GROUP_MEDIAN_ORACLE = """
+SELECT
+  l_returnflag,
+  count(*)                                            AS n,
+  round(quantile_cont(l_extendedprice, 0.5), 4)       AS median_price,
+  round(quantile_cont(l_extendedprice, 0.9), 4)       AS p90_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("q_group_median", oracle=_GROUP_MEDIAN_ORACLE)
+def q_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
+    )

@@ -993,8 +993,14 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toDF("src", "dst")
         .persist()
     )
+    # Iterate ONLY over docs that appear in some pair: singleton docs are
+    # their own representative by definition and would otherwise add
+    # |corpus| rows to every iteration's join for no information (at
+    # 100 TB the touched set is the tiny near-dup fraction; the corpus is
+    # the whole table).
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist()
+    touched = edges.select(F.col("src").alias("doc_id")).distinct()
+    labels = touched.select("doc_id", F.col("doc_id").alias("label")).persist()
     prev_sum = None
     for _ in range(20):
         nbr = (
@@ -1020,7 +1026,10 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = cur_sum
     edges.unpersist()
-    comp = labels.select("doc_id", F.col("label").alias("rep_id"))
+    # Singletons (docs in no pair) rejoin as their own representative.
+    comp = docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("rep_id")
+    )
     sizes = comp.groupBy("rep_id").agg(F.count(F.lit(1)).alias("n_members"))
     return comp.join(F.broadcast(sizes), "rep_id").select(
         "doc_id", "rep_id", "n_members"
@@ -1035,7 +1044,9 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tight length band is a sound prefilter that turns the O(n^2) pair space
 # into short per-length runs (at 100 TB you'd AND this with an LSH band
 # key; the blocking column is a plain sortable int, so the join shuffles
-# by length band and stays skew-free). The distance itself is Spark's
+# by length and stays skew-free). The block is expressed as three exact
+# equi-joins (delta 0/1/2), NOT an |a-b|<=2 join predicate — see the
+# in-function comment. The distance itself is Spark's
 # built-in `levenshtein` — JVM-side, codegen, identical unit-cost
 # semantics to DuckDB's, computed on a 120-char prefix to bound per-pair
 # cost.
@@ -1059,7 +1070,12 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, 120).alias("prefix"), "n_chars"
     )
-    a = docs.select(
+    # The fixture corpus is a single parquet file -> a single input split;
+    # without an explicit repartition every levenshtein would run in ONE
+    # task (measured 2.9 s single-core vs 0.2 s spread). The probe side is
+    # spread across the cluster; the build side stays broadcast. At real
+    # scale the source has many splits and this is a no-op cost-wise.
+    a = docs.repartition(32).select(
         F.col("doc_id").alias("a_id"),
         F.col("prefix").alias("a_prefix"),
         F.col("n_chars").alias("a_len"),
@@ -1070,12 +1086,25 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("b_len"),
     )
     dist = F.levenshtein("a_prefix", "b_prefix")
-    return (
-        a.join(
-            b,
-            (F.col("a_id") < F.col("b_id"))
-            & (F.abs(F.col("a_len") - F.col("b_len")) <= 2),
+    parts = []
+    for d in (0, 1, 2):
+        if d == 0:
+            j = a.join(
+                b,
+                (F.col("a_len") == F.col("b_len"))
+                & (F.col("a_id") < F.col("b_id")),
+            )
+        else:
+            # Delta joins catch both id orders; normalize to (low, high).
+            j = a.join(b, F.col("a_len") + d == F.col("b_len"))
+        parts.append(
+            j.filter(dist <= 45).select(
+                F.least("a_id", "b_id").alias("a_id"),
+                F.greatest("a_id", "b_id").alias("b_id"),
+                dist.alias("dist"),
+            )
         )
-        .filter(dist <= 45)
-        .select("a_id", "b_id", dist.alias("dist"))
-    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -292,3 +292,47 @@ def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("acctbal_cents"),
     )
+
+
+_SORTED_SINK_DIRS: dict[str, str] = {}
+
+_SORTED_SINK_ORACLE = """
+SELECT
+  CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+  count(*) AS n,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+FROM lineitem
+GROUP BY 1
+"""
+
+
+@register("sink_sorted_parquet", oracle=_SORTED_SINK_ORACLE)
+def sink_sorted_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered write: repartitionByRange + sortWithinPartitions on the
+    time column before writing parquet. Each file/row-group then covers a
+    narrow, non-overlapping l_shipdate range, so parquet min/max footer
+    stats prune time-range scans to a handful of row groups — the layout
+    that makes a 100 TB time-series table cheap to query (pinned by
+    tests/test_scale_posture.py::test_sorted_write_rowgroup_stats). The
+    oracle checks the re-read aggregate, proving the re-layout is
+    content-preserving."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_extendedprice"
+    )
+    out = _SORTED_SINK_DIRS.get(sf_dir) or tempfile.mkdtemp(prefix="ingest_sorted_")
+    _SORTED_SINK_DIRS[sf_dir] = out
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy(
+        F.year("l_shipdate").cast("int").alias("ship_year")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("price_cents"),
+    )

@@ -186,3 +186,35 @@ def test_runtime_bloom_filter_semi_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sorted_write_rowgroup_stats(spark, sf_dir):
+    """sink_sorted_parquet's layout must actually cluster: parquet
+    row-group min/max stats on l_shipdate are non-overlapping across the
+    sorted ranges, so a time-range scan prunes to a handful of row
+    groups via footer stats alone (the 100 TB time-series layout)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_ingestion_service_spark.sources.io import (
+        _SORTED_SINK_DIRS,
+        sink_sorted_parquet,
+    )
+
+    sink_sorted_parquet(spark, sf_dir).collect()
+    out = _SORTED_SINK_DIRS[sf_dir]
+    ranges = []
+    for f in sorted(glob.glob(f"{out}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = next(
+            i for i in range(len(md.schema)) if md.schema.column(i).name == "l_shipdate"
+        )
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            assert st is not None and st.has_min_max, "no min/max stats written"
+            ranges.append((st.min, st.max))
+    assert len(ranges) >= 4, f"expected multiple sorted ranges, got {len(ranges)}"
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert lo2 >= hi1, f"overlapping row-group ranges: {(lo1, hi1)} vs {(lo2, hi2)}"
