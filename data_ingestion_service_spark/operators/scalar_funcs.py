@@ -204,3 +204,48 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_max(vec), 6).alias("max_val"),
         F.slice(vec, 1, 3).alias("head3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_try_arithmetic — the error-safe expression family (try_divide /
+# try_cast): malformed or degenerate rows yield NULL instead of failing
+# the job. At 100 TB this is the difference between one poison row
+# killing a 6-hour pipeline and a countable, quarantineable null. The
+# quotient is scaled by 12 (lcm of the |denominator| range) so every
+# surviving division is integral — exact on both engines with no float
+# rounding in play.
+# ---------------------------------------------------------------------------
+
+_TRY_ARITH_ORACLE = """
+SELECT
+  count(*) AS n_rows,
+  count(CASE WHEN l_linenumber = 3 THEN 1 END) AS n_div_by_zero,
+  CAST(sum(
+    CASE WHEN l_linenumber - 3 = 0 THEN NULL
+         ELSE CAST(CAST(round(l_extendedprice * 100) AS BIGINT) * 12
+                   / (l_linenumber - 3) AS BIGINT)
+    END
+  ) AS BIGINT) AS scaled_quotient_sum,
+  count(TRY_CAST(CASE WHEN l_linenumber = 1 THEN '12'
+                      ELSE 'x' || l_returnflag END AS INTEGER)) AS n_castable
+FROM lineitem
+"""
+
+
+@register("q_try_arithmetic", oracle=_TRY_ARITH_ORACLE)
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    quotient = F.expr(
+        "try_divide(cast(round(l_extendedprice * 100) as bigint) * 12L, "
+        "cast(l_linenumber - 3 as bigint))"
+    )
+    castable = F.expr(
+        "try_cast(CASE WHEN l_linenumber = 1 THEN '12' "
+        "ELSE concat('x', l_returnflag) END AS INT)"
+    )
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("l_linenumber") == 3).alias("n_div_by_zero"),
+        F.sum(quotient.cast("long")).cast("long").alias("scaled_quotient_sum"),
+        F.count(castable).alias("n_castable"),
+    )

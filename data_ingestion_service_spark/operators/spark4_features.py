@@ -176,3 +176,38 @@ def q_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_variant_explode — the VARIANT table-valued function: explode a
+# semi-structured value into (key, value) rows via LATERAL
+# variant_explode, the schema-on-read path for ragged JSON where the key
+# set is not known at plan time (vs q_from_json_struct's declared
+# schema). One parse per document, rows produced JVM-side.
+# ---------------------------------------------------------------------------
+
+_VARIANT_EXPLODE_ORACLE = """
+WITH keys AS (
+  SELECT event_id, props, unnest(json_keys(props)) AS prop_key
+  FROM events WHERE event_id < 2000
+)
+SELECT event_id, prop_key,
+       CAST(json_extract_string(props, '$.' || prop_key) AS INTEGER) AS prop_val
+FROM keys
+"""
+
+
+@register("q_variant_explode", oracle=_VARIANT_EXPLODE_ORACLE)
+def q_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") < 2000
+    ).createOrReplaceTempView("v_events_ve")
+    return spark.sql(
+        """
+        SELECT e.event_id,
+               v.key                    AS prop_key,
+               CAST(v.value AS INT)     AS prop_val
+        FROM v_events_ve e,
+             LATERAL variant_explode(parse_json(e.props)) v
+        """
+    )
