@@ -340,3 +340,155 @@ def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("price_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_expectations — declarative data-quality validation: each expectation
+# is a predicate whose violation count is reported per rule (the
+# Deequ/Great-Expectations pattern an ingestion service runs on every
+# load before publishing a partition). Each rule is an independent
+# aggregate — Catalyst fuses the same-table rules into shared scans; the
+# FK rule is a broadcast anti join. Zero violations on healthy fixtures
+# is itself the assertion: the counts are the published health metric.
+# ---------------------------------------------------------------------------
+
+_EXPECTATIONS_ORACLE = """
+SELECT 'negative_price' AS rule, count(*) AS n_violations
+FROM lineitem WHERE l_extendedprice < 0
+UNION ALL
+SELECT 'null_orderkey', count(*) FROM lineitem WHERE l_orderkey IS NULL
+UNION ALL
+SELECT 'qty_out_of_range', count(*) FROM lineitem
+WHERE l_quantity < 1 OR l_quantity > 50
+UNION ALL
+SELECT 'discount_out_of_range', count(*) FROM lineitem
+WHERE l_discount < 0 OR l_discount > 0.5
+UNION ALL
+SELECT 'orphan_lineitem', count(*)
+FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IS NULL
+UNION ALL
+SELECT 'order_without_customer', count(*)
+FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_custkey IS NULL
+"""
+
+
+@register("q_expectations", oracle=_EXPECTATIONS_ORACLE)
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def rule(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("rule"), F.count(F.lit(1)).alias("n_violations")
+        )
+
+    checks = [
+        rule("negative_price", li.filter(F.col("l_extendedprice") < 0)),
+        rule("null_orderkey", li.filter(F.col("l_orderkey").isNull())),
+        rule(
+            "qty_out_of_range",
+            li.filter((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+        ),
+        rule(
+            "discount_out_of_range",
+            li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5)),
+        ),
+        rule(
+            "orphan_lineitem",
+            li.join(
+                F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "left_anti"
+            ),
+        ),
+        rule(
+            "order_without_customer",
+            orders.join(
+                F.broadcast(customer),
+                orders.o_custkey == customer.c_custkey,
+                "left_anti",
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q_snapshot_diff — CDC-style snapshot comparison: classify every key of
+# two table snapshots as insert / delete / update via one full outer
+# join on the primary key (the diff an incremental pipeline publishes
+# when a source can only deliver full dumps). The "new" snapshot is
+# derived deterministically from orders so both engines diff identical
+# inputs: keys %97==0 deleted, %101==0 price-bumped, and a shifted key
+# range inserted.
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH new_snap AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 101 = 0
+              THEN CAST(round(o_totalprice * 100) AS BIGINT) + 100
+              ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS price_cents
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, CAST(round(o_totalprice * 100) AS BIGINT)
+  FROM orders WHERE o_orderkey % 103 = 0
+),
+old_snap AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+)
+SELECT
+  coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+  CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+       WHEN n.o_orderkey IS NULL THEN 'delete'
+       ELSE 'update' END AS change_type,
+  o.price_cents AS old_cents,
+  n.price_cents AS new_cents
+FROM old_snap o
+FULL OUTER JOIN new_snap n ON n.o_orderkey = o.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.price_cents <> n.price_cents
+"""
+
+
+@register("q_snapshot_diff", oracle=_SNAPSHOT_DIFF_ORACLE)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    old_snap = orders.select("o_orderkey", cents.alias("price_cents"))
+    new_snap = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 101 == 0, cents + 100)
+            .otherwise(cents)
+            .alias("price_cents"),
+        )
+        .unionAll(
+            orders.filter(F.col("o_orderkey") % 103 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                cents.alias("price_cents"),
+            )
+        )
+    )
+    o = old_snap.alias("o")
+    n = new_snap.alias("n")
+    j = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    return j.select(
+        F.coalesce("o.o_orderkey", "n.o_orderkey").alias("o_orderkey"),
+        F.when(F.col("o.o_orderkey").isNull(), "insert")
+        .when(F.col("n.o_orderkey").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        F.col("o.price_cents").alias("old_cents"),
+        F.col("n.price_cents").alias("new_cents"),
+    ).filter(
+        F.col("o.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | (F.col("o.price_cents") != F.col("n.price_cents"))
+    )

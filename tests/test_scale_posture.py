@@ -244,3 +244,12 @@ def test_cbo_uses_analyzed_statistics(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", prev)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_rank_filter_pushes_window_group_limit(spark, sf_dir):
+    """A rank()<=k filter over a window must compile to WindowGroupLimit:
+    each partition keeps only its top-k rows BEFORE the full window sort
+    / shuffle materializes every row (Spark 3.5+ per-group limit
+    pushdown). Without it, per-group top-k sorts the entire fact table."""
+    plan = formatted_plan(QUERIES["q_window_rank"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
