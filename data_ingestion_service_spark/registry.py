@@ -63,6 +63,7 @@ def load_all_operators() -> None:
         scalar_funcs,
         semistructured,
         setops,
+        sketches,
         spark4_features,
         tpch_extended,
         tpch_more,

@@ -336,3 +336,90 @@ def sink_sorted_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("price_cents"),
     )
+
+
+_CSV_CORRUPT_ORACLE = """
+SELECT
+  count(CASE WHEN o_orderkey % 7 <> 0 THEN 1 END)  AS n_good,
+  count(CASE WHEN o_orderkey % 7 = 0 THEN 1 END)   AS n_corrupt,
+  CAST(sum(CASE WHEN o_orderkey % 7 <> 0
+                THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+                                                   AS good_cents
+FROM orders
+"""
+
+
+@register("src_csv_corrupt", oracle=_CSV_CORRUPT_ORACLE)
+def src_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row quarantine on ingest: a CSV feed where every 7th
+    order line is truncated mid-row is read in PERMISSIVE mode with a
+    _corrupt_record column — bad rows land in the quarantine column
+    instead of failing the load (FAILFAST) or silently disappearing
+    (DROPMALFORMED). The oracle recomputes good/corrupt splits from the
+    clean fixture, so capture-exactness is what's proven."""
+    orders = load_table(spark, sf_dir, "orders")
+    # Corrupt rows are truncated to a single unparseable-for-schema cell:
+    # the key with a trailing dangling quote (deterministic from the key).
+    line = F.when(
+        F.col("o_orderkey") % 7 == 0,
+        F.concat(F.col("o_orderkey").cast("string"), F.lit(',"x')),
+    ).otherwise(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            F.col("o_orderstatus"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="ingest_corrupt_csv_")
+    orders.select(line.alias("value")).write.mode("overwrite").text(out)
+    schema = (
+        "o_orderkey BIGINT, price_cents BIGINT, o_orderstatus STRING, "
+        "_corrupt_record STRING"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    )
+    return back.agg(
+        F.count_if(F.col("_corrupt_record").isNull()).alias("n_good"),
+        F.count_if(F.col("_corrupt_record").isNotNull()).alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("price_cents"))
+        )
+        .cast("long")
+        .alias("good_cents"),
+    )
+
+
+_FILE_METADATA_ORACLE = """
+SELECT
+  'documents.parquet'   AS file_name,
+  count(*)              AS n_rows,
+  CAST(0 AS BIGINT)     AS min_row_index,
+  count(*) - 1          AS max_row_index
+FROM documents
+"""
+
+
+@register("src_file_metadata", oracle=_FILE_METADATA_ORACLE)
+def src_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage metadata columns: every file source exposes a hidden
+    `_metadata` struct (file_name, file_path, row_index, ...) — the
+    provenance an ingestion service attaches to each row so any record
+    can be traced back to its source file and position. Grouped per file
+    here; the fixture is a single parquet file, so the oracle knows the
+    expected name and row-index span exactly."""
+    from data_ingestion_service_spark.catalog import table_path
+
+    df = spark.read.parquet(table_path(sf_dir, "documents")).select(
+        F.col("_metadata.file_name").alias("file_name"),
+        F.col("_metadata.row_index").alias("row_index"),
+    )
+    return df.groupBy("file_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("row_index").alias("min_row_index"),
+        F.max("row_index").alias("max_row_index"),
+    )
