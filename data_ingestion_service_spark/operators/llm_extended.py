@@ -1108,3 +1108,150 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q_train_test_split — reproducible hash-based corpus split: a doc's
+# split is a pure function of its id (first md5 nibbles), so the split
+# is stable across runs, machines, and engine versions — the property a
+# training pipeline needs so that re-ingesting never leaks test docs
+# into train. ~75/25 by hex-prefix range ('0'..'b' vs 'c'..'f'); no
+# sampling, no seed state, embarrassingly parallel.
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = """
+SELECT
+  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+       THEN 'train' ELSE 'test' END                    AS split,
+  count(*)                                             AS n_docs,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT)    AS total_tokens
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("q_train_test_split", oracle=_SPLIT_ORACLE)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+        < "c",
+        "train",
+    ).otherwise("test")
+    return (
+        docs.select(split.alias("split"), F.size(F.split("text", " ")).alias("nt"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_corpus_mix — source-capped data mixing: each source contributes at
+# most K docs (lowest doc_id first — deterministic), the mixture recipe
+# step that stops one crawl dump from dominating a training corpus. The
+# cap is a per-source window top-k (WindowGroupLimit-optimizable), not a
+# sample: reproducible and exactly auditable.
+# ---------------------------------------------------------------------------
+
+_CORPUS_MIX_ORACLE = """
+WITH ranked AS (
+  SELECT source, text,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT source,
+       count(*)                                          AS n_selected,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM ranked
+WHERE rn <= 10
+GROUP BY source
+"""
+
+
+@register("q_corpus_mix", oracle=_CORPUS_MIX_ORACLE)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_corpus_pipeline — the composed training-data pipeline in one plan:
+# quality gate (length band + token floor) → exact dedup keeping the
+# lowest doc_id per content hash → hash split → per-split corpus stats.
+# Each stage is the already-verified primitive (q_quality_score,
+# q_dedup_keep_first, q_train_test_split); this key pins that they
+# compose into a single declarative plan with no materialization
+# boundaries between stages.
+# ---------------------------------------------------------------------------
+
+_CORPUS_PIPELINE_ORACLE = """
+WITH gated AS (
+  SELECT doc_id, source, text
+  FROM documents
+  WHERE n_chars BETWEEN 100 AND 500
+    AND len(string_split(text, ' ')) >= 20
+),
+deduped AS (
+  SELECT doc_id, source, text
+  FROM (
+    SELECT doc_id, source, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+)
+SELECT
+  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+       THEN 'train' ELSE 'test' END                    AS split,
+  count(*)                                             AS n_docs,
+  count(DISTINCT source)                                AS n_sources,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT)    AS total_tokens
+FROM deduped
+GROUP BY 1
+"""
+
+
+@register("q_corpus_pipeline", oracle=_CORPUS_PIPELINE_ORACLE)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    gated = docs.filter(
+        F.col("n_chars").between(100, 500)
+        & (F.size(F.split("text", " ")) >= 20)
+    )
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    deduped = gated.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+        < "c",
+        "train",
+    ).otherwise("test")
+    return (
+        deduped.select(
+            split.alias("split"),
+            "source",
+            F.size(F.split("text", " ")).alias("nt"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("nt").cast("long").alias("total_tokens"),
+        )
+    )

@@ -423,3 +423,70 @@ def src_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("row_index").alias("min_row_index"),
         F.max("row_index").alias("max_row_index"),
     )
+
+
+_TIME_TRAVEL_ORACLE = """
+SELECT 1 AS version, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders WHERE o_orderkey % 3 <> 0
+UNION ALL
+SELECT 2 AS version, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+"""
+
+_SNAPSHOT_DIRS: dict[str, str] = {}
+
+
+@register("q_time_travel", oracle=_TIME_TRAVEL_ORACLE)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-based snapshot reads (the lakehouse time-travel core,
+    format-agnostic): every commit is an immutable list of data files; a
+    reader resolves a version by loading its manifest and scanning
+    exactly those files — old versions stay readable after new commits
+    because data files are never rewritten, only added. Commit v1 holds
+    2/3 of orders; commit v2 appends the rest as a new file. The result
+    reads BOTH versions side by side from the same store."""
+    import json
+    import os
+
+    root = _SNAPSHOT_DIRS.get(sf_dir)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="ingest_snapshots_")
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        orders.filter(F.col("o_orderkey") % 3 != 0).coalesce(1).write.parquet(
+            f"{root}/files/commit1"
+        )
+        orders.filter(F.col("o_orderkey") % 3 == 0).coalesce(1).write.parquet(
+            f"{root}/files/commit2"
+        )
+
+        def data_files(commit: str) -> list[str]:
+            d = f"{root}/files/{commit}"
+            return [
+                f"{d}/{f}" for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+            ]
+
+        v1 = data_files("commit1")
+        v2 = v1 + data_files("commit2")
+        os.makedirs(f"{root}/manifests", exist_ok=True)
+        for ver, files in ((1, v1), (2, v2)):
+            with open(f"{root}/manifests/v{ver}.json", "w") as fh:
+                json.dump({"version": ver, "files": files}, fh)
+        _SNAPSHOT_DIRS[sf_dir] = root
+
+    def read_version(ver: int) -> DataFrame:
+        with open(f"{root}/manifests/v{ver}.json") as fh:
+            manifest = json.load(fh)
+        snap = spark.read.parquet(*manifest["files"])
+        return snap.agg(
+            F.lit(ver).alias("version"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+
+    return read_version(1).unionAll(read_version(2))

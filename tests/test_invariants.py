@@ -144,3 +144,73 @@ def test_ivf_recall_vs_brute_force(run):
     # note claims, now pinned).
     assert len(kmeans & brute) >= 4
     assert len(label_block & brute) >= 3
+
+
+def test_dup_clusters_cover_near_dup_pairs(run):
+    """Every near-dup pair must land in the same cluster, and every
+    cluster representative must be a member of its own cluster — the
+    defining properties of connected components over the pair graph."""
+    rep = {r.doc_id: r.rep_id for r in run("q_dup_clusters")}
+    pairs = run("q_near_dedup")
+    assert pairs, "fixture should contain near-dup pairs"
+    for p in pairs:
+        assert rep[p.doc_a] == rep[p.doc_b], (p, rep[p.doc_a], rep[p.doc_b])
+    for doc, r in rep.items():
+        assert rep[r] == r, f"rep {r} of {doc} is not its own rep"
+
+
+def test_corpus_pipeline_bounded_by_corpus(spark, sf_dir, run):
+    """The composed pipeline can only shrink the corpus: per-split doc
+    counts sum to <= total docs, and the split labels are exhaustive."""
+    rows = run("q_corpus_pipeline")
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) <= n_docs
+    assert {r.split for r in rows} <= {"train", "test"}
+
+
+def test_train_test_split_partitions_corpus(spark, sf_dir, run):
+    rows = run("q_train_test_split")
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+
+
+def test_time_travel_versions_nest(run):
+    """Snapshot v2 appended one commit to v1: strictly more rows, and
+    both versions remain readable side by side."""
+    rows = {r.version: r for r in run("q_time_travel")}
+    assert rows[1].n_orders < rows[2].n_orders
+    assert rows[1].cents != rows[2].cents
+
+
+def test_snapshot_diff_consistent(run):
+    """CDC classification counts must match the deterministic mutation
+    recipe: every %97 key deleted, every surviving %101 key updated."""
+    rows = run("q_snapshot_diff")
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.change_type, []).append(r)
+    assert set(by_type) == {"insert", "update", "delete"}
+    for r in by_type["delete"]:
+        assert r.o_orderkey % 97 == 0 and r.new_cents is None
+    for r in by_type["update"]:
+        assert r.o_orderkey % 101 == 0
+        assert r.new_cents == r.old_cents + 100
+    for r in by_type["insert"]:
+        assert r.old_cents is None
+
+
+def test_expectations_clean_fixture(run):
+    """The generated fixtures satisfy every data-quality rule except the
+    known anti-join fixture (orders deliberately exist with no lineitem —
+    that is 'orphan' from lineitem's side, zero; order_without_customer
+    must also be zero)."""
+    rows = {r.rule: r.n_violations for r in run("q_expectations")}
+    assert set(rows) == {
+        "negative_price",
+        "null_orderkey",
+        "qty_out_of_range",
+        "discount_out_of_range",
+        "orphan_lineitem",
+        "order_without_customer",
+    }
+    assert all(v == 0 for v in rows.values()), rows
