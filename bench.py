@@ -105,6 +105,7 @@ def main() -> None:
                 "concurrent_total_8_threads": concurrent_total,
                 "llm_ops": llm_timings,
                 "llm_ops_total": round(sum(llm_timings.values()), 4),
+                "n_registered_queries": len(QUERIES),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

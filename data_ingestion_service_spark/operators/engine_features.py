@@ -380,41 +380,51 @@ def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
 
-    def rule(name: str, df: DataFrame) -> DataFrame:
+    # All four single-table rules in ONE scan/aggregate (conditional
+    # count_if per rule), then stack() to the long (rule, n) shape — at
+    # 100 TB one pass over the fact instead of one scan per rule. The two
+    # referential rules each need their own anti join.
+    predicate_rules = li.agg(
+        F.count_if(F.col("l_extendedprice") < 0).alias("negative_price"),
+        F.count_if(F.col("l_orderkey").isNull()).alias("null_orderkey"),
+        F.count_if(
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+        ).alias("qty_out_of_range"),
+        F.count_if(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.5)
+        ).alias("discount_out_of_range"),
+    ).select(
+        F.expr(
+            "stack(4, 'negative_price', negative_price, "
+            "'null_orderkey', null_orderkey, "
+            "'qty_out_of_range', qty_out_of_range, "
+            "'discount_out_of_range', discount_out_of_range) "
+            "AS (rule, n_violations)"
+        )
+    )
+
+    def anti_rule(name: str, df: DataFrame) -> DataFrame:
         return df.agg(
             F.lit(name).alias("rule"), F.count(F.lit(1)).alias("n_violations")
         )
 
-    checks = [
-        rule("negative_price", li.filter(F.col("l_extendedprice") < 0)),
-        rule("null_orderkey", li.filter(F.col("l_orderkey").isNull())),
-        rule(
-            "qty_out_of_range",
-            li.filter((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
-        ),
-        rule(
-            "discount_out_of_range",
-            li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5)),
-        ),
-        rule(
+    return predicate_rules.unionAll(
+        anti_rule(
             "orphan_lineitem",
             li.join(
                 F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "left_anti"
             ),
-        ),
-        rule(
+        )
+    ).unionAll(
+        anti_rule(
             "order_without_customer",
             orders.join(
                 F.broadcast(customer),
                 orders.o_custkey == customer.c_custkey,
                 "left_anti",
             ),
-        ),
-    ]
-    out = checks[0]
-    for c in checks[1:]:
-        out = out.unionAll(c)
-    return out
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1255,3 +1255,57 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nt").cast("long").alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_media_frames — multimodal frame sampling: each payload yields one row
+# per fixed-stride 64-byte frame (the 1→N generator shape of a video
+# frame-sampler or audio chunker), produced in Arrow batches through
+# mapInPandas. Unlike q_media_features (◐, opaque decode stub), the
+# frame windows and checksums here are pure byte arithmetic on the ASCII
+# payload, so DuckDB can recompute them exactly — the frame-level
+# plumbing is fully oracle-checked. At scale: frames explode 1→N
+# *inside* the task (no shuffle), and the repartition spreads payloads
+# across workers before the Python stage.
+# ---------------------------------------------------------------------------
+
+_MEDIA_FRAMES_ORACLE = """
+WITH f AS (
+  SELECT doc_id, unnest(range(0, CAST(len(text) // 64 AS BIGINT))) AS frame_idx,
+         text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(list_sum(list_transform(
+              regexp_split_to_array(
+                substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64), ''),
+              x -> unicode(x))) % 65536 AS BIGINT) AS checksum
+FROM f
+"""
+
+
+@register("q_media_frames", oracle=_MEDIA_FRAMES_ORACLE)
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(32)
+        .select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    )
+
+    def sample_frames(batches):
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                for i in range(len(buf) // 64):
+                    ids.append(did)
+                    idxs.append(i)
+                    sums.append(sum(buf[i * 64 : (i + 1) * 64]) % 65536)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "checksum": sums}
+            )
+
+    return docs.mapInPandas(
+        sample_frames, schema="doc_id bigint, frame_idx bigint, checksum bigint"
+    )

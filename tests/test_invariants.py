@@ -214,3 +214,24 @@ def test_expectations_clean_fixture(run):
         "order_without_customer",
     }
     assert all(v == 0 for v in rows.values()), rows
+
+
+def test_observe_collects_metrics(spark, sf_dir):
+    """The Observation API (df.observe) collects accumulator-backed
+    metrics during a normal action — the zero-extra-pass observability
+    hook an ingestion service uses to publish per-load row counts and
+    checksums without a second scan."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("load_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("l_extendedprice") < 0).alias("n_bad"),
+    )
+    observed.agg(F.max("l_orderkey")).collect()
+    metrics = obs.get
+    assert metrics["n_rows"] == li.count()
+    assert metrics["n_bad"] == 0
