@@ -267,3 +267,129 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_value_ffill"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_interpolate — linear interpolation over the resampled grid: empty
+# buckets take prev + (next - prev) * frac, where frac is computed from
+# integer grid indices (not timestamps), so both engines produce
+# identical values on both engines (the result is an e4-scaled BIGINT —
+# no display-rounding boundary exists). Edge buckets with
+# only one neighbor fall back to it (ffill/bfill). The window pair
+# (last IGNORE NULLS over preceding, first IGNORE NULLS over following)
+# is the standard two-pass-free interpolation shape — one sort, no
+# self-join.
+# ---------------------------------------------------------------------------
+
+_INTERPOLATE_ORACLE = """
+WITH bounds AS (
+  SELECT date_trunc('day', min(ts)) AS t0, max(ts) AS t1 FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(t0, t1, INTERVAL 6 HOUR)) AS bucket FROM bounds
+),
+agg AS (
+  SELECT time_bucket(INTERVAL 6 HOUR, ts, (SELECT t0 FROM bounds)) AS bucket,
+         count(*) AS n,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+  FROM events WHERE event_type = 'signup'
+  GROUP BY 1
+),
+g AS (
+  SELECT s.bucket,
+         row_number() OVER (ORDER BY s.bucket) AS idx,
+         a.n,
+         CAST(round(a.cents * 100.0 / a.n) AS BIGINT) AS v
+  FROM spine s LEFT JOIN agg a ON a.bucket = s.bucket
+),
+filled AS (
+  SELECT bucket, idx, n, v,
+    last_value(v IGNORE NULLS)
+      OVER (ORDER BY idx ROWS UNBOUNDED PRECEDING)               AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS)
+      OVER (ORDER BY idx ROWS UNBOUNDED PRECEDING)               AS pi,
+    first_value(v IGNORE NULLS)
+      OVER (ORDER BY idx ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                                                                 AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS)
+      OVER (ORDER BY idx ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                                                                 AS ni
+  FROM g
+)
+SELECT bucket,
+       coalesce(n, 0) AS n_signups,
+       CAST(CASE
+         WHEN pv IS NULL THEN nv
+         WHEN nv IS NULL THEN pv
+         WHEN ni = pi    THEN pv
+         ELSE CAST(round(pv + (nv - pv) *
+                (CAST(idx - pi AS DOUBLE) / CAST(ni - pi AS DOUBLE))) AS BIGINT)
+       END AS BIGINT) AS avg_interp_e4
+FROM filled
+"""
+
+
+@register("q_interpolate", oracle=_INTERPOLATE_ORACLE)
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("t0"), F.max("ts").alias("t1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("t0", "t1", F.expr("interval 6 hours"))).alias(
+            "bucket"
+        )
+    )
+    agg = (
+        ev.filter(F.col("event_type") == "signup")
+        .crossJoin(F.broadcast(bounds.select("t0")))
+        .groupBy(
+            (
+                F.col("t0")
+                + F.expr(
+                    "make_interval(0, 0, 0, 0, 0, 0, "
+                    "floor((unix_micros(cast(ts as timestamp)) - "
+                    "unix_micros(cast(t0 as timestamp))) / 21600000000) * 21600)"
+                )
+            ).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"),
+        )
+    )
+    g = (
+        spine.join(agg, "bucket", "left")
+        .withColumn("idx", F.row_number().over(Window.orderBy("bucket")))
+        .withColumn(
+            "v", F.round(F.col("cents") * 100.0 / F.col("n")).cast("long")
+        )
+    )
+    w_prev = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("idx").rowsBetween(0, Window.unboundedFollowing)
+    obs_idx = F.when(F.col("v").isNotNull(), F.col("idx"))
+    filled = g.select(
+        "bucket",
+        "idx",
+        "n",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_idx, ignorenulls=True).over(w_prev).alias("pi"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_idx, ignorenulls=True).over(w_next).alias("ni"),
+    )
+    frac = (F.col("idx") - F.col("pi")).cast("double") / (
+        F.col("ni") - F.col("pi")
+    ).cast("double")
+    interp = (
+        F.when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .when(F.col("ni") == F.col("pi"), F.col("pv"))
+        .otherwise(
+            F.round(F.col("pv") + (F.col("nv") - F.col("pv")) * frac).cast("long")
+        )
+    )
+    return filled.select(
+        "bucket",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_signups"),
+        interp.cast("long").alias("avg_interp_e4"),
+    )
