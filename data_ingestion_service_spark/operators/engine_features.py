@@ -502,3 +502,76 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         | F.col("n.o_orderkey").isNull()
         | (F.col("o.price_cents") != F.col("n.price_cents"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q_zorder_layout — space-filling-curve clustering: interleave the bits
+# of two dimensions (customer bucket × order month) into a Morton
+# z-code, the multi-dimensional generalization of sink_sorted_parquet's
+# 1-D range layout. Sorting by z-code makes every contiguous run of rows
+# a small RECTANGLE in (customer, time) space, so parquet min/max stats
+# prune scans filtered on EITHER dimension — the layout trick behind
+# Z-ORDER table maintenance at 100 TB. Computed with pure div/mod
+# arithmetic (identical semantics in both engines); each coarse tile
+# (top 8 z-bits) provably spans at most 16 values per dimension — pinned
+# by a locality invariant test.
+# ---------------------------------------------------------------------------
+
+
+def _morton_sql(a: str, b: str) -> str:
+    """16-bit Morton interleave of two 8-bit values, div/mod arithmetic."""
+    terms = [
+        f"((({a}) // {1 << i}) % 2 + 2 * ((({b}) // {1 << i}) % 2)) * {4 ** i}"
+        for i in range(8)
+    ]
+    return " + ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+WITH dims AS (
+  SELECT o_orderkey,
+         o_custkey % 256                                            AS ca,
+         (CAST(year(o_orderdate) AS BIGINT) - 1995) * 12
+           + CAST(month(o_orderdate) AS BIGINT) - 1                 AS mb
+  FROM orders
+),
+coded AS (
+  SELECT o_orderkey, ca, mb % 256 AS mb,
+         {_morton_sql('ca', 'mb % 256')} AS zcode
+  FROM dims
+)
+SELECT CAST(zcode // 256 AS BIGINT) AS tile,
+       count(*)                     AS n_orders,
+       CAST(min(ca) AS BIGINT) AS ca_lo, CAST(max(ca) AS BIGINT) AS ca_hi,
+       CAST(min(mb) AS BIGINT) AS mb_lo, CAST(max(mb) AS BIGINT) AS mb_hi
+FROM coded
+GROUP BY 1
+"""
+
+
+@register("q_zorder_layout", oracle=_ZORDER_ORACLE)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    ca = F.col("o_custkey") % 256
+    mb = (
+        (F.year("o_orderdate").cast("long") - 1995) * 12
+        + F.month("o_orderdate").cast("long")
+        - 1
+    ) % 256
+    dims = orders.select("o_orderkey", ca.alias("ca"), mb.alias("mb"))
+    zcode = None
+    for i in range(8):
+        bit_a = (F.col("ca") / (1 << i)).cast("long") % 2
+        bit_b = (F.col("mb") / (1 << i)).cast("long") % 2
+        term = (bit_a + 2 * bit_b) * (4**i)
+        zcode = term if zcode is None else zcode + term
+    coded = dims.withColumn("zcode", zcode)
+    return coded.groupBy(
+        (F.col("zcode") / 256).cast("long").alias("tile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("ca").cast("long").alias("ca_lo"),
+        F.max("ca").cast("long").alias("ca_hi"),
+        F.min("mb").cast("long").alias("mb_lo"),
+        F.max("mb").cast("long").alias("mb_hi"),
+    )

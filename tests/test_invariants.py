@@ -235,3 +235,14 @@ def test_observe_collects_metrics(spark, sf_dir):
     metrics = obs.get
     assert metrics["n_rows"] == li.count()
     assert metrics["n_bad"] == 0
+
+
+def test_zorder_tiles_are_compact_rectangles(run):
+    """Each coarse z-order tile (top 8 of 16 Morton bits) must span at
+    most 16 values in EACH dimension — the locality property that makes
+    z-sorted row groups prunable on either column."""
+    rows = run("q_zorder_layout")
+    assert rows, "no tiles produced"
+    for r in rows:
+        assert r.ca_hi - r.ca_lo <= 15, r
+        assert r.mb_hi - r.mb_lo <= 15, r
