@@ -211,3 +211,89 @@ def q_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL variant_explode(parse_json(e.props)) v
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q_recursive_cte — recursive CTE (new in Spark 4): per-customer order
+# chains fold left-to-right with integer floor-interest compounding at
+# each step (balance' = balance + order_cents + balance // 100). The
+# per-step floor makes this genuinely recursive — no prefix-sum or
+# window rewrite exists — and all-integer arithmetic is exactly
+# reproducible in DuckDB's recursive CTE. Recursion depth = max orders
+# per customer (~25 at sf0.1), well under Spark's level limit; each
+# recursion step is one self-join on (customer, rn+1).
+# ---------------------------------------------------------------------------
+
+
+def _recursive_sql(int_div: str) -> str:
+    return f"""
+WITH RECURSIVE ords AS (
+  SELECT o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM {{src}}
+),
+bal(o_custkey, rn, balance) AS (
+  SELECT o_custkey, rn, cents FROM ords WHERE rn = 1
+  UNION ALL
+  SELECT o.o_custkey, o.rn, b.balance + o.cents + (b.balance {int_div} 100)
+  FROM ords o JOIN bal b ON o.o_custkey = b.o_custkey AND o.rn = b.rn + 1
+)
+SELECT o_custkey, rn AS n_orders, balance AS final_cents
+FROM (
+  SELECT o_custkey, rn, balance,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY rn DESC) AS rr
+  FROM bal
+)
+WHERE rr = 1
+"""
+
+
+_RECURSIVE_ORACLE = _recursive_sql("//").format(src="orders")
+
+
+@register("q_recursive_cte", oracle=_RECURSIVE_ORACLE)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_rec")
+    return spark.sql(_recursive_sql("div").format(src="v_orders_rec"))
+
+
+# ---------------------------------------------------------------------------
+# q_sql_udf — SQL-defined scalar function (Spark 4 CREATE FUNCTION ...
+# RETURN): the reusable-expression surface that needs no Python and
+# inlines into the plan (stays inside codegen, unlike any external UDF).
+# Registered as a temporary function, used twice in one query; the
+# oracle simply inlines the body.
+# ---------------------------------------------------------------------------
+
+_SQL_UDF_ORACLE = """
+SELECT
+  l_returnflag,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS gross_cents,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                                                                    AS net_e4
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("q_sql_udf", oracle=_SQL_UDF_ORACLE)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_li_udf")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION to_cents(p DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(round(p * 100) AS BIGINT)"
+    )
+    return spark.sql(
+        """
+        SELECT
+          l_returnflag,
+          CAST(sum(to_cents(l_extendedprice)) AS BIGINT) AS gross_cents,
+          CAST(sum(to_cents(l_extendedprice) * to_cents(1 - l_discount)) AS BIGINT)
+            AS net_e4
+        FROM v_li_udf
+        GROUP BY l_returnflag
+        """
+    )
