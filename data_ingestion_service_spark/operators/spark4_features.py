@@ -297,3 +297,37 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q_pipe_syntax — SQL pipe syntax (Spark 4 `|>`): the linear dataflow
+# dialect of the same engine (FROM ... |> WHERE ... |> AGGREGATE ...)
+# — each stage reads top-to-bottom like the DataFrame API but stays pure
+# SQL, compiling to the identical Catalyst plan as the classic form the
+# oracle runs.
+# ---------------------------------------------------------------------------
+
+_PIPE_ORACLE = """
+SELECT
+  o_orderpriority,
+  count(*) AS n_orders,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+"""
+
+
+@register("q_pipe_syntax", oracle=_PIPE_ORACLE)
+def q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_pipe")
+    return spark.sql(
+        """
+        FROM v_orders_pipe
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE count(*) AS n_orders,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+           GROUP BY o_orderpriority
+        """
+    )
