@@ -331,3 +331,38 @@ def q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY o_orderpriority
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q_parameterized — parameterized SQL (named parameter markers): the
+# prepared-query surface a service exposes so callers never string-
+# interpolate values into SQL (plan reuse + injection safety). The
+# parameter reaches the plan as a literal, so pushdown still applies.
+# ---------------------------------------------------------------------------
+
+_PARAMETERIZED_ORACLE = """
+SELECT
+  o_orderpriority,
+  count(*) AS n_orders,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+WHERE o_totalprice >= 100000 AND o_orderstatus = 'F'
+GROUP BY o_orderpriority
+"""
+
+
+@register("q_parameterized", oracle=_PARAMETERIZED_ORACLE)
+def q_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_param")
+    return spark.sql(
+        """
+        SELECT
+          o_orderpriority,
+          count(*) AS n_orders,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM v_orders_param
+        WHERE o_totalprice >= :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 100000, "status": "F"},
+    )
