@@ -682,16 +682,30 @@ def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q_media_features — multimodal decode pipeline (rows-only ◐): treats the
+# q_media_features — multimodal decode pipeline: treats the
 # bytes as an opaque media payload and runs a *deterministic stub* feature
 # extractor through mapInPandas (real image/audio codecs aren't in this
 # container — the Spark plumbing is the deliverable: binary in, Arrow
 # batches through Python, typed feature struct out; at scale this is the
-# exact shape of a frame-sampler or embedding extractor).
+# exact shape of a frame-sampler or embedding extractor). The stub's
+# byte arithmetic is recomputable over the ASCII payload, so the output
+# is fully oracle-checked (same trick as q_media_frames).
 # ---------------------------------------------------------------------------
 
 
-@register("q_media_features")
+_MEDIA_FEATURES_ORACLE = """
+SELECT
+  doc_id,
+  CAST(len(text) AS BIGINT) AS n_bytes,
+  CAST(list_sum(list_transform(regexp_split_to_array(substr(text, 1, 64), ''),
+                               x -> unicode(x))) % 65536 AS BIGINT)
+                            AS feat_checksum,
+  'text/plain'              AS mime
+FROM documents
+"""
+
+
+@register("q_media_features", oracle=_MEDIA_FEATURES_ORACLE)
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = docs.select(
