@@ -128,7 +128,7 @@ def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COLLECT_ORACLE = """
 SELECT
   n_regionkey,
-  list_sort(list(n_name))  AS nations,
+  array_to_string(list_sort(list(n_name)), ',')  AS nations,
   count(*)                 AS n_nations
 FROM nation
 GROUP BY n_regionkey
@@ -139,7 +139,9 @@ GROUP BY n_regionkey
 def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     return nation.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_list("n_name")).alias("nations"),
+        # array_join: array-typed outputs crash the driver's pandas
+        # canonicalizer, so oracle-checked queries emit joined strings.
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
         F.count(F.lit(1)).alias("n_nations"),
     )
 
@@ -263,7 +265,8 @@ isl AS (
            - row_number() OVER (PARTITION BY o_custkey ORDER BY d) AS grp
   FROM days
 )
-SELECT o_custkey, CAST(count(*) AS BIGINT) AS streak_len, min(d) AS streak_start
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS streak_len,
+       min(d)::TIMESTAMP AS streak_start
 FROM isl
 GROUP BY o_custkey, grp
 HAVING count(*) >= 2
@@ -286,5 +289,11 @@ def q_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         isl.groupBy("o_custkey", "grp")
         .agg(F.count(F.lit(1)).alias("streak_len"), F.min("d").alias("streak_start"))
         .filter(F.col("streak_len") >= 2)
-        .select("o_custkey", "streak_len", "streak_start")
+        # TIMESTAMP, not DATE: raw DATE output canonicalizes asymmetrically
+        # across engines (object-of-date vs datetime64) under the driver hash.
+        .select(
+            "o_custkey",
+            "streak_len",
+            F.col("streak_start").cast("timestamp_ntz").alias("streak_start"),
+        )
     )

@@ -41,17 +41,39 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q_approx_distinct — HLL approximate count-distinct (rows-only check: the
-# sketch estimate is engine-specific; SURVEY.md §2.4 declares it ◐).
+# q_approx_distinct — HLL approximate count-distinct, made driver-checkable:
+# the raw sketch estimate is engine-specific, so the query verifies the
+# estimate against the exact distinct count computed in the same aggregate
+# and emits the exact count plus a boolean error-bound check (rsd=0.01 →
+# assert within 5%, far beyond HLL's tail risk and deterministic on the
+# fixed fixture). The HLL sketch is still genuinely exercised; the oracle
+# asserts the bound holds (hll_ok = TRUE for every group).
 # ---------------------------------------------------------------------------
 
+_APPROX_DISTINCT_ORACLE = """
+SELECT
+  event_type,
+  count(*)                 AS n_events,
+  count(DISTINCT user_id)  AS n_users_exact,
+  TRUE                     AS hll_ok
+FROM events
+GROUP BY event_type
+"""
 
-@register("q_approx_distinct")
+
+@register("q_approx_distinct", oracle=_APPROX_DISTINCT_ORACLE)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.01)
+                - F.countDistinct("user_id")
+            )
+            <= F.countDistinct("user_id") * 0.05
+        ).alias("hll_ok"),
     )
 
 

@@ -146,8 +146,8 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FUNNEL_ORACLE = """
 SELECT
   count(*)                                                   AS n_users,
-  sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END)  AS n_signed_up,
-  sum(CASE WHEN first_purchase > first_signup THEN 1 ELSE 0 END) AS n_converted
+  CAST(sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)      AS n_signed_up,
+  CAST(sum(CASE WHEN first_purchase > first_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
 FROM (
   SELECT
     user_id,

@@ -92,45 +92,46 @@ def _drop_tables(spark: SparkSession, *names: str) -> None:
             pass
 
 
+# Bucketed tables from the previous q_bucketed_join call, dropped on the
+# next call: the returned plan is lazy (the caller collects it), so its
+# input tables must outlive this function. Names are uuid-unique, so at
+# most one stale pair of tiny 2-column tables exists at a time.
+_PENDING_BUCKETED_DROPS: list[str] = []
+
+
 @register("q_bucketed_join", oracle=_BUCKETED_ORACLE)
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    while _PENDING_BUCKETED_DROPS:
+        _drop_tables(spark, _PENDING_BUCKETED_DROPS.pop())
     li_tbl, ord_tbl = _write_bucketed_inputs(spark, sf_dir)
-    # Disable broadcast for this plan so the bucketed sort-merge join path
-    # (zero shuffles — what a fact/fact join needs at scale) is the one
-    # exercised; restore afterwards.
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        joined = (
-            spark.table(li_tbl)
-            .join(spark.table(ord_tbl), F.col("l_orderkey") == F.col("o_orderkey"))
-            .groupBy("o_orderpriority")
-            .agg(
-                F.count(F.lit(1)).alias("n_items"),
-                F.round(F.sum("l_quantity"), 2).alias("total_qty"),
-            )
+    _PENDING_BUCKETED_DROPS.extend([li_tbl, ord_tbl])
+    # MERGE hint forces the bucketed sort-merge join path (zero shuffles —
+    # what a fact/fact join needs at scale) without flipping session confs,
+    # so the plan stays lazy and the driver runs the real bucketed SMJ.
+    return (
+        spark.table(li_tbl)
+        .hint("merge")
+        .join(spark.table(ord_tbl), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
         )
-        # Materialize into a local result while the override + tables are
-        # alive, then rebuild a DataFrame the driver can re-collect later.
-        rows = joined.collect()
-        return spark.createDataFrame(rows, schema=joined.schema)
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        _drop_tables(spark, li_tbl, ord_tbl)
+    )
 
 
 def bucketed_join_plan(spark: SparkSession, sf_dir: str) -> str:
-    """Expose the executed physical plan for the posture test."""
+    """Expose the executed physical plan for the posture test (same MERGE
+    hint shape as q_bucketed_join)."""
     li_tbl, ord_tbl = _write_bucketed_inputs(spark, sf_dir)
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        joined = spark.table(li_tbl).join(
-            spark.table(ord_tbl), F.col("l_orderkey") == F.col("o_orderkey")
+        joined = (
+            spark.table(li_tbl)
+            .hint("merge")
+            .join(spark.table(ord_tbl), F.col("l_orderkey") == F.col("o_orderkey"))
         )
         return joined._jdf.queryExecution().executedPlan().toString()
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         _drop_tables(spark, li_tbl, ord_tbl)
 
 
@@ -457,8 +458,8 @@ SELECT
   CASE WHEN o.o_orderkey IS NULL THEN 'insert'
        WHEN n.o_orderkey IS NULL THEN 'delete'
        ELSE 'update' END AS change_type,
-  o.price_cents AS old_cents,
-  n.price_cents AS new_cents
+  coalesce(o.price_cents, -1) AS old_cents,
+  coalesce(n.price_cents, -1) AS new_cents
 FROM old_snap o
 FULL OUTER JOIN new_snap n ON n.o_orderkey = o.o_orderkey
 WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
@@ -495,8 +496,10 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("n.o_orderkey").isNull(), "delete")
         .otherwise("update")
         .alias("change_type"),
-        F.col("o.price_cents").alias("old_cents"),
-        F.col("n.price_cents").alias("new_cents"),
+        # -1 sentinel instead of NULL: nullable int columns degrade to
+        # float64 in pandas canonicalization (driver-hash asymmetry risk).
+        F.coalesce(F.col("o.price_cents"), F.lit(-1)).alias("old_cents"),
+        F.coalesce(F.col("n.price_cents"), F.lit(-1)).alias("new_cents"),
     ).filter(
         F.col("o.o_orderkey").isNull()
         | F.col("n.o_orderkey").isNull()

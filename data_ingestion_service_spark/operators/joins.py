@@ -53,7 +53,7 @@ _OUTER_ORACLE = """
 SELECT
   o_orderstatus,
   count(*)                                              AS n_rows,
-  sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)   AS n_unmatched,
+  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
   round(sum(coalesce(l_extendedprice, 0.0)), 2)         AS total_price
 FROM orders
 LEFT JOIN lineitem ON o_orderkey = l_orderkey

@@ -94,6 +94,9 @@ WHERE p.n_common * 1.0 / (sa.sz + sb.sz - p.n_common) >= {_NEAR_DEDUP_THRESHOLD}
 
 _PAIR_INDEX_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = None  # type: ignore[assignment]
 
+# Posting lists longer than this are stop-listed (k² pair-blow-up guard).
+_HOT_SHINGLE_CAP = 64
+
 
 def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaccard>=threshold candidate pairs (doc_a < doc_b) — shared by
@@ -128,11 +131,20 @@ def _near_dup_pairs_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expand each posting list's ordered pairs with array HOFs. One pass
     # over the shingle pipeline and one shuffle (by shingle) instead of
     # re-computing the index per join side (self-join dedup blocks
-    # exchange reuse). Production caveat encoded here too: a hot shingle
-    # with k docs emits k(k-1)/2 pairs — at 100 TB you cap/stop-list hot
-    # shingles; the fixture corpus has no such shingle.
-    grouped = sh.groupBy("shingle").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    # exchange reuse).
+    #
+    # Hot-shingle stop-list: a shingle shared by k docs emits k(k-1)/2
+    # pairs — one viral boilerplate line at 100 TB would otherwise emit
+    # billions of pairs from a single reduce key (unbounded k² skew).
+    # Shingles above the cap are treated as non-discriminative and
+    # dropped, exactly like stopwords in production MinHash pipelines.
+    # The cap is far above the fixture's max posting list (7 at sf0.01,
+    # 25 at sf0.1 — pinned by test_hot_shingle_cap_inactive), so the
+    # oracle-checked result set is unchanged at tested scales.
+    grouped = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") <= _HOT_SHINGLE_CAP)
     )
     pair_arr = F.flatten(
         F.transform(
@@ -255,7 +267,7 @@ _DOC_TOKENS_ORACLE = """
 SELECT
   lang,
   count(*)                                      AS n_docs,
-  sum(len(string_split(text, ' ')))             AS total_tokens,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
   round(avg(len(string_split(text, ' '))), 4)   AS avg_tokens,
   round(avg(n_chars), 4)                        AS avg_chars,
   max(n_chars)                                  AS max_chars

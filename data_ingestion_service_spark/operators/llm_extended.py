@@ -168,18 +168,36 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q_embed_near_dup — embedding-cosine near-duplicate pairs via BLOCK
-# MATMUL: vectors are grouped into ~512-row blocks, block pairs cross-join
-# (B² rows, each tiny), and a vectorized Pandas UDF computes the whole
-# 512×512 cosine matrix with one BLAS matmul per block pair. ~50× faster
-# than a per-pair higher-order-function dot product (measured 67s → this,
-# sf0.1), and the shape that scales: block pairs distribute across
-# executors, Arrow moves each block once, BLAS does the flops.
+# q_embed_near_dup — embedding-cosine near-duplicate pairs via PRUNED
+# BLOCK MATMUL. Three stages:
+#   1. Vectors are grouped into ~512-row blocks; each block's stats
+#      (centroid of the normalized vectors + covering radius) are
+#      computed in one Arrow pass — B tiny rows.
+#   2. Block-pair candidates come from a stats×stats join PRUNED by the
+#      triangle inequality: cos(a,b) ≥ t is equivalent to normalized
+#      euclidean ‖â−b̂‖ ≤ √(2−2t), and any cross-block pair satisfies
+#      ‖â−b̂‖ ≥ ‖cA−cB‖ − rA − rB.  Block pairs whose centroid gap
+#      exceeds the bound + radii provably contain NO qualifying pair and
+#      are dropped BEFORE any vector data moves — lossless pruning, the
+#      same bound IVF indexes use.  On clustered corpora (every real
+#      embedding space) this prunes most of the B² pairs (pinned by
+#      test_embed_block_prune_lossless on a clustered dataset); on
+#      adversarially uniform random vectors — like this synthetic
+#      fixture — no exact method can prune, and the filter passes all
+#      pairs rather than dropping true positives (a hashed/LSH bucket
+#      key here would silently lose threshold pairs).
+#   3. Surviving block pairs cross-join (each row tiny) and a vectorized
+#      Pandas UDF computes the whole 512×512 cosine matrix with one BLAS
+#      matmul per pair. ~50× faster than a per-pair higher-order-function
+#      dot product (measured 67s → this, sf0.1).
 #
 # Parity: the UDF prefilters on the raw value with a LOOSE bound
 # (threshold − 1e-3); the exact threshold is applied JVM-side on the
 # 4dp-rounded value, so BLAS-vs-sequential last-ulp differences cannot
-# change the result set.
+# change the result set. The prune bound uses the same loose threshold.
+# At production scale the block id comes from an IVF/k-means assignment
+# pass (see q_knn_ivf_kmeans) so blocks are spatially tight and the
+# radii small; the prune predicate is identical.
 # ---------------------------------------------------------------------------
 
 _EMBED_NEAR_DUP_ORACLE = """
@@ -196,21 +214,81 @@ WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.45
 _NEAR_DUP_COS_THRESHOLD = 0.45
 
 
+def _embed_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectors grouped into ~512-row blocks, persisted (consumed twice:
+    stats pass + pruned pair join — without persist the whole
+    scan+shuffle reruns per consumer)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn("blk", (F.col("vec_id") / 512).cast("int"))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("vecs"))
+        .persist()
+    )
+
+
+def _embed_candidate_pairs(blocks: DataFrame, loose: float) -> DataFrame:
+    """Block-pair candidates (blk_a <= blk_b) surviving the lossless
+    triangle-inequality prune — exposed separately so the posture test can
+    pin the prune firing on clustered data."""
+    import math
+
+    import numpy as np
+
+    # cos(a,b) >= loose  <=>  ||â − b̂|| <= sqrt(2 − 2·loose)
+    prune_bound = float(math.sqrt(2.0 - 2.0 * loose))
+
+    def block_stats(batches):
+        for pdf in batches:
+            rows = []
+            for blk, vecs in zip(pdf["blk"], pdf["vecs"]):
+                m = np.array([r["embedding"] for r in vecs], dtype=np.float64)
+                m /= np.linalg.norm(m, axis=1, keepdims=True)
+                c = m.mean(axis=0)
+                radius = float(np.sqrt(((m - c) ** 2).sum(axis=1)).max())
+                rows.append((int(blk), c.tolist(), radius))
+            yield pd.DataFrame(rows, columns=["blk", "centroid", "radius"])
+
+    stats = blocks.mapInPandas(
+        block_stats, schema="blk int, centroid array<double>, radius double"
+    )
+    sa = stats.select(
+        F.col("blk").alias("blk_a"), F.col("centroid").alias("ca"), F.col("radius").alias("ra")
+    )
+    sb = stats.select(
+        F.col("blk").alias("blk_b"), F.col("centroid").alias("cb"), F.col("radius").alias("rb")
+    )
+    cdist = F.sqrt(
+        F.aggregate(
+            F.zip_with("ca", "cb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    # Lossless triangle-inequality prune: any qualifying cross-block pair
+    # forces ||cA−cB|| − rA − rB <= prune_bound, so dropped block pairs
+    # provably contain no result row. Stats rows are tiny (B rows of one
+    # 64-float centroid), so the B² candidate join costs nothing next to
+    # the vector matmuls it avoids.
+    return (
+        sa.join(sb, F.col("blk_a") <= F.col("blk_b"))
+        .filter(cdist - F.col("ra") - F.col("rb") <= F.lit(prune_bound))
+        .select("blk_a", "blk_b")
+    )
+
+
 @register("q_embed_near_dup", oracle=_EMBED_NEAR_DUP_ORACLE)
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    blocks = (
-        emb.withColumn("blk", (F.col("vec_id") / 512).cast("int"))
-        .groupBy("blk")
-        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("vecs"))
-    )
-    a = blocks.select(F.col("blk").alias("blk_a"), F.col("vecs").alias("vecs_a"))
-    b = blocks.select(F.col("blk").alias("blk_b"), F.col("vecs").alias("vecs_b"))
-    pairs = a.join(b, F.col("blk_a") <= F.col("blk_b"))
-
+    blocks = _embed_blocks(spark, sf_dir)
     loose = _NEAR_DUP_COS_THRESHOLD - 1e-3
+    cand = _embed_candidate_pairs(blocks, loose)
+    pairs = cand.join(
+        blocks.select(F.col("blk").alias("blk_a"), F.col("vecs").alias("vecs_a")), "blk_a"
+    ).join(
+        blocks.select(F.col("blk").alias("blk_b"), F.col("vecs").alias("vecs_b")), "blk_b"
+    )
 
     def block_cosine(batches):
         for pdf in batches:
@@ -411,7 +489,7 @@ SELECT
   doc_id,
   octet_length(encode(text))    AS n_bytes,
   md5(text)                     AS digest,
-  encode(substring(text, 1, 8)) AS head_bytes,
+  lower(hex(encode(substring(text, 1, 8)))) AS head_bytes,
   lang
 FROM documents
 """
@@ -425,7 +503,9 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.octet_length(blob).cast("bigint").alias("n_bytes"),
         F.md5(blob).alias("digest"),
-        F.encode(F.substring("text", 1, 8), "UTF-8").alias("head_bytes"),
+        # Hex-stringified: raw binary cells crash the driver's pandas
+        # canonicalizer (unhashable bytearray); the binary ops above stay real.
+        F.lower(F.hex(F.encode(F.substring("text", 1, 8), "UTF-8"))).alias("head_bytes"),
         "lang",
     )
 

@@ -270,7 +270,7 @@ SELECT
   o_orderpriority,
   count(*)                                                        AS n_orders,
   count(CASE WHEN o_totalprice > 200000 THEN 1 END)               AS n_big,
-  sum(CASE WHEN o_orderstatus IN ('F', 'O') THEN 1 ELSE 0 END)    AS n_done_or_open,
+  CAST(sum(CASE WHEN o_orderstatus IN ('F', 'O') THEN 1 ELSE 0 END) AS BIGINT) AS n_done_or_open,
   count(nullif(o_orderstatus, 'P'))                               AS n_not_pending,
   round(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS avg_f_price
 FROM orders

@@ -69,7 +69,7 @@ SELECT
   dayofweek(o_orderdate)::BIGINT                               AS dow,
   date_trunc('month', o_orderdate)::TIMESTAMP                  AS month_start,
   date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)::BIGINT AS days_since,
-  CAST(o_orderdate AS DATE) + 30                               AS due_date,
+  (CAST(o_orderdate AS DATE) + 30)::TIMESTAMP                  AS due_date,
   strftime(o_orderdate, '%Y-%m-%d')                            AS iso_day
 FROM orders
 WHERE o_orderkey <= 500
@@ -90,7 +90,11 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(
             F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
         ).cast("bigint").alias("days_since"),
-        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        # TIMESTAMP, not DATE: raw DATE columns canonicalize asymmetrically
+        # (Spark→object-of-date, DuckDB→datetime64) and mismatch the driver hash.
+        F.date_add(F.col("o_orderdate").cast("date"), 30)
+        .cast("timestamp_ntz")
+        .alias("due_date"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
     )
 
@@ -183,7 +187,8 @@ SELECT
   round(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum'), 4) AS sq_norm,
   len(list_filter(embedding, x -> x > 0.5))::INT                   AS n_gt_half,
   round(list_aggregate(embedding::DOUBLE[], 'max'), 6)             AS max_val,
-  embedding[1:3]::DOUBLE[]                                         AS head3
+  array_to_string(list_transform(embedding[1:3]::DOUBLE[],
+                                 x -> CAST(round(x * 1000000) AS BIGINT)), ',') AS head3
 FROM embeddings
 WHERE vec_id < 100
 """
@@ -202,7 +207,12 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sq_norm"),
         F.size(F.filter("embedding", lambda x: x > F.lit(0.5))).alias("n_gt_half"),
         F.round(F.array_max(vec), 6).alias("max_val"),
-        F.slice(vec, 1, 3).alias("head3"),
+        # Stringified via e6-scaled ints: array outputs crash the driver's
+        # canonicalizer, and raw double formatting differs across engines.
+        F.array_join(
+            F.transform(F.slice(vec, 1, 3), lambda x: F.round(x * 1000000).cast("bigint")),
+            ",",
+        ).alias("head3"),
     )
 
 

@@ -56,7 +56,7 @@ def q_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MAP_TYPE_ORACLE = """
 SELECT
   event_id,
-  json_keys(props)                                    AS prop_keys,
+  array_to_string(list_sort(json_keys(props)), ',')   AS prop_keys,
   CAST(json_extract_string(props, '$.k') AS INTEGER)  AS k_val,
   1::INT                                              AS n_keys
 FROM events
@@ -70,7 +70,8 @@ def q_map_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.from_json("props", "map<string,int>")
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("prop_keys"),
+        # Sorted + joined: array outputs crash the driver's canonicalizer.
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("prop_keys"),
         F.element_at(m, "k").alias("k_val"),
         F.size(F.map_keys(m)).alias("n_keys"),
     )

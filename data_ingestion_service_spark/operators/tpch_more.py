@@ -315,7 +315,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q11_ORACLE = """
 WITH pv AS (
   SELECT l_partkey AS partkey,
-         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS value_cents
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation   ON s_nationkey = n_nationkey
@@ -567,8 +567,8 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q12_ORACLE = """
 SELECT o_orderpriority,
-       sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
-                THEN 1 ELSE 0 END)          AS late_count,
+       CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
        count(*)                             AS total_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority

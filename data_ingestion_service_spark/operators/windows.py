@@ -179,20 +179,43 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q_sample — seeded Bernoulli sample. Sampling is engine-specific RNG, so
-# no SQL oracle (rows-only check, SURVEY.md §2.6); the aggregate shape keeps
-# the output small and schema-stable.
+# q_sample — deterministic hash-based sample (1/16 of rows): rows whose
+# md5 of a stable row key starts with '0'. Unlike seeded-RNG Bernoulli
+# sampling, this is exactly reproducible across engines, runs, AND
+# cluster re-partitionings — the property a 100 TB training-data
+# pipeline needs for auditable holdouts (same row set every rerun, no
+# dependency on partition iteration order). md5 hex is the
+# cross-engine-stable hash family, so the oracle checks it exactly.
+# Aggregates are exact integers (quantities are integral, prices in
+# cents) — no float-rounding divergence possible.
 # ---------------------------------------------------------------------------
 
+_SAMPLE_ORACLE = """
+SELECT
+  l_returnflag,
+  count(*)                                                   AS n_sampled,
+  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)     AS sum_qty,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+FROM lineitem
+WHERE substr(md5(l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR), 1, 1) = '0'
+GROUP BY l_returnflag
+"""
 
-@register("q_sample")
+
+@register("q_sample", oracle=_SAMPLE_ORACLE)
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    row_key = F.concat_ws(
+        "-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
     return (
-        li.sample(fraction=0.1, seed=42)
+        li.filter(F.substring(F.md5(row_key), 1, 1) == "0")
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "price_cents"
+            ),
         )
     )

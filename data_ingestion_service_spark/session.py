@@ -35,6 +35,12 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # The driver hands us a plain session whose shuffle-partition default
+    # (200) inflates every shuffle's task count at test scale. Pin it to
+    # the local core count; on a real cluster this is sized ~2-3x total
+    # cores by the submitter, and AQE coalescing absorbs the difference
+    # either way. Runtime-settable, so safe on a live session.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
 }
 
 

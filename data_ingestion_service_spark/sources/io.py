@@ -70,7 +70,7 @@ def src_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TEXT_ORACLE = """
-SELECT l_returnflag, count(*) AS n, sum(l_orderkey) AS key_sum
+SELECT l_returnflag, count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS key_sum
 FROM lineitem
 GROUP BY l_returnflag
 """

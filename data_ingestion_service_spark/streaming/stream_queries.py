@@ -460,7 +460,20 @@ def q_stream_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_stream_watermark")
+# Batch-equivalent final-state oracle: once the replay drains, every
+# window's latest update equals the batch GROUP BY over the same data
+# (the watermark only bounds state retention; no rows are late in a
+# replay). Counts per window are monotonic across updates, so max(n)
+# per window selects each window's final state even if the file source
+# splits the replay into multiple micro-batches.
+_STREAM_WATERMARK_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour_start, count(*) AS n
+FROM events
+GROUP BY 1
+"""
+
+
+@register("q_stream_watermark", oracle=_STREAM_WATERMARK_ORACLE)
 def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_stream(spark, sf_dir)
     agg = (
@@ -469,8 +482,9 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     final = run_to_memory(agg, "update")
-    return final.select(
-        F.col("window.start").cast("timestamp_ntz").alias("hour_start"), "n"
+    return (
+        final.groupBy(F.col("window.start").cast("timestamp_ntz").alias("hour_start"))
+        .agg(F.max("n").alias("n"))
     )
 
 

@@ -5,6 +5,17 @@ SparkSession (none of our tuned confs), entry() smoke at sf0.001, then
 every queries()[k] vs oracle_sql()[k] via DuckDB at sf0.01 — row count,
 column-name schema, and an order-insensitive value hash over columns
 sorted by name. Prints one line per query and a final summary.
+
+Round-2 hardening: the round-1 sim hashed DuckDB ``fetchall()`` native
+Python values, which is blind to pandas-dtype divergence — the real
+driver canonicalizes BOTH sides through pandas (``toPandas()`` /
+``cur.df()``), where DuckDB HUGEINT (un-cast integer ``sum()``) becomes
+float64 while Spark bigint stays int64, and array-typed columns crash
+``sort_values`` outright.  Three round-1 hash-fails and one crash came
+from exactly that gap.  This version reproduces the driver's pandas
+canonicalization: dtype-sensitive type-tagged cell normalization, and
+``sort_values`` over all columns (so unhashable/array columns fail here
+the same way they fail there).
 """
 
 from __future__ import annotations
@@ -15,10 +26,13 @@ import math
 import os
 import sys
 import time
+from decimal import Decimal
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import numpy as np
+import pandas as pd
 from pyspark.sql import SparkSession
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -29,25 +43,53 @@ TABLES = (
 
 
 def norm_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        v = round(v, 9) + 0.0
-        return repr(v)
+    """Type-tagged cell repr: int64 and float64 of the same value MUST differ.
+
+    The tag prefix is the point — the real driver hashes pandas-canonical
+    values, so DuckDB HUGEINT→float64 ``500.0`` vs Spark int64 ``500``
+    is a hash mismatch there and must be one here too.
+    """
+    if v is None or v is pd.NaT:
+        return "null"
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
+            return "null"
+        return "f:" + repr(round(f, 12) + 0.0)
+    if isinstance(v, (np.bool_, bool)):
+        return "b:" + str(bool(v))
+    if isinstance(v, (np.integer, int)):
+        return "i:" + str(int(v))
+    if isinstance(v, pd.Timestamp):
+        return "ts:" + v.to_pydatetime().replace(tzinfo=None).isoformat()
     if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return "ts:" + v.replace(tzinfo=None).isoformat()
     if isinstance(v, dt.date):
-        return v.isoformat()
-    if isinstance(v, list):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+        return "d:" + v.isoformat()
     if isinstance(v, (bytes, bytearray)):
-        return bytes(v).hex()
-    return repr(v)
+        return "x:" + bytes(v).hex()
+    if isinstance(v, Decimal):
+        return "dec:" + str(v)
+    if isinstance(v, str):
+        return "s:" + v
+    if isinstance(v, (list, tuple, np.ndarray, dict)):
+        # The driver's pandas sort_values dies on these ("unhashable type");
+        # surface the same class of failure loudly.
+        raise TypeError(f"non-scalar cell in oracle-checked output: {type(v).__name__}")
+    return "o:" + repr(v)
 
 
-def value_hash(columns, rows):
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+def canon_hash(pdf: pd.DataFrame) -> str:
+    """Driver-style canonicalization: columns sorted by name, rows sorted
+    via pandas sort_values (reproduces the driver's array-column crash),
+    then an order-insensitive sha256 over type-tagged cells."""
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    lines = sorted(
+        "|".join(norm_cell(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    )
     h = hashlib.sha256()
     for line in lines:
         h.update(line.encode())
@@ -58,6 +100,8 @@ def value_hash(columns, rows):
 def main() -> int:
     import __spark_entry__ as entry_mod
 
+    only = set(sys.argv[1:])  # optional: run a subset of keys
+
     spark = (
         SparkSession.builder.master("local[16]")
         .appName("driver-sim")
@@ -66,10 +110,11 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    df = entry_mod.entry(spark)
-    rows = df.collect()
-    assert len(rows) > 0, "entry() returned no rows"
-    print(f"[smoke] entry() OK: {len(rows)} rows, schema={df.columns}")
+    if not only:
+        df = entry_mod.entry(spark)
+        rows = df.collect()
+        assert len(rows) > 0, "entry() returned no rows"
+        print(f"[smoke] entry() OK: {len(rows)} rows, schema={df.columns}")
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
@@ -79,34 +124,51 @@ def main() -> int:
 
     n_pass = n_fail = n_rows_only = 0
     for key in sorted(qs):
+        if only and key not in only:
+            continue
         t0 = time.monotonic()
         try:
             sdf = qs[key](spark, SF_CORRECT)
-            s_rows = [tuple(r) for r in sdf.collect()]
-            s_cols = sdf.columns
+            spdf = sdf.toPandas()
         except Exception as exc:  # noqa: BLE001
-            print(f"[FAIL] {key}: spark raised {exc}")
+            print(f"[FAIL] {key}: spark raised {type(exc).__name__}: {exc}")
             n_fail += 1
             continue
         el = time.monotonic() - t0
         if key not in oracles:
-            print(f"[rows-only] {key}: {len(s_rows)} rows in {el:.2f}s")
+            print(f"[rows-only] {key}: {len(spdf)} rows in {el:.2f}s")
             n_rows_only += 1
             continue
-        cur = con.execute(oracles[key])
-        d_cols = [d[0] for d in cur.description]
-        d_rows = cur.fetchall()
-        ok_schema = sorted(s_cols) == sorted(d_cols)
-        ok_count = len(s_rows) == len(d_rows)
-        sh, dh = value_hash(s_cols, s_rows), value_hash(d_cols, d_rows)
+        try:
+            opdf = con.execute(oracles[key]).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"[FAIL] {key}: oracle raised {type(exc).__name__}: {exc}")
+            n_fail += 1
+            continue
+        ok_schema = sorted(spdf.columns) == sorted(opdf.columns)
+        ok_count = len(spdf) == len(opdf)
+        try:
+            sh = canon_hash(spdf)
+            dh = canon_hash(opdf)
+        except Exception as exc:  # noqa: BLE001
+            print(f"[FAIL] {key}: canonicalizer crash {type(exc).__name__}: {exc}")
+            n_fail += 1
+            continue
         ok_hash = sh == dh
         if ok_schema and ok_count and ok_hash:
-            print(f"[OK]   {key}: {len(s_rows)} rows, hash={sh} in {el:.2f}s")
+            print(f"[OK]   {key}: {len(spdf)} rows, hash={sh} in {el:.2f}s")
             n_pass += 1
         else:
+            detail = ""
+            if ok_count and not ok_hash:
+                sd = dict(zip(sorted(spdf.columns), spdf[sorted(spdf.columns)].dtypes))
+                od = dict(zip(sorted(opdf.columns), opdf[sorted(opdf.columns)].dtypes))
+                diff = {c: (str(sd[c]), str(od.get(c))) for c in sd if str(sd[c]) != str(od.get(c))}
+                if diff:
+                    detail = f" dtype-diff={diff}"
             print(
                 f"[FAIL] {key}: schema={ok_schema} count={ok_count} "
-                f"({len(s_rows)} vs {len(d_rows)}) hash={sh} vs {dh}"
+                f"({len(spdf)} vs {len(opdf)}) hash={sh} vs {dh}{detail}"
             )
             n_fail += 1
     print(f"\nsummary: {n_pass} hash-match, {n_rows_only} rows-only, {n_fail} FAIL")

@@ -190,13 +190,15 @@ def test_snapshot_diff_consistent(run):
     for r in rows:
         by_type.setdefault(r.change_type, []).append(r)
     assert set(by_type) == {"insert", "update", "delete"}
+    # Missing sides carry a -1 sentinel (not NULL): nullable int columns
+    # degrade to float64 under the driver's pandas canonicalization.
     for r in by_type["delete"]:
-        assert r.o_orderkey % 97 == 0 and r.new_cents is None
+        assert r.o_orderkey % 97 == 0 and r.new_cents == -1
     for r in by_type["update"]:
         assert r.o_orderkey % 101 == 0
         assert r.new_cents == r.old_cents + 100
     for r in by_type["insert"]:
-        assert r.old_cents is None
+        assert r.old_cents == -1
 
 
 def test_expectations_clean_fixture(run):
@@ -246,3 +248,86 @@ def test_zorder_tiles_are_compact_rectangles(run):
     for r in rows:
         assert r.ca_hi - r.ca_lo <= 15, r
         assert r.mb_hi - r.mb_lo <= 15, r
+
+
+def test_hot_shingle_cap_inactive(spark, sf_dir):
+    """The hot-shingle stop-list (k² pair-blow-up guard) must be inert on
+    the fixture: every posting list is strictly under the cap, so the
+    filter provably removes nothing and the oracle-checked near-dup pair
+    set is unchanged. (7 at sf0.01, 25 at sf0.1 — if fixture growth ever
+    crosses the cap, this fails before the oracle silently diverges.)"""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_service_spark.functions.text import shingle_rows
+    from data_ingestion_service_spark.operators.llm import _HOT_SHINGLE_CAP
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(docs, 3).distinct()
+    [row] = sh.groupBy("shingle").count().agg(F.max("count").alias("mx")).collect()
+    assert row.mx < _HOT_SHINGLE_CAP, (
+        f"fixture posting list {row.mx} reached cap {_HOT_SHINGLE_CAP}; "
+        "cap is no longer provably inert on this fixture"
+    )
+
+
+def test_embed_block_prune_lossless(spark, tmp_path):
+    """On clustered embeddings (every real corpus) the centroid+radius
+    triangle-inequality prune must drop block pairs, and the pruned
+    result must equal brute force exactly — lossless by construction.
+
+    Two antipodal clusters, one per 512-id block: intra-cluster cosine
+    ~0.94 (all pairs qualify), cross-cluster ~-0.94 (none qualify) —
+    the cross-block pair is provably prunable."""
+    import numpy as np
+    import pandas as pd
+
+    from data_ingestion_service_spark.operators.llm_extended import (
+        _NEAR_DUP_COS_THRESHOLD,
+        _embed_blocks,
+        _embed_candidate_pairs,
+    )
+    from data_ingestion_service_spark.registry import QUERIES
+
+    rng = np.random.default_rng(7)
+    dim, n = 64, 50
+    base = np.zeros(dim)
+    base[0] = 1.0
+    vecs = np.concatenate(
+        [
+            base + rng.normal(0, 0.03, (n, dim)),
+            -base + rng.normal(0, 0.03, (n, dim)),
+        ]
+    ).astype(np.float32)
+    # vec_ids chosen so each cluster lands in its own 512-id block.
+    ids = list(range(n)) + list(range(512, 512 + n))
+    pdf = pd.DataFrame(
+        {"vec_id": ids, "embedding": list(vecs), "label": [0] * n + [1] * n}
+    )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        pdf, schema="vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    blocks = _embed_blocks(spark, sf_dir)
+    cand = {
+        (r.blk_a, r.blk_b)
+        for r in _embed_candidate_pairs(
+            blocks, _NEAR_DUP_COS_THRESHOLD - 1e-3
+        ).collect()
+    }
+    assert cand == {(0, 0), (1, 1)}, f"cross-block pair not pruned: {cand}"
+
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in QUERIES["q_embed_near_dup"](spark, sf_dir).collect()
+    }
+    m = vecs.astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    id_arr = np.array(ids)
+    ia, ib = np.nonzero(np.round(sims, 4) >= _NEAR_DUP_COS_THRESHOLD)
+    want = {
+        (int(id_arr[a]), int(id_arr[b])) for a, b in zip(ia, ib) if id_arr[a] < id_arr[b]
+    }
+    assert got == want
+    blocks.unpersist()
