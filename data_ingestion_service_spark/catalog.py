@@ -4,12 +4,14 @@ Schemas documented in FIXTURES.md; generated per TESTDATA.md. All loaders
 are plain ``spark.read.parquet`` scans — columnar, vectorized, with
 predicate pushdown and column pruning left to Catalyst (SURVEY.md §4).
 
-The one irregularity: ``events.parquet`` stores ``ts`` as parquet
-TIMESTAMP(NANOS), which Spark cannot map to a timestamp directly. We read
-nanos as long (``spark.sql.legacy.parquet.nanosAsLong``) and convert to
-``timestamp_ntz`` by integer-dividing to microseconds — the exact
-truncation DuckDB applies when it casts its TIMESTAMP_NS to TIMESTAMP, so
-both engines see identical values.
+The one irregularity: ``events.parquet``'s ``ts`` physical type has varied
+across driver fixture regenerations — TIMESTAMP(NANOS) (which Spark can
+only read as raw longs via ``spark.sql.legacy.parquet.nanosAsLong``) vs
+TIMESTAMP(MICROS) (plain ``timestamp_ntz``). The loader probes the actual
+schema and converts nanos-as-long fixtures by integer-dividing to
+microseconds — the exact truncation DuckDB applies when it casts
+TIMESTAMP_NS to TIMESTAMP — and passes µs fixtures through untouched, so
+both engines see identical values for either vintage.
 """
 
 from __future__ import annotations

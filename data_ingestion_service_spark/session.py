@@ -23,9 +23,10 @@ from pyspark.sql import SparkSession
 
 # Confs that are safe (and necessary) to set on a live session.
 RUNTIME_CONFS: dict[str, str] = {
-    # events.parquet stores TIMESTAMP(NANOS); Spark's reader rejects it
-    # unless nanos are surfaced as raw longs (catalog.py converts to
-    # timestamp_ntz, truncating ns -> us exactly like DuckDB does).
+    # Legacy fixture vintages store events.ts as TIMESTAMP(NANOS); Spark's
+    # reader rejects that unless nanos surface as raw longs (catalog.py
+    # then truncates ns -> us exactly like DuckDB). Harmless no-op on
+    # current µs fixtures.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Oracle parity: DuckDB timestamps are wall-clock/naive; pin UTC so any
     # TIMESTAMP (LTZ) value collects to the same wall-clock instant.

@@ -29,24 +29,63 @@ from data_ingestion_service_spark.catalog import load_table, table_path
 from data_ingestion_service_spark.registry import register
 from data_ingestion_service_spark.session import ensure_session_confs
 
-_EVENTS_RAW_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, "
-    "event_type string, value double, props string"
-)
+# The fixtures' physical type for events.ts has varied across driver
+# regenerations: TIMESTAMP(NANOS) (unreadable by Spark except as raw
+# longs via nanosAsLong) vs TIMESTAMP(MICROS) (plain timestamp_ntz).
+# Probe the parquet footer once per path and adapt, mirroring the batch
+# loader's guard (catalog.py load_table) so stream and batch always see
+# identical values regardless of fixture vintage.
+_TS_KIND_CACHE: dict[str, str] = {}
+
+
+def _events_ts_kind(spark: SparkSession, sf_dir: str) -> str:
+    """'bigint' (legacy nanos-as-long fixtures) or 'timestamp'."""
+    key = table_path(sf_dir, "events")
+    kind = _TS_KIND_CACHE.get(key)
+    if kind is None:
+        ensure_session_confs(spark)
+        dt = dict(spark.read.parquet(key).dtypes)["ts"]
+        kind = "bigint" if dt == "bigint" else "timestamp"
+        _TS_KIND_CACHE[key] = kind
+    return kind
+
+
+def _events_raw_schema(kind: str) -> str:
+    ts_ddl = "bigint" if kind == "bigint" else "timestamp_ntz"
+    return (
+        f"event_id bigint, ts {ts_ddl}, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+
+
+def _normalize_ts(df: DataFrame, kind: str) -> DataFrame:
+    """Raw -> event-time ``ts``, identical to the batch loader's value.
+
+    bigint fixtures: integer `div` (epoch-ns overflows double precision)
+    to micros. Either way ``ts`` ends as TIMESTAMP (LTZ): streaming
+    event-time ops (withWatermark) reject NTZ
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The NTZ->LTZ cast is
+    value-preserving under the pinned UTC session; final projections cast
+    back to NTZ batch-side.
+    """
+    if kind == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
     """Replayable stream over events.parquet (optionally duplicated).
 
-    ``ts`` arrives as raw nanos (legacy nanosAsLong read) and is converted
-    to timestamp_ntz exactly like the batch loader, so stream and batch
-    see identical values.
+    ``ts`` is normalized to event time exactly like the batch loader
+    (schema probed from the footer), so stream and batch see identical
+    values.
     """
     ensure_session_confs(spark)
+    kind = _events_ts_kind(spark, sf_dir)
     # Spark's file-stream source requires a directory: stream the fixture
     # dir with a glob filter for the single-copy case; stage copies into a
     # per-call replay dir when duplicate delivery is wanted (dedup ops).
-    reader = spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+    reader = spark.readStream.schema(_events_raw_schema(kind))
     if copies == 1:
         reader = reader.option("pathGlobFilter", "events.parquet")
         src = sf_dir
@@ -54,12 +93,7 @@ def events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFram
         src = tempfile.mkdtemp(prefix="ingest_replay_")
         for i in range(copies):
             shutil.copy(table_path(sf_dir, "events"), f"{src}/events_{i}.parquet")
-    # Integer `div` (epoch-ns overflows double precision); stays TIMESTAMP
-    # (LTZ) because streaming event-time ops (watermark, window state)
-    # require it — final projections cast to NTZ batch-side under the UTC
-    # session, which is value-preserving.
-    raw = reader.parquet(src)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_ts(reader.parquet(src), kind)
 
 
 def run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
@@ -526,24 +560,33 @@ GROUP BY user_id, sess_id
 @register("q_stream_session_window", oracle=_STREAM_SESSION_ORACLE)
 def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_confs(spark)
+    kind = _events_ts_kind(spark, sf_dir)
+    schema = _events_raw_schema(kind)
     src = tempfile.mkdtemp(prefix="ingest_sess_replay_")
     shutil.copy(table_path(sf_dir, "events"), f"{src}/events_0.parquet")
     # Sentinel 2h past the corpus max: watermark (max - 10min) then clears
-    # every real session's end (last ts + 30min gap).
-    max_ns = (
-        spark.read.schema(_EVENTS_RAW_SCHEMA)
+    # every real session's end (last ts + 30min gap). Sentinel row carries
+    # the same raw ts type as the fixture so both files stream uniformly.
+    max_raw = (
+        spark.read.schema(schema)
         .parquet(table_path(sf_dir, "events"))
         .agg(F.max("ts"))
         .collect()[0][0]
     )
+    if kind == "bigint":
+        sentinel_ts = max_raw + 2 * 3600 * 10**9
+    else:
+        import datetime
+
+        sentinel_ts = max_raw + datetime.timedelta(hours=2)
     spark.createDataFrame(
-        [(-1, max_ns + 2 * 3600 * 10**9, -1, "sentinel", 0.0, "{}")],
-        _EVENTS_RAW_SCHEMA,
+        [(-1, sentinel_ts, -1, "sentinel", 0.0, "{}")],
+        schema,
     ).coalesce(1).write.mode("overwrite").parquet(f"{src}/sentinel")
-    raw = spark.readStream.schema(_EVENTS_RAW_SCHEMA).option(
+    raw = spark.readStream.schema(schema).option(
         "recursiveFileLookup", "true"
     ).parquet(src)
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = _normalize_ts(raw, kind)
     agg = (
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
@@ -587,22 +630,24 @@ GROUP BY 1, 2
 @register("q_stream_ivm_merge", oracle=_STREAM_IVM_ORACLE)
 def q_stream_ivm_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_confs(spark)
+    kind = _events_ts_kind(spark, sf_dir)
+    schema = _events_raw_schema(kind)
     work = tempfile.mkdtemp(prefix="ingest_ivm_")
     # Stage the fixture into four chunk files so the file source yields
     # four micro-batches — the multi-batch path is the point of the test.
     (
-        spark.read.schema(_EVENTS_RAW_SCHEMA)
+        spark.read.schema(schema)
         .parquet(table_path(sf_dir, "events"))
         .repartition(4)
         .write.mode("overwrite")
         .parquet(f"{work}/chunks")
     )
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{work}/chunks")
     )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = _normalize_ts(raw, kind)
     snap_state = {"version": -1}
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -673,20 +718,22 @@ _ROCKSDB_PROVIDER = (
 @register("q_stream_rocksdb", oracle=_ROCKSDB_ORACLE)
 def q_stream_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_confs(spark)
+    kind = _events_ts_kind(spark, sf_dir)
+    schema = _events_raw_schema(kind)
     work = tempfile.mkdtemp(prefix="ingest_rocksdb_")
     (
-        spark.read.schema(_EVENTS_RAW_SCHEMA)
+        spark.read.schema(schema)
         .parquet(table_path(sf_dir, "events"))
         .repartition(4)
         .write.mode("overwrite")
         .parquet(f"{work}/chunks")
     )
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{work}/chunks")
     )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = _normalize_ts(raw, kind)
     agg = (
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour"), "event_type")

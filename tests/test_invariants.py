@@ -331,3 +331,28 @@ def test_embed_block_prune_lossless(spark, tmp_path):
     }
     assert got == want
     blocks.unpersist()
+
+
+def test_events_ts_epoch_tripwire(spark, sf_dir):
+    """Tripwire for fixture-vintage drift (round-2 regression class): both
+    the batch loader and the streaming reader must place events in the
+    fixture's real era (2024), never 1970 — a div-1000 applied to an
+    already-µs timestamp lands everything in January 1970."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_service_spark.streaming.stream_queries import (
+        events_stream,
+        run_to_memory,
+    )
+
+    batch_year = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.year(F.max("ts")).alias("y"))
+        .collect()[0]["y"]
+    )
+    assert batch_year == 2024
+
+    stream_max = run_to_memory(
+        events_stream(spark, sf_dir).agg(F.max("ts").alias("m")), "complete"
+    ).collect()[0]["m"]
+    assert stream_max.year == 2024
