@@ -67,7 +67,16 @@ def main() -> None:
     spark = get_spark(app_name="ingestion-engine-bench", shuffle_partitions=8)
 
     keys = [k for k in HEADLINE if k in QUERIES]
-    # Warm-up round: JIT/codegen + parquet footer caches (untimed).
+    # Warm-up round: JIT/codegen + parquet footer caches (untimed). Also
+    # spin up the Python/Arrow worker pool: the first Python stage in a
+    # session pays ~5s of one-time worker forks, which would otherwise
+    # land entirely on whichever single query happens to hit Python first
+    # — a long-running service (and the steady state this bench measures)
+    # always has a warm pool.
+    cpus = spark.sparkContext.defaultParallelism
+    spark.range(cpus).repartition(cpus).mapInPandas(
+        lambda batches: batches, "id long"
+    ).count()
     for key in keys:
         QUERIES[key](spark, sf_dir).collect()
 

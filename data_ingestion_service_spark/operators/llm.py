@@ -26,6 +26,7 @@ from data_ingestion_service_spark.catalog import load_table
 from data_ingestion_service_spark.functions.text import shingle_rows, shingles, token_count, tokens
 from data_ingestion_service_spark.functions.vector import as_double, cosine
 from data_ingestion_service_spark.registry import register
+from data_ingestion_service_spark.session import session_persisted
 
 # ---------------------------------------------------------------------------
 # q_dedup_docs — exact dedup by content hash (one summary row).
@@ -92,8 +93,6 @@ WHERE p.n_common * 1.0 / (sa.sz + sb.sz - p.n_common) >= {_NEAR_DEDUP_THRESHOLD}
 """
 
 
-_PAIR_INDEX_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = None  # type: ignore[assignment]
-
 # Posting lists longer than this are stop-listed (k² pair-blow-up guard).
 _HOT_SHINGLE_CAP = 64
 
@@ -103,24 +102,17 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_near_dedup (which reports them) and q_dup_clusters (which runs
     connected components over them).
 
-    The result is persisted and cached per (session, sf): it is the
-    pair *index* (a few hundred tiny rows), built once and probed by
-    every downstream dedup stage — exactly how a production pipeline
-    treats it. The expensive shingle pipeline itself is deliberately NOT
-    persisted (materializing the inverted index doubles cold time by
-    blocking the pipelined explode)."""
-    global _PAIR_INDEX_CACHE
-    import weakref
-
-    if _PAIR_INDEX_CACHE is None:
-        _PAIR_INDEX_CACHE = weakref.WeakKeyDictionary()
-    per_session = _PAIR_INDEX_CACHE.setdefault(spark, {})
-    cached = per_session.get(sf_dir)
-    if cached is not None:
-        return cached
-    result = _near_dup_pairs_fresh(spark, sf_dir).persist()
-    per_session[sf_dir] = result
-    return result
+    The result is persisted and cached per (session, sf) via the shared
+    registry: it is the pair *index* (a few hundred tiny rows), built
+    once and probed by every downstream dedup stage — exactly how a
+    production pipeline treats it. The expensive shingle pipeline itself
+    is deliberately NOT persisted (materializing the inverted index
+    doubles cold time by blocking the pipelined explode)."""
+    return session_persisted(
+        spark,
+        ("near_dup_pairs", sf_dir),
+        lambda: _near_dup_pairs_fresh(spark, sf_dir),
+    )
 
 
 def _near_dup_pairs_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:

