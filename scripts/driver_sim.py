@@ -36,7 +36,8 @@ import pandas as pd
 from pyspark.sql import SparkSession
 
 SF_SMOKE = "/root/testdata/sf0.001"
-SF_CORRECT = "/root/testdata/sf0.01"
+# Override to re-validate at another tier (e.g. sf0.1, 10x the graded one).
+SF_CORRECT = os.environ.get("DRIVER_SIM_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
