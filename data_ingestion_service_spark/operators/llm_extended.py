@@ -26,9 +26,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_service_spark.catalog import load_table
-from data_ingestion_service_spark.functions.text import shingle_rows, shingles, tokens
+from data_ingestion_service_spark.functions.text import shingle_rows, tokens
 from data_ingestion_service_spark.operators.llm import (
     _NEAR_DEDUP_THRESHOLD,
+    doc_shingles,
     near_dup_pairs,
 )
 from data_ingestion_service_spark.functions.vector import as_double, cosine
@@ -53,8 +54,10 @@ sh AS (
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return shingle_rows(docs, 3).distinct()
+    # Shared session-persisted shingle table (built 32-way; see
+    # llm.doc_shingles) — one build serves minhash, fingerprint, near-dup
+    # and dup-clusters.
+    return doc_shingles(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

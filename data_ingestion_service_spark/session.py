@@ -17,6 +17,7 @@ the test-only shuffle-partition count in :func:`get_spark`.
 from __future__ import annotations
 
 import os
+import threading
 import weakref
 
 from pyspark.sql import SparkSession
@@ -56,16 +57,59 @@ _CONFIGURED_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 # keys: entries die with their session.
 _DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
 
+# One lock is enough: build() only constructs a lazy plan + calls persist()
+# (no job runs), so the critical section is cheap even under the bench's
+# 8-thread client pool. Reentrant because builds nest (near_dup_pairs's
+# build calls doc_shingles, another session_persisted entry).
+_DF_CACHE_LOCK = threading.RLock()
+
+
+def _norm_key(key):
+    """Normalize path-bearing key components (sf_dir vs sf_dir/) the same
+    way catalog._TABLE_CACHE does, so two spellings share one entry."""
+    if isinstance(key, tuple):
+        return tuple(k.rstrip("/") if isinstance(k, str) else k for k in key)
+    return key.rstrip("/") if isinstance(key, str) else key
+
 
 def session_persisted(spark: SparkSession, key, build):
-    """Return the persisted DataFrame for ``key``, building it once."""
+    """Return the persisted DataFrame for ``key``, building it once.
+
+    Double-checked under a lock so concurrent first calls (the bench's
+    thread pool) cannot double-build and leak an orphan persisted copy.
+    Callers must NOT ``unpersist()`` the returned DataFrame — use
+    :func:`session_invalidate`, which owns removal from the registry.
+    """
+    key = _norm_key(key)
     per_session = _DF_CACHE.setdefault(spark, {})
     df = per_session.get(key)
     if df is None:
-        df = build()
-        df.persist()
-        per_session[key] = df
+        with _DF_CACHE_LOCK:
+            df = per_session.get(key)
+            if df is None:
+                df = build()
+                df.persist()
+                per_session[key] = df
     return df
+
+
+def session_invalidate(spark: SparkSession, key) -> bool:
+    """Unpersist and drop one cached entry; returns True if it existed.
+
+    The sanctioned way to retire a :func:`session_persisted` DataFrame —
+    a caller-side ``unpersist()`` would leave a cached-but-unpersisted
+    entry behind for every later caller of the same key."""
+    key = _norm_key(key)
+    with _DF_CACHE_LOCK:
+        per_session = _DF_CACHE.get(spark)
+        df = per_session.pop(key, None) if per_session else None
+    if df is None:
+        return False
+    try:
+        df.unpersist()
+    except Exception:
+        pass
+    return True
 
 
 def ensure_session_confs(spark: SparkSession) -> SparkSession:

@@ -330,7 +330,11 @@ def test_embed_block_prune_lossless(spark, tmp_path):
         (int(id_arr[a]), int(id_arr[b])) for a, b in zip(ia, ib) if id_arr[a] < id_arr[b]
     }
     assert got == want
-    blocks.unpersist()
+    # Retire via the registry (a direct blocks.unpersist() would leave a
+    # cached-but-unpersisted entry for later callers of the same key).
+    from data_ingestion_service_spark.session import session_invalidate
+
+    assert session_invalidate(spark, ("embed_blocks", sf_dir))
 
 
 def test_events_ts_epoch_tripwire(spark, sf_dir):
