@@ -74,9 +74,14 @@ def main() -> None:
     # — a long-running service (and the steady state this bench measures)
     # always has a warm pool.
     cpus = spark.sparkContext.defaultParallelism
+    t0 = time.monotonic()
     spark.range(cpus).repartition(cpus).mapInPandas(
         lambda batches: batches, "id long"
     ).count()
+    # Reported separately so an external harness timing a COLD session can
+    # reconcile its numbers with these steady-state ones: the first Python
+    # stage of any session pays this once.
+    python_worker_warmup = round(time.monotonic() - t0, 4)
     for key in keys:
         QUERIES[key](spark, sf_dir).collect()
 
@@ -112,6 +117,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "concurrent_total_8_threads": concurrent_total,
+                "cold_python_worker_warmup_sec": python_worker_warmup,
                 "llm_ops": llm_timings,
                 "llm_ops_total": round(sum(llm_timings.values()), 4),
                 "n_registered_queries": len(QUERIES),

@@ -10,7 +10,9 @@ tests/test_scale_posture.py).
 
 from __future__ import annotations
 
+import threading
 import uuid
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -84,27 +86,35 @@ def _write_bucketed_inputs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return li_tbl, ord_tbl
 
 
-def _drop_tables(spark: SparkSession, *names: str) -> None:
-    for n in names:
-        try:
-            spark.sql(f"DROP TABLE IF EXISTS {n}")
-        except Exception:
-            pass
+# Bucketed tables are a LAYOUT, built once and joined many times — the
+# whole point of bucketing at 100 TB. Cache the pair of table names per
+# (session, sf): repeat invocations join the existing buckets instead of
+# re-writing two tables per call (the round-3 wart: rewrite-per-call plus
+# a mutable pending-drop list). Weak session keys — a session's warehouse
+# tables die with it; uuid-tagged names mean a later session never
+# collides with a dead one's leftovers.
+_BUCKETED_TABLES: "weakref.WeakKeyDictionary[SparkSession, dict[str, tuple[str, str]]]" = (
+    weakref.WeakKeyDictionary()
+)
+_BUCKETED_LOCK = threading.Lock()
 
 
-# Bucketed tables from the previous q_bucketed_join call, dropped on the
-# next call: the returned plan is lazy (the caller collects it), so its
-# input tables must outlive this function. Names are uuid-unique, so at
-# most one stale pair of tiny 2-column tables exists at a time.
-_PENDING_BUCKETED_DROPS: list[str] = []
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    per_session = _BUCKETED_TABLES.setdefault(spark, {})
+    key = sf_dir.rstrip("/")
+    names = per_session.get(key)
+    if names is None:
+        with _BUCKETED_LOCK:
+            names = per_session.get(key)
+            if names is None:
+                names = _write_bucketed_inputs(spark, sf_dir)
+                per_session[key] = names
+    return names
 
 
 @register("q_bucketed_join", oracle=_BUCKETED_ORACLE)
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    while _PENDING_BUCKETED_DROPS:
-        _drop_tables(spark, _PENDING_BUCKETED_DROPS.pop())
-    li_tbl, ord_tbl = _write_bucketed_inputs(spark, sf_dir)
-    _PENDING_BUCKETED_DROPS.extend([li_tbl, ord_tbl])
+    li_tbl, ord_tbl = _bucketed_tables(spark, sf_dir)
     # MERGE hint forces the bucketed sort-merge join path (zero shuffles —
     # what a fact/fact join needs at scale) without flipping session confs,
     # so the plan stays lazy and the driver runs the real bucketed SMJ.
@@ -122,17 +132,14 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bucketed_join_plan(spark: SparkSession, sf_dir: str) -> str:
     """Expose the executed physical plan for the posture test (same MERGE
-    hint shape as q_bucketed_join)."""
-    li_tbl, ord_tbl = _write_bucketed_inputs(spark, sf_dir)
-    try:
-        joined = (
-            spark.table(li_tbl)
-            .hint("merge")
-            .join(spark.table(ord_tbl), F.col("l_orderkey") == F.col("o_orderkey"))
-        )
-        return joined._jdf.queryExecution().executedPlan().toString()
-    finally:
-        _drop_tables(spark, li_tbl, ord_tbl)
+    hint shape and same cached tables as q_bucketed_join)."""
+    li_tbl, ord_tbl = _bucketed_tables(spark, sf_dir)
+    joined = (
+        spark.table(li_tbl)
+        .hint("merge")
+        .join(spark.table(ord_tbl), F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return joined._jdf.queryExecution().executedPlan().toString()
 
 
 # ---------------------------------------------------------------------------

@@ -1173,6 +1173,15 @@ def _dup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             # planning cost — stays O(1) in iteration count at 100 TB.
             # Other iterations persist (cheaper than a checkpoint copy)
             # and unpersist as soon as the next round materializes.
+            # Cluster caveat (deliberate local-mode tradeoff):
+            # localCheckpoint stores to executor-LOCAL storage, so on a
+            # real cluster an executor loss makes the truncated lineage
+            # unrecoverable (job failure, rerun the build) — swap for
+            # reliable checkpoint() to a checkpoint dir when running
+            # multi-node. The intermediate checkpoint RDDs also outlive
+            # unpersist() and are freed only at session end — bounded,
+            # because session_persisted builds this exactly once per
+            # (session, sf).
             if (it + 1) % 4 == 0:
                 new_labels = new_labels.localCheckpoint()
             else:

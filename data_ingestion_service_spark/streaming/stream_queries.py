@@ -18,8 +18,11 @@ same plans run with RocksDB state store and watermarked eviction.
 
 from __future__ import annotations
 
+import glob
+import os
 import shutil
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,19 +35,27 @@ from data_ingestion_service_spark.session import ensure_session_confs
 # The fixtures' physical type for events.ts has varied across driver
 # regenerations: TIMESTAMP(NANOS) (unreadable by Spark except as raw
 # longs via nanosAsLong) vs TIMESTAMP(MICROS) (plain timestamp_ntz).
-# Probe the parquet footer once per path and adapt, mirroring the batch
-# loader's guard (catalog.py load_table) so stream and batch always see
-# identical values regardless of fixture vintage.
-_TS_KIND_CACHE: dict[str, str] = {}
+# Probe the parquet footer once per file *version* and adapt, mirroring
+# the batch loader's guard (catalog.py load_table) so stream and batch
+# always see identical values regardless of fixture vintage. Keyed by
+# (path, mtime, size): a fixture regenerated in-place with a different
+# physical type invalidates the entry instead of silently serving the
+# stale kind (1970-era or failed reads).
+_TS_KIND_CACHE: dict[tuple, str] = {}
 
 
 def _events_ts_kind(spark: SparkSession, sf_dir: str) -> str:
     """'bigint' (legacy nanos-as-long fixtures) or 'timestamp'."""
-    key = table_path(sf_dir, "events")
+    path = table_path(sf_dir, "events")
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (path, 0, 0)
     kind = _TS_KIND_CACHE.get(key)
     if kind is None:
         ensure_session_confs(spark)
-        dt = dict(spark.read.parquet(key).dtypes)["ts"]
+        dt = dict(spark.read.parquet(path).dtypes)["ts"]
         kind = "bigint" if dt == "bigint" else "timestamp"
         _TS_KIND_CACHE[key] = kind
     return kind
@@ -812,4 +823,146 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_user").alias("user_id"),
         F.col("s_ts").cast("timestamp_ntz").alias("signup_ts"),
         F.col("p_ts").cast("timestamp_ntz").alias("purchase_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_late_drop — the watermark contract made OBSERVABLE: the replay
+# is deliberately out-of-order. Micro-batch 1 carries the bulk of the
+# on-time rows including the corpus max; micro-batch 2 a small on-time
+# subset; micro-batch 3 then delivers a deterministic "late" subset
+# (event_id%50==0 with ts < max−2h) whose 1-hour windows all ended hours
+# below the watermark — Structured Streaming must DROP every one of
+# them. Three batches because the watermark LAGS one batch: the
+# watermark in effect during batch N is computed from data through batch
+# N−2 (measured on this build: a late file in batch 2 is filtered, in
+# batch 1 it is admitted), so the middle file exists purely to let the
+# bulk file's watermark take effect before the late rows arrive. The
+# oracle aggregates events EXCLUDING exactly the late subset, so the
+# result differs (and the driver's hash check fails) if late rows were
+# let back in. Complements q_stream_watermark, whose in-order replay
+# asserts the drop only by construction.
+# ---------------------------------------------------------------------------
+
+_LATE_DROP_ORACLE = """
+WITH mx AS (SELECT max(ts) AS m FROM events)
+SELECT date_trunc('hour', ts) AS hour_start, count(*) AS n
+FROM events, mx
+WHERE NOT (event_id % 50 = 0 AND ts < mx.m - INTERVAL 2 HOUR)
+GROUP BY 1
+"""
+
+
+@register("q_stream_late_drop", oracle=_LATE_DROP_ORACLE)
+def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
+    kind = _events_ts_kind(spark, sf_dir)
+    schema = _events_raw_schema(kind)
+    work = tempfile.mkdtemp(prefix="ingest_late_")
+    raw = spark.read.schema(schema).parquet(table_path(sf_dir, "events"))
+    max_raw = raw.agg(F.max("ts")).collect()[0][0]
+    if kind == "bigint":
+        cutoff_late = max_raw - 2 * 3600 * 10**9
+        cutoff_mid = max_raw - 3600 * 10**9
+    else:
+        import datetime
+
+        cutoff_late = max_raw - datetime.timedelta(hours=2)
+        cutoff_mid = max_raw - datetime.timedelta(hours=1)
+    late_pred = (F.col("event_id") % 50 == 0) & (F.col("ts") < F.lit(cutoff_late))
+    # Small on-time subset for the middle batch; ts < max−1h keeps the
+    # global max in the bulk file so its watermark covers the late rows.
+    mid_pred = (F.col("event_id") % 50 == 1) & (F.col("ts") < F.lit(cutoff_mid))
+    raw.filter(~late_pred & ~mid_pred).coalesce(1).write.mode("overwrite").parquet(
+        f"{work}/b1"
+    )
+    raw.filter(mid_pred).coalesce(1).write.mode("overwrite").parquet(f"{work}/b2")
+    raw.filter(late_pred).coalesce(1).write.mode("overwrite").parquet(f"{work}/b3")
+    # Stage as three replay files with explicit mtimes: the file source
+    # (maxFilesPerTrigger=1, latestFirst=false) consumes oldest-first.
+    os.makedirs(f"{work}/replay")
+    [p1] = glob.glob(f"{work}/b1/part-*.parquet")
+    [p2] = glob.glob(f"{work}/b2/part-*.parquet")
+    [p3] = glob.glob(f"{work}/b3/part-*.parquet")
+    shutil.copy(p1, f"{work}/replay/a_bulk.parquet")
+    shutil.copy(p2, f"{work}/replay/b_mid.parquet")
+    shutil.copy(p3, f"{work}/replay/c_late.parquet")
+    now = time.time()
+    os.utime(f"{work}/replay/a_bulk.parquet", (now - 60, now - 60))
+    os.utime(f"{work}/replay/b_mid.parquet", (now - 30, now - 30))
+    os.utime(f"{work}/replay/c_late.parquet", (now, now))
+    raw_s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/replay")
+    )
+    ev = _normalize_ts(raw_s, kind)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    final = run_to_memory(agg, "update")
+    # max(n) per window selects each window's final update; if a late row
+    # had been aggregated, its window's count would exceed the oracle's.
+    return final.groupBy(
+        F.col("window.start").cast("timestamp_ntz").alias("hour_start")
+    ).agg(F.max("n").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# q_stream_rate_source — trigger-cadence micro-batching on a generator
+# source (no file replay): the deterministic `rate-micro-batch` source
+# emits exactly rowsPerBatch consecutive integers per trigger, the
+# windowed-by-value aggregate drains to a memory sink, and the query is
+# stopped once the deterministic prefix [0, 2000) has arrived. The
+# result over that prefix is independent of when the stop lands, so the
+# DuckDB range() oracle checks it exactly. This exercises the micro-
+# batch scheduler in its production mode — an unbounded source paced by
+# triggers — rather than the drain-a-directory mode of the replay keys.
+# ---------------------------------------------------------------------------
+
+_RATE_TARGET = 2000
+
+_RATE_ORACLE = f"""
+SELECT v % 10 AS bucket, count(*) AS n, CAST(sum(v) AS BIGINT) AS total
+FROM range({_RATE_TARGET}) t(v)
+GROUP BY 1
+"""
+
+
+@register("q_stream_rate_source", oracle=_RATE_ORACLE)
+def q_stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 500)
+        .option("numPartitions", 4)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 1000)
+        .load()
+    )
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        src.select("value")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        # Unbounded source: drain until the deterministic prefix is in the
+        # sink (4+ triggers), then stop. Bounded wait so a scheduler stall
+        # fails loudly instead of hanging the driver.
+        deadline = time.monotonic() + 60
+        while spark.table(name).count() < _RATE_TARGET:
+            if time.monotonic() > deadline:
+                raise TimeoutError("rate-micro-batch source stalled")
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    rows = spark.table(name).filter(F.col("value") < _RATE_TARGET)
+    return rows.groupBy((F.col("value") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").cast("bigint").alias("total"),
     )

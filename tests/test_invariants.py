@@ -337,6 +337,28 @@ def test_embed_block_prune_lossless(spark, tmp_path):
     assert session_invalidate(spark, ("embed_blocks", sf_dir))
 
 
+def test_stream_late_drop_is_observable(spark, sf_dir):
+    """q_stream_late_drop must return STRICTLY FEWER total events than the
+    batch aggregate — proof the watermark dropped the deliberately-late
+    replay subset rather than asserting the drop by construction. (If
+    watermark filtering silently stopped working, the totals would be
+    equal and this fails before the oracle diverges.)"""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_service_spark.registry import QUERIES
+
+    dropped_total = (
+        QUERIES["q_stream_late_drop"](spark, sf_dir)
+        .agg(F.sum("n").alias("s"))
+        .collect()[0]["s"]
+    )
+    full_total = load_table(spark, sf_dir, "events").count()
+    assert dropped_total < full_total, (
+        f"late rows were not dropped: stream total {dropped_total} "
+        f"== batch total {full_total}"
+    )
+
+
 def test_events_ts_epoch_tripwire(spark, sf_dir):
     """Tripwire for fixture-vintage drift (round-2 regression class): both
     the batch loader and the streaming reader must place events in the
