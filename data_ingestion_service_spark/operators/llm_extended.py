@@ -1147,25 +1147,33 @@ def _dup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         pairs = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+        touched = (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .union(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        # Self-loops fold "keep your own label" into the neighbor-min
+        # itself: each iteration is then ONE join + ONE groupBy (a single
+        # shuffle keyed by dst) instead of join→groupBy→left-join — one
+        # exchange fewer per iteration, at any scale.
         edges = (
             pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
             .toDF("src", "dst")
+            .union(
+                touched.select(
+                    F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")
+                )
+            )
             .persist()
         )
-        touched = edges.select(F.col("src").alias("doc_id")).distinct()
         labels = touched.select("doc_id", F.col("doc_id").alias("label")).persist()
         prev_sum = None
         for it in range(20):
-            nbr = (
+            new_labels = (
                 edges.join(labels, edges.src == labels.doc_id)
                 .groupBy(F.col("dst").alias("nbr_doc"))
-                .agg(F.min("label").alias("nbr_label"))
-            )
-            new_labels = labels.join(nbr, labels.doc_id == nbr.nbr_doc, "left").select(
-                labels.doc_id,
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+                .agg(F.min("label").alias("label"))
+                .select(F.col("nbr_doc").alias("doc_id"), "label")
             )
             # Lineage control: each iteration's plan chains on the last;
             # localCheckpoint (eager) truncates the chain every few

@@ -103,12 +103,17 @@ def main() -> int:
 
     only = set(sys.argv[1:])  # optional: run a subset of keys
 
-    spark = (
+    builder = (
         SparkSession.builder.master("local[16]")
         .appName("driver-sim")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # Stress tiers (sf1+) need a real heap; the graded sf0.01 sim keeps
+    # the driver's plain-session default (1g) by leaving this unset.
+    mem = os.environ.get("DRIVER_SIM_DRIVER_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     if not only:

@@ -1,0 +1,121 @@
+"""Generate a larger-tier stress fixture set by key-shifted replication
+of the driver's sf0.1 tables (the driver ships sf0.001/0.01/0.1 only;
+VERDICT r3 item 5 asks for a tier where compute outweighs Spark's
+scheduling floor).
+
+NOT a replacement for the driver's fixtures — written to a gitignored
+dir (default /root/repo/.stress/sf1) and consumed only by
+`DRIVER_SIM_SF_DIR=... scripts/driver_sim.py` / `SPARK_GRAFT_SF_DIR=...
+bench.py`, which compare Spark against DuckDB over the SAME files, so
+the correctness gate stays self-contained whatever the data.
+
+Scaling rules (COPIES× the sf0.1 row counts, deterministic):
+  - every id column is offset per copy by a table-specific stride, so
+    referential integrity holds within and across copies (orders.c
+    _custkey -> customer, lineitem.l_orderkey -> orders, events.user_id
+    -> customer, embeddings.vec_id ~ documents.doc_id);
+  - dimension tables region/nation are NOT scaled (they are fixed
+    domains, like real TPC-H);
+  - documents.text is token-ROTATED per copy (copy i rotates the token
+    list by 7*i): term frequencies scale exactly x COPIES while the
+    3-shingle space of each copy stays essentially disjoint — a
+    replicated-verbatim corpus would square every posting list and turn
+    the near-dup stress into an unrealistic all-pairs blow-up;
+  - embeddings get a tiny deterministic per-copy jitter on one
+    component, so cross-copy vectors are near- but not exact-duplicates
+    (exercises the cosine threshold instead of degenerate cos=1 ties).
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from data_ingestion_service_spark.session import get_spark
+
+SRC = os.environ.get("GEN_SCALE_SRC", "/root/testdata/sf0.1")
+OUT = os.environ.get("GEN_SCALE_OUT", "/root/repo/.stress/sf1")
+COPIES = int(os.environ.get("GEN_SCALE_COPIES", "10"))
+
+# Key strides: comfortably above each table's max id at sf0.1.
+C_OFF = 100_000          # c_custkey / user_id
+S_OFF = 10_000           # s_suppkey
+P_OFF = 100_000          # p_partkey
+O_OFF = 10_000_000       # o_orderkey
+E_OFF = 10_000_000       # event_id
+D_OFF = 100_000          # doc_id / vec_id
+
+
+def main() -> None:
+    spark = get_spark(app_name="gen-scale")
+    copies = spark.range(COPIES).select(F.col("id").cast("int").alias("cp"))
+
+    def write_single_file(df, name: str) -> None:
+        """Stage as one part file, then move it to <name>.parquet — the
+        driver's fixture layout (one FILE per table; DuckDB's view path
+        and the single-split scan shape both depend on it)."""
+        stage = f"{OUT}/_stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        [part] = globmod.glob(f"{stage}/part-*.parquet")
+        target = f"{OUT}/{name}.parquet"
+        if os.path.isdir(target):
+            shutil.rmtree(target)
+        shutil.move(part, target)
+        shutil.rmtree(stage)
+
+    def scaled(name: str, offsets: dict[str, int], extra=None):
+        df = spark.read.parquet(f"{SRC}/{name}.parquet")
+        out = df.crossJoin(F.broadcast(copies))
+        for col, off in offsets.items():
+            out = out.withColumn(col, (F.col(col) + F.col("cp").cast("long") * off).cast(dict(df.dtypes)[col]))
+        if extra is not None:
+            out = extra(out)
+        write_single_file(out.drop("cp"), name)
+        print(f"{name}: {df.count()} -> {spark.read.parquet(f'{OUT}/{name}.parquet').count()}")
+
+    os.makedirs(OUT, exist_ok=True)
+    # Fixed-domain dims: copy through unchanged.
+    for name in ("region", "nation"):
+        write_single_file(spark.read.parquet(f"{SRC}/{name}.parquet"), name)
+        print(f"{name}: copied")
+
+    scaled("customer", {"c_custkey": C_OFF})
+    scaled("supplier", {"s_suppkey": S_OFF})
+    scaled("part", {"p_partkey": P_OFF})
+    scaled("orders", {"o_orderkey": O_OFF, "o_custkey": C_OFF})
+    scaled(
+        "lineitem",
+        {"l_orderkey": O_OFF, "l_partkey": P_OFF, "l_suppkey": S_OFF},
+    )
+    scaled("events", {"event_id": E_OFF, "user_id": C_OFF})
+
+    def rotate_text(out):
+        toks = F.split("text", " ")
+        n = F.size(toks)
+        k = (F.col("cp") * 7) % F.greatest(n, F.lit(1))
+        rotated = F.concat(F.slice(toks, k + 1, n - k), F.slice(toks, 1, k))
+        return out.withColumn("text", F.array_join(rotated, " "))
+
+    scaled("documents", {"doc_id": D_OFF}, extra=rotate_text)
+
+    def jitter(out):
+        return out.withColumn(
+            "embedding",
+            F.concat(
+                F.array((F.element_at("embedding", 1) + F.col("cp") * F.lit(1e-3)).cast("float")),
+                F.slice("embedding", 2, F.size("embedding") - 1),
+            ),
+        )
+
+    scaled("embeddings", {"vec_id": D_OFF}, extra=jitter)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
