@@ -253,3 +253,64 @@ def test_rank_filter_pushes_window_group_limit(spark, sf_dir):
     pushdown). Without it, per-group top-k sorts the entire fact table."""
     plan = formatted_plan(QUERIES["q_window_rank"](spark, sf_dir))
     assert "WindowGroupLimit" in plan
+
+
+def test_doc_shingles_map_stage_is_parallel(spark, sf_dir):
+    """The shingle explode must run cluster-wide, not in the single task
+    a one-file fixture scan yields (the round-3 verdict's one perf
+    defect): the plan must repartition the docs scan to the cluster's
+    parallelism BEFORE the explode."""
+    from data_ingestion_service_spark.operators.llm import doc_shingles
+    from data_ingestion_service_spark.session import session_invalidate
+
+    # Fresh build (the session cache would hide the plan).
+    session_invalidate(spark, ("doc_shingles", sf_dir))
+    plan = formatted_plan(doc_shingles(spark, sf_dir))
+    par = spark.sparkContext.defaultParallelism
+    assert f"RoundRobinPartitioning({par})" in plan, plan.split("\n\n")[0]
+    session_invalidate(spark, ("doc_shingles", sf_dir))
+
+
+def test_bucketed_tables_cached_per_session(spark, sf_dir):
+    """q_bucketed_join must NOT rewrite its bucketed tables per call:
+    repeat invocations reuse the cached (session, sf) pair."""
+    from data_ingestion_service_spark.operators.engine_features import (
+        _bucketed_tables,
+    )
+
+    first = _bucketed_tables(spark, sf_dir)
+    QUERIES["q_bucketed_join"](spark, sf_dir).collect()
+    second = _bucketed_tables(spark, sf_dir)
+    assert first == second, "bucketed tables rewritten on repeat call"
+
+
+def test_session_persisted_concurrent_single_build(spark):
+    """Concurrent first calls must build exactly once (the pre-round-4
+    race double-built and leaked one persisted copy)."""
+    import threading
+    import time as _time
+
+    from data_ingestion_service_spark.session import (
+        session_invalidate,
+        session_persisted,
+    )
+
+    key = ("test_concurrent_build", "x")
+    session_invalidate(spark, key)
+    builds = []
+
+    def build():
+        builds.append(1)
+        _time.sleep(0.2)  # widen the race window
+        return spark.range(10)
+
+    threads = [
+        threading.Thread(target=lambda: session_persisted(spark, key, build))
+        for _ in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(builds) == 1, f"built {len(builds)} times under concurrency"
+    assert session_invalidate(spark, key)
