@@ -16,14 +16,18 @@ Scaling rules (COPIES× the sf0.1 row counts, deterministic):
     -> customer, embeddings.vec_id ~ documents.doc_id);
   - dimension tables region/nation are NOT scaled (they are fixed
     domains, like real TPC-H);
-  - documents.text is token-ROTATED per copy (copy i rotates the token
-    list by 7*i): term frequencies scale exactly x COPIES while the
-    3-shingle space of each copy stays essentially disjoint — a
-    replicated-verbatim corpus would square every posting list and turn
-    the near-dup stress into an unrealistic all-pairs blow-up;
-  - embeddings get a tiny deterministic per-copy jitter on one
-    component, so cross-copy vectors are near- but not exact-duplicates
-    (exercises the cosine threshold instead of degenerate cos=1 ties).
+  - documents.text gets a per-copy VOCABULARY suffix (every token of
+    copy i becomes `tok_i`): per-copy token/shingle structure is
+    identical to sf0.1 while copies share no shingles at all. (First
+    attempt rotated the token list instead — WRONG: rotation preserves
+    all but two 3-shingles, so all COPIES copies of a doc were mutual
+    near-duplicates and the candidate-pair space exploded ~COPIES², OOMing
+    the DuckDB oracle. Replicating a corpus must not replicate its
+    shingle space.);
+  - embeddings scale by EMB_COPIES (default 3, not 10) with a tiny
+    deterministic per-copy jitter: the embedding near-dup ORACLE is an
+    exact all-pairs self-join, O(n²) in DuckDB by design, so this table's
+    stress tier is bounded by the oracle, not the engine.
 """
 
 from __future__ import annotations
@@ -42,6 +46,7 @@ from data_ingestion_service_spark.session import get_spark
 SRC = os.environ.get("GEN_SCALE_SRC", "/root/testdata/sf0.1")
 OUT = os.environ.get("GEN_SCALE_OUT", "/root/repo/.stress/sf1")
 COPIES = int(os.environ.get("GEN_SCALE_COPIES", "10"))
+EMB_COPIES = int(os.environ.get("GEN_SCALE_EMB_COPIES", "3"))
 
 # Key strides: comfortably above each table's max id at sf0.1.
 C_OFF = 100_000          # c_custkey / user_id
@@ -69,9 +74,12 @@ def main() -> None:
         shutil.move(part, target)
         shutil.rmtree(stage)
 
-    def scaled(name: str, offsets: dict[str, int], extra=None):
+    def scaled(name: str, offsets: dict[str, int], extra=None, n_copies=None):
         df = spark.read.parquet(f"{SRC}/{name}.parquet")
-        out = df.crossJoin(F.broadcast(copies))
+        cps = copies if n_copies is None else spark.range(n_copies).select(
+            F.col("id").cast("int").alias("cp")
+        )
+        out = df.crossJoin(F.broadcast(cps))
         for col, off in offsets.items():
             out = out.withColumn(col, (F.col(col) + F.col("cp").cast("long") * off).cast(dict(df.dtypes)[col]))
         if extra is not None:
@@ -95,14 +103,14 @@ def main() -> None:
     )
     scaled("events", {"event_id": E_OFF, "user_id": C_OFF})
 
-    def rotate_text(out):
+    def suffix_vocab(out):
         toks = F.split("text", " ")
-        n = F.size(toks)
-        k = (F.col("cp") * 7) % F.greatest(n, F.lit(1))
-        rotated = F.concat(F.slice(toks, k + 1, n - k), F.slice(toks, 1, k))
-        return out.withColumn("text", F.array_join(rotated, " "))
+        suffixed = F.transform(
+            toks, lambda t: F.concat(t, F.lit("_"), F.col("cp").cast("string"))
+        )
+        return out.withColumn("text", F.array_join(suffixed, " "))
 
-    scaled("documents", {"doc_id": D_OFF}, extra=rotate_text)
+    scaled("documents", {"doc_id": D_OFF}, extra=suffix_vocab)
 
     def jitter(out):
         return out.withColumn(
@@ -113,7 +121,7 @@ def main() -> None:
             ),
         )
 
-    scaled("embeddings", {"vec_id": D_OFF}, extra=jitter)
+    scaled("embeddings", {"vec_id": D_OFF}, extra=jitter, n_copies=EMB_COPIES)
     spark.stop()
 
 
