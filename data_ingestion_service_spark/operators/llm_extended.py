@@ -1118,7 +1118,11 @@ pairs AS (
   JOIN sizes sb ON sb.doc_id = p.doc_b
   WHERE p.n_common * 1.0 / (sa.sz + sb.sz - p.n_common) >= {_NEAR_DEDUP_THRESHOLD}
 ),
-edges AS (
+-- MATERIALIZED is load-bearing: referenced from the recursive term,
+-- an inlined edges CTE re-runs the whole shingle self-join upstream on
+-- EVERY recursion step (measured: turned the sf1 stress run into 25+
+-- min of single-core DuckDB; with materialization it runs once).
+edges AS MATERIALIZED (
   SELECT doc_a AS s, doc_b AS d FROM pairs
   UNION ALL
   SELECT doc_b AS s, doc_a AS d FROM pairs

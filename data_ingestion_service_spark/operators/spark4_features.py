@@ -225,9 +225,13 @@ def q_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _recursive_sql(int_div: str) -> str:
+def _recursive_sql(int_div: str, mat: str = "") -> str:
+    # mat="MATERIALIZED" for the DuckDB oracle: ords is referenced from
+    # the recursive term, and an inlined CTE there is re-evaluated (full
+    # window over orders) on EVERY recursion step — depth × table scans.
+    # Spark has no MATERIALIZED keyword (and materializes by plan).
     return f"""
-WITH RECURSIVE ords AS (
+WITH RECURSIVE ords AS {mat} (
   SELECT o_custkey,
          CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
          row_number() OVER (PARTITION BY o_custkey
@@ -250,7 +254,7 @@ WHERE rr = 1
 """
 
 
-_RECURSIVE_ORACLE = _recursive_sql("//").format(src="orders")
+_RECURSIVE_ORACLE = _recursive_sql("//", mat="MATERIALIZED").format(src="orders")
 
 
 @register("q_recursive_cte", oracle=_RECURSIVE_ORACLE)
