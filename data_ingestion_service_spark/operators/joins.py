@@ -54,7 +54,7 @@ SELECT
   o_orderstatus,
   count(*)                                              AS n_rows,
   CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
-  round(sum(coalesce(l_extendedprice, 0.0)), 2)         AS total_price
+  round(CAST(sum(CAST(round(coalesce(l_extendedprice, 0.0) * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_price
 FROM orders
 LEFT JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderstatus
@@ -71,9 +71,18 @@ def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)).alias("n_unmatched"),
-            F.round(F.sum(F.coalesce(F.col("l_extendedprice"), F.lit(0.0))), 2).alias(
-                "total_price"
-            ),
+            # Exact cents sum (l_extendedprice is 2dp-exact): plain double
+            # summation diverged from DuckDB in the last ulp on a rounding
+            # boundary at the sf1 stress tier (6M rows).
+            F.round(
+                F.sum(
+                    F.round(F.coalesce(F.col("l_extendedprice"), F.lit(0.0)) * 100).cast(
+                        "long"
+                    )
+                )
+                / 100,
+                2,
+            ).alias("total_price"),
         )
     )
 

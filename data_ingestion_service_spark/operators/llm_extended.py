@@ -1246,16 +1246,34 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cost.
 # ---------------------------------------------------------------------------
 
+# Same three-equi-join shape as the Spark side (delta 0/1/2), for the
+# same reason: an abs(delta)<=2 inequality join plans as a DuckDB
+# IEJoin/nested loop that evaluates levenshtein on every banded pair in
+# ONE thread (10+ min at the sf1 stress tier); equality bands hash-join
+# in parallel. Inline subqueries, NOT a CTE: both a MATERIALIZED CTE
+# scan and a shared plain-CTE scan serialize the probe side in DuckDB
+# (measured 137s -> 33s for the delta-0 band alone), while an inline
+# parquet scan parallelizes by row group. Semantically identical output.
 _EDIT_DISTANCE_ORACLE = """
-SELECT
-  a.doc_id AS a_id,
-  b.doc_id AS b_id,
-  levenshtein(substr(a.text, 1, 120), substr(b.text, 1, 120)) AS dist
-FROM documents a
-JOIN documents b
-  ON a.doc_id < b.doc_id
- AND abs(a.n_chars - b.n_chars) <= 2
-WHERE levenshtein(substr(a.text, 1, 120), substr(b.text, 1, 120)) <= 45
+SELECT least(ia, ib) AS a_id, greatest(ia, ib) AS b_id, dist
+FROM (
+  SELECT a.doc_id AS ia, b.doc_id AS ib,
+         levenshtein(a.prefix, b.prefix) AS dist
+  FROM (SELECT doc_id, n_chars, substr(text, 1, 120) AS prefix FROM documents) a
+  JOIN (SELECT doc_id, n_chars, substr(text, 1, 120) AS prefix FROM documents) b
+    ON b.n_chars = a.n_chars AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT a.doc_id, b.doc_id, levenshtein(a.prefix, b.prefix)
+  FROM (SELECT doc_id, n_chars, substr(text, 1, 120) AS prefix FROM documents) a
+  JOIN (SELECT doc_id, n_chars, substr(text, 1, 120) AS prefix FROM documents) b
+    ON b.n_chars = a.n_chars + 1
+  UNION ALL
+  SELECT a.doc_id, b.doc_id, levenshtein(a.prefix, b.prefix)
+  FROM (SELECT doc_id, n_chars, substr(text, 1, 120) AS prefix FROM documents) a
+  JOIN (SELECT doc_id, n_chars, substr(text, 1, 120) AS prefix FROM documents) b
+    ON b.n_chars = a.n_chars + 2
+) banded
+WHERE dist <= 45
 """
 
 

@@ -152,7 +152,7 @@ def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q5_ORACLE = """
 SELECT
   n_name,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -194,10 +194,20 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
         .groupBy("n_name")
+        # Exact e-4 fixed point (price 2dp × discount 2dp → product exact
+        # at 4dp): double-summing 6M+ products diverges from DuckDB's sum
+        # order in the last ulp exactly on a 2dp rounding boundary at the
+        # sf1 stress tier; integer cents-of-cents sum identically anywhere.
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                    ).cast("long")
+                )
+                / 10000,
+                2,
+            ).alias("revenue")
         )
     )
 

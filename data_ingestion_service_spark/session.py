@@ -43,6 +43,16 @@ RUNTIME_CONFS: dict[str, str] = {
     # cores by the submitter, and AQE coalescing absorbs the difference
     # either way. Runtime-settable, so safe on a live session.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # Single-file fixtures make scan parallelism = ceil(bytes / this).
+    # The default 128MB leaves even the sf1 stress tier's 80MB lineitem
+    # in ONE scan task; 16MB splits it ~5-way while leaving the graded
+    # tiers (≤8MB/table) unchanged. On a many-file 100 TB layout the
+    # default is fine — this floor only matters for monolithic files.
+    "spark.sql.files.maxPartitionBytes": "16777216",
+    # q_recursive_cte's working set is one row per order; the 1M-row
+    # default aborts at the sf1 stress tier (1.5M orders). Row limit is
+    # a safety rail, not a resource cap — raise it for stress tiers.
+    "spark.sql.cteRecursionRowLimit": "25000000",
 }
 
 

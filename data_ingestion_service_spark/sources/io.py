@@ -22,8 +22,9 @@ from data_ingestion_service_spark.catalog import load_table
 from data_ingestion_service_spark.registry import register
 
 _CSV_ORACLE = """
-SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS total_qty,
-       round(sum(l_extendedprice), 2) AS total_price
+SELECT l_returnflag, count(*) AS n,
+       round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_qty,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_price
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -41,10 +42,18 @@ def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("header", "true")
         .csv(out)
     )
+    # Exact cents sums (both columns are 2dp-exact): plain double sums
+    # diverged from DuckDB's sum order in the last ulp on a rounding
+    # boundary at the sf1 stress tier. The CSV round-trip itself is
+    # lossless (shortest-round-trip doubles re-parse bit-identically).
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.round(F.sum(F.round(F.col("l_quantity") * 100).cast("long")) / 100, 2).alias(
+            "total_qty"
+        ),
+        F.round(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100, 2
+        ).alias("total_price"),
     )
 
 

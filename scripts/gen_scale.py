@@ -64,9 +64,18 @@ def main() -> None:
     def write_single_file(df, name: str) -> None:
         """Stage as one part file, then move it to <name>.parquet — the
         driver's fixture layout (one FILE per table; DuckDB's view path
-        and the single-split scan shape both depend on it)."""
+        depends on it). Row groups are capped at 8MB: DuckDB
+        parallelizes scans BY ROW GROUP, so a default-sized single-group
+        file pins every downstream operator to one thread (measured:
+        the sf1 edit-distance oracle ran 137s at threads=32 and 137s at
+        threads=1 over a one-group documents file)."""
         stage = f"{OUT}/_stage_{name}"
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        (
+            df.coalesce(1)
+            .write.mode("overwrite")
+            .option("parquet.block.size", str(2 * 1024 * 1024))
+            .parquet(stage)
+        )
         [part] = globmod.glob(f"{stage}/part-*.parquet")
         target = f"{OUT}/{name}.parquet"
         if os.path.isdir(target):
