@@ -86,7 +86,7 @@ SELECT
   o_orderstatus,
   o_orderpriority,
   count(*)                      AS n_orders,
-  round(sum(o_totalprice), 2)   AS total_price
+  round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_price
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
@@ -95,9 +95,14 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 @register("q_rollup_orders", oracle=_ROLLUP_ORACLE)
 def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    # Exact cents sum (o_totalprice is 2dp-exact) — the grand-total row
+    # sums millions of doubles at stress tiers, where engine-vs-oracle
+    # summation order diverges in the last ulp on rounding boundaries.
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100, 2
+        ).alias("total_price"),
     )
 
 
@@ -106,7 +111,7 @@ SELECT
   o_orderstatus,
   o_orderpriority,
   count(*)                      AS n_orders,
-  round(avg(o_totalprice), 4)   AS avg_price
+  round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 / count(*), 4) AS avg_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
@@ -115,9 +120,15 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 @register("q_cube_orders", oracle=_CUBE_ORACLE)
 def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    # avg derived from the exact cents sum (see q_rollup_orders).
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            / 100
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_price"),
     )
 
 

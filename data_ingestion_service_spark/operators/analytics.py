@@ -27,7 +27,7 @@ SELECT
   o_orderpriority,
   grouping(o_orderstatus)::BIGINT * 2 + grouping(o_orderpriority)::BIGINT AS gid,
   count(*)                    AS n_orders,
-  round(sum(o_totalprice), 2) AS total_price
+  round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
@@ -47,7 +47,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
           CAST(grouping(o_orderstatus) AS BIGINT) * 2
             + CAST(grouping(o_orderpriority) AS BIGINT) AS gid,
           count(*)                    AS n_orders,
-          round(sum(o_totalprice), 2) AS total_price
+          round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100, 2) AS total_price
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
