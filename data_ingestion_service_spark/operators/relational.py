@@ -34,12 +34,12 @@ SELECT
   l_returnflag,
   l_linestatus,
   round(sum(l_quantity), 2)                                        AS sum_qty,
-  round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_base_price,
-  round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS sum_disc_price,
-  round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS sum_charge,
+  round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_base_price,
+  round(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000, 2) AS sum_disc_price,
+  round(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000, 2) AS sum_charge,
   round(avg(l_quantity), 4)                                        AS avg_qty,
-  round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 / count(*), 4) AS avg_price,
-  round(CAST(sum(CAST(round(l_discount * 10000) AS BIGINT)) AS DOUBLE) / 10000 / count(*), 4) AS avg_disc,
+  round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 / count(*), 4) AS avg_price,
+  round(CAST(sum(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 / count(*), 4) AS avg_disc,
   count(*)                                                         AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -55,12 +55,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # raw price, e-4 for products): double sums depend on partial-agg
     # order and diverge from the oracle in the last ulp exactly on a
     # rounding boundary at stress tiers; per-row-snapped integer sums
-    # are order-independent. sum/avg of l_quantity stay raw — the column
-    # is integral, so its double sum is exact in any order.
-    cents = F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
-    disc_e4 = F.sum(F.round(disc_price * 10000).cast("long"))
-    charge_e4 = F.sum(F.round(disc_price * (1 + F.col("l_tax")) * 10000).cast("long"))
-    disc_only_e4 = F.sum(F.round(F.col("l_discount") * 10000).cast("long"))
+    # are order-independent. floor(x+0.5), not round(): same half-up
+    # result on these all-positive columns via pure IEEE arithmetic
+    # (bit-identical across engines), without Spark round()'s per-row
+    # BigDecimal cost (~2x q1 wall at sf0.1). sum/avg of l_quantity stay
+    # raw — the column is integral, so its double sum is exact anyway.
+    cents = F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
+    disc_e4 = F.sum(F.floor(disc_price * 10000 + 0.5).cast("long"))
+    charge_e4 = F.sum(
+        F.floor(disc_price * (1 + F.col("l_tax")) * 10000 + 0.5).cast("long")
+    )
+    disc_only_e4 = F.sum(F.floor(F.col("l_discount") * 10000 + 0.5).cast("long"))
     n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
