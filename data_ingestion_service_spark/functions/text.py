@@ -21,24 +21,6 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
-def shingles(toks: Column, k: int = 3) -> Column:
-    """All k-token shingles (space-joined), in document order.
-
-    Empty array when the document has fewer than k tokens (guarded: Spark's
-    ``sequence(0, n)`` with n < 0 would generate a *descending* sequence).
-    """
-    idx = F.sequence(F.lit(0), F.size(toks) - k)
-    built = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
-        ),
-    )
-    return F.when(F.size(toks) >= k, built).otherwise(
-        F.array().cast("array<string>")
-    )
-
-
 def shingle_rows(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
     """(doc_id, shingle) rows via codegen-friendly explode.
 

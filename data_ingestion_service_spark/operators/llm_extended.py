@@ -1361,6 +1361,68 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_pack_sequences — training-context sequence packing: docs are packed
+# greedily, in deterministic doc_id order WITHIN EACH SOURCE SHARD, into
+# fixed token-budget sequences (seq = floor(exclusive-prefix-tokens /
+# budget)) — the step that turns a cleaned corpus into ~2048-token
+# training contexts. Per-shard packing is the scale-correct shape: the
+# prefix-sum window partitions by source, so 100 TB packs as thousands
+# of independent shards with no global sort (a corpus-wide ORDER BY
+# window would funnel everything through one task). Docs can straddle a
+# boundary (standard packing-with-truncation accounting); fill ratio
+# per sequence is reported against the budget.
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tok,
+         coalesce(sum(n_tok) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS prev_tok
+  FROM t
+)
+SELECT
+  source,
+  CAST(prev_tok // {_PACK_BUDGET} AS BIGINT)  AS seq_id,
+  count(*)                                    AS n_docs,
+  CAST(sum(n_tok) AS BIGINT)                  AS total_tokens,
+  min(doc_id)                                 AS first_doc,
+  max(doc_id)                                 AS last_doc,
+  round(CAST(sum(n_tok) AS DOUBLE) / {_PACK_BUDGET}, 4) AS fill_ratio
+FROM c
+GROUP BY source, CAST(prev_tok // {_PACK_BUDGET} AS BIGINT)
+"""
+
+
+@register("q_pack_sequences", oracle=_PACK_ORACLE)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tok = F.size(F.split("text", " "))
+    staged = docs.select("source", "doc_id", n_tok.alias("n_tok")).withColumn(
+        "prev_tok", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    )
+    seq = (F.col("prev_tok") / _PACK_BUDGET).cast("long")
+    return staged.groupBy("source", seq.alias("seq_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.round(F.sum("n_tok") / F.lit(_PACK_BUDGET), 4).alias("fill_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_corpus_mix — source-capped data mixing: each source contributes at
 # most K docs (lowest doc_id first — deterministic), the mixture recipe
 # step that stops one crawl dump from dominating a training corpus. The
