@@ -54,9 +54,11 @@ sh AS (
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Shared session-persisted shingle table (built 32-way; see
-    # llm.doc_shingles) — one build serves minhash, fingerprint, near-dup
-    # and dup-clusters.
+    # Shared session-persisted RAW shingle rows (built 32-way, not
+    # distinct'd; see llm.doc_shingles) — one build serves minhash,
+    # fingerprint, near-dup and dup-clusters. Consumers must be
+    # duplicate-blind (MIN) or dedup in their own agg (collect_set /
+    # countDistinct).
     return doc_shingles(spark, sf_dir)
 
 
@@ -166,8 +168,10 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = _doc_shingles(spark, sf_dir)
     agg = sh.groupBy("doc_id").agg(
+        # MIN is duplicate-blind; the count must dedup because
+        # doc_shingles carries raw (non-distinct'd) rows.
         F.min(F.md5(F.col("shingle").cast("binary"))).alias("min_shingle_md5"),
-        F.count(F.lit(1)).alias("n_shingles"),
+        F.countDistinct("shingle").alias("n_shingles"),
     )
     return docs.join(agg, "doc_id").select(
         "doc_id",
