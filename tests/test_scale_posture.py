@@ -314,3 +314,11 @@ def test_session_persisted_concurrent_single_build(spark):
         t.join()
     assert len(builds) == 1, f"built {len(builds)} times under concurrency"
     assert session_invalidate(spark, key)
+
+
+def test_pack_sequences_window_is_sharded(spark, sf_dir):
+    """The packing prefix-sum must window PER SOURCE SHARD: a global
+    (empty-partition-spec) window would funnel the whole corpus through
+    one sort task at scale."""
+    plan = formatted_plan(QUERIES["q_pack_sequences"](spark, sf_dir))
+    assert "windowspecdefinition(source#" in plan, plan.split("\n\n")[0]
