@@ -1,0 +1,442 @@
+"""Round-4 corpus operators: LSH-bucketed ANN, repetition-based quality
+scoring, train/test contamination detection, BM25 retrieval scoring, and
+pointer-jumping connected components.
+
+These extend the LLM-training-data family (BASELINE.json:6 mandate; the
+reference snapshot specifies nothing beyond its name, SURVEY.md §0):
+
+  - q_knn_lsh: sign-random-projection LSH — the *bucketed* ANN scale
+    path. Every vector gets a P-bit signature (sign of dot products with
+    P fixed hyperplanes); search only compares vectors in the probe's
+    bucket. At 100 TB the shuffle is keyed by bucket id and each bucket
+    is a tiny fraction of the corpus (multiple band tables trade recall
+    for recompute, exactly like MinHash banding — q_minhash_pairs).
+  - q_repetition_score: Gopher-style repetition filters — the fraction
+    of duplicated bigrams per document. Pure explode→count→agg, all
+    JVM-side, two shuffles both keyed by doc_id.
+  - q_contamination_check: test-set decontamination — test-split docs
+    with a near-duplicate (3-shingle Jaccard) in the train split. Probes
+    the session-cached near-dup pair index; the split is a pure hash of
+    doc_id (q_train_test_split's idiom) so the check is reproducible.
+  - q_bm25: classic BM25(k1=1.2, b=0.75) ranking of the corpus against
+    a fixed conjunctive-free keyword query. Per-doc term frequencies are
+    computed with array HOFs in one scan; corpus stats (N, avgdl, df)
+    are two 1-row/3-row aggregates broadcast back — no explode, no
+    shuffle proportional to corpus size beyond the top-k.
+  - q_dup_clusters_pj: the pointer-jumping variant of connected
+    components (label(v) <- label(label(v)) each round): O(log d)
+    rounds on a diameter-d component vs O(d) for plain min-label
+    propagation — the difference between 2 and 60 shuffles on a
+    long-chain duplicate cluster at 100 TB.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_service_spark.catalog import load_table
+from data_ingestion_service_spark.functions.text import shingle_rows, tokens
+from data_ingestion_service_spark.functions.vector import as_double, cosine
+from data_ingestion_service_spark.operators.llm import (
+    _NEAR_DEDUP_ORACLE,
+    near_dup_pairs,
+)
+from data_ingestion_service_spark.operators.llm_extended import _DUP_CLUSTERS_ORACLE
+from data_ingestion_service_spark.registry import register
+from data_ingestion_service_spark.session import session_persisted
+
+# ---------------------------------------------------------------------------
+# q_knn_lsh — sign-random-projection (hyperplane) LSH bucketed ANN.
+# ---------------------------------------------------------------------------
+
+_LSH_PLANES = 4  # 4 sign bits -> 16 buckets
+_LSH_DIM = 64
+
+# Deterministic ±1 hyperplane components: sign(p, d) = +1 iff the first
+# hex nibble of md5("p|d") is < '8'. Derived once here and inlined as
+# literals into BOTH the Spark plan and the oracle SQL, so the two
+# engines share the exact same hyperplanes by construction (same idiom
+# as q_train_test_split's hash split: the hash is the spec).
+_LSH_SIGNS: list[list[float]] = [
+    [
+        1.0 if hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0] < "8" else -1.0
+        for d in range(_LSH_DIM)
+    ]
+    for p in range(_LSH_PLANES)
+]
+
+
+def _sql_plane(p: int) -> str:
+    lits = ", ".join(str(int(v)) for v in _LSH_SIGNS[p])
+    return f"[{lits}]::DOUBLE[]"
+
+
+def _sql_proj(p: int) -> str:
+    # Same left-to-right f64 fold as Spark's aggregate(zip_with(...)):
+    # identical inputs -> bit-identical sums -> identical sign bits.
+    return (
+        f"list_aggregate(list_transform(range(1, {_LSH_DIM + 1}), "
+        f"i -> e[i] * ({_sql_plane(p)})[i]), 'sum')"
+    )
+
+
+_KNN_LSH_ORACLE = f"""
+WITH sigs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         {" + ".join(f"(CASE WHEN {_sql_proj(p)} >= 0 THEN {1 << p} ELSE 0 END)" for p in range(_LSH_PLANES))}
+           AS bucket
+  FROM embeddings
+),
+probe AS (SELECT e AS pe, bucket AS pb FROM sigs WHERE vec_id = 0)
+SELECT vec_id, bucket,
+       round(list_cosine_similarity(s.e, probe.pe), 4) AS cos_sim
+FROM sigs s, probe
+WHERE s.bucket = probe.pb AND s.vec_id <> 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 5
+"""
+
+
+@register("q_knn_lsh", oracle=_KNN_LSH_ORACLE)
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors of probe vec_id=0.
+
+    One scan computes every vector's 4-bit hyperplane signature; the
+    probe's bucket is broadcast and only same-bucket vectors are scored
+    exactly. Scale shape: signatures are a map-only pass; the candidate
+    join is an equi-join on bucket (each bucket ~1/16 of the corpus
+    here, ~1/2^P in general); top-k is TakeOrderedAndProject. Recall is
+    tuned with more band tables, not bigger buckets (cf. q_minhash_pairs).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = as_double("embedding")
+
+    def proj(p: int):
+        w = F.array(*[F.lit(v) for v in _LSH_SIGNS[p]])
+        return F.aggregate(
+            F.zip_with(e, w, lambda x, s: x * s), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    bucket = None
+    for p in range(_LSH_PLANES):
+        bit = F.when(proj(p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    sigs = emb.select("vec_id", e.alias("e"), bucket.alias("bucket"))
+    probe = sigs.filter(F.col("vec_id") == 0).select(
+        F.col("e").alias("pe"), F.col("bucket").alias("pb")
+    )
+    return (
+        sigs.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe), F.col("bucket") == F.col("pb"))
+        .select(
+            "vec_id",
+            "bucket",
+            F.round(cosine(F.col("e"), F.col("pe")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_repetition_score — per-document duplicated-bigram fractions (the
+# Gopher/C4-style repetition quality filters).
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks
+  WHERE len(t) >= 2
+),
+cnt AS (
+  SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY doc_id, bg
+)
+SELECT
+  doc_id,
+  CAST(sum(c) AS BIGINT)                       AS n_bigrams,
+  count(*)                                     AS n_distinct,
+  round(1 - count(*) * 1.0 / sum(c), 4)        AS dup_bigram_frac,
+  round(max(c) * 1.0 / sum(c), 4)              AS top_bigram_frac
+FROM cnt
+GROUP BY doc_id
+"""
+
+
+@register("q_repetition_score", oracle=_REPETITION_ORACLE)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filters: what fraction of a doc's bigrams are repeats,
+    and how dominant is its single most frequent bigram. Two shuffles,
+    both keyed by doc_id (the second by doc_id alone) — partial
+    aggregation keeps the (doc, bigram) shuffle narrow, and nothing is
+    corpus-global, so the op is embarrassingly scalable."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        shingle_rows(docs, 2)
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(1 - F.count(F.lit(1)) / F.sum("c"), 4).alias("dup_bigram_frac"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_contamination_check — test-split docs with a near-duplicate in the
+# train split (decontamination: the canonical pre-training hygiene pass).
+# ---------------------------------------------------------------------------
+
+# Reuses q_near_dedup's full pair SQL as a subquery, then classifies each
+# side with q_train_test_split's hash split and keeps only cross-split
+# pairs, oriented test -> train.
+_CONTAMINATION_ORACLE = f"""
+WITH nd AS ({_NEAR_DEDUP_ORACLE}),
+split AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+              THEN 'train' ELSE 'test' END AS sp
+  FROM documents
+)
+SELECT
+  CASE WHEN sa.sp = 'test' THEN nd.doc_a ELSE nd.doc_b END AS test_doc,
+  CASE WHEN sa.sp = 'test' THEN nd.doc_b ELSE nd.doc_a END AS train_doc,
+  nd.jaccard
+FROM nd
+JOIN split sa ON sa.doc_id = nd.doc_a
+JOIN split sb ON sb.doc_id = nd.doc_b
+WHERE sa.sp <> sb.sp
+"""
+
+
+@register("q_contamination_check", oracle=_CONTAMINATION_ORACLE)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split near-duplicate leakage: every (test_doc, train_doc)
+    pair whose 3-shingle Jaccard clears the near-dup threshold. Probes
+    the session-cached pair index (built once per session/sf by the
+    dedup family) and broadcasts the tiny split map — the incremental
+    cost over q_near_dedup is two broadcast hash joins over a few
+    hundred pair rows."""
+    pairs = near_dup_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    split = docs.select(
+        "doc_id",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+            < "c",
+            "train",
+        )
+        .otherwise("test")
+        .alias("sp"),
+    )
+    sa = split.select(F.col("doc_id").alias("doc_a"), F.col("sp").alias("sp_a"))
+    sb = split.select(F.col("doc_id").alias("doc_b"), F.col("sp").alias("sp_b"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(F.col("sp_a") != F.col("sp_b"))
+        .select(
+            F.when(F.col("sp_a") == "test", F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("test_doc"),
+            F.when(F.col("sp_a") == "test", F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("train_doc"),
+            "jaccard",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_bm25 — BM25 keyword retrieval over the corpus (k1=1.2, b=0.75).
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "scan", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _sql_tf(term: str) -> str:
+    return f"len(list_filter(t, w -> w = '{term}'))"
+
+
+_BM25_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, len(t) AS dl,
+         {", ".join(f"{_sql_tf(t)} AS tf{i}" for i, t in enumerate(_BM25_TERMS))}
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+stats AS (
+  SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl,
+         {", ".join(f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in range(len(_BM25_TERMS)))}
+  FROM d
+)
+SELECT doc_id,
+       round({" + ".join(
+           f"ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1)"
+           f" * tf{i} * ({_BM25_K1} + 1)"
+           f" / (tf{i} + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+           for i in range(len(_BM25_TERMS)))}, 4) AS bm25
+FROM d, stats
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
+@register("q_bm25", oracle=_BM25_ORACLE)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed keyword query. Term frequencies come from
+    array HOFs in the scan itself (no explode, no per-term shuffle);
+    corpus stats (N, avgdl, per-term df) are ONE single-row aggregate
+    broadcast back over the scored scan; the final top-k is
+    TakeOrderedAndProject. At 100 TB: two passes over the corpus, no
+    wide shuffle at all — df/avgdl would come from the corpus-stats
+    catalog a real pipeline maintains incrementally anyway."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+
+    def term_eq(term):
+        # Closure factory, NOT a default-arg lambda: PySpark would treat
+        # a second lambda parameter as the HOF's index argument.
+        return lambda w: w == F.lit(term)
+
+    d = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, term_eq(term))).alias(f"tf{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5) + 1
+        )
+        part = (
+            idf
+            * F.col(f"tf{i}")
+            * (_BM25_K1 + 1)
+            / (
+                F.col(f"tf{i}")
+                + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = part if score is None else score + part
+    return (
+        d.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(score, 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_dup_clusters_pj — connected components by pointer jumping.
+# ---------------------------------------------------------------------------
+
+
+def pointer_jump_components(
+    pairs: DataFrame, max_iter: int = 20
+) -> tuple[DataFrame, int]:
+    """Min-label connected components with pointer jumping.
+
+    Each round does (1) a neighbor-min step (one shuffle keyed by dst —
+    self-loops fold "keep own label" into the same aggregation, as in
+    q_dup_clusters) and then (2) a pointer-jump step label(v) <-
+    label(label(v)) (one self-join shuffle). Jumping halves every
+    label-chain's depth, so a diameter-d component converges in O(log d)
+    rounds instead of O(d) — on a 100 TB corpus where one viral document
+    chains thousands of near-dups together, that is the difference
+    between ~12 and ~1000s of shuffles. Returns (labels, rounds_used);
+    labels = (doc_id, label) for every doc touched by a pair.
+    """
+    touched = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    edges = (
+        pairs.select("doc_a", "doc_b")
+        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .union(
+            touched.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst"))
+        )
+        .persist()
+    )
+    labels = touched.select("doc_id", F.col("doc_id").alias("label")).persist()
+    prev_sum = None
+    rounds = 0
+    for it in range(max_iter):
+        rounds = it + 1
+        nbr_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("label"))
+        )
+        # Pointer jump: look the label up in the same round's table. A
+        # label always IS some touched doc's id, so the left join only
+        # misses when the row already points at a root that kept its own
+        # id — coalesce covers it either way.
+        lut = nbr_min.select(
+            F.col("doc_id").alias("lbl_id"), F.col("label").alias("lbl_label")
+        )
+        new_labels = (
+            nbr_min.join(lut, nbr_min.label == lut.lbl_id, "left")
+            .select(
+                "doc_id", F.coalesce("lbl_label", "label").alias("label")
+            )
+        )
+        # Same lineage-control tradeoff as q_dup_clusters: eager local
+        # checkpoint every 3rd round keeps plan depth O(1); swap for
+        # reliable checkpoint() on a real cluster (executor-loss safety).
+        if (it + 1) % 3 == 0:
+            new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = new_labels.persist()
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels, rounds
+
+
+@register("q_dup_clusters_pj", oracle=_DUP_CLUSTERS_ORACLE)
+def q_dup_clusters_pj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result (and same recursive-CTE oracle) as q_dup_clusters,
+    computed with pointer jumping — the variant to reach for when
+    duplicate clusters are long chains rather than dense blobs."""
+    labels = session_persisted(
+        spark,
+        ("dup_cluster_labels_pj", sf_dir),
+        lambda: pointer_jump_components(near_dup_pairs(spark, sf_dir))[0],
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    comp = docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("rep_id")
+    )
+    sizes = comp.groupBy("rep_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return comp.join(F.broadcast(sizes), "rep_id").select(
+        "doc_id", "rep_id", "n_members"
+    )

@@ -54,6 +54,7 @@ def load_all_operators() -> None:
         advanced,
         aggregation,
         analytics,
+        corpus_ops,
         engine_features,
         joins,
         llm,

@@ -382,3 +382,58 @@ def test_events_ts_epoch_tripwire(spark, sf_dir):
         events_stream(spark, sf_dir).agg(F.max("ts").alias("m")), "complete"
     ).collect()[0]["m"]
     assert stream_max.year == 2024
+
+
+def test_pointer_jump_converges_logarithmically(spark):
+    """A 32-node chain graph (worst case for min-label propagation: the
+    min label crawls one hop per neighbor-min round, needing ~31 rounds)
+    must converge in O(log n) pointer-jumping rounds — the property that
+    makes q_dup_clusters_pj the right variant for long-chain duplicate
+    clusters at scale."""
+    from data_ingestion_service_spark.operators.corpus_ops import (
+        pointer_jump_components,
+    )
+
+    n = 32
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    labels, rounds = pointer_jump_components(pairs, max_iter=20)
+    got = {r.doc_id: r.label for r in labels.collect()}
+    labels.unpersist()
+    assert got == {i: 0 for i in range(n)}, "chain must collapse to label 0"
+    # log2(32)=5; neighbor-min + jump more than halves depth per round.
+    # Plain propagation needs 31 rounds and would exhaust max_iter=20.
+    assert rounds <= 10, f"pointer jumping took {rounds} rounds on a 32-chain"
+
+
+def test_dup_cluster_variants_agree(run):
+    """q_dup_clusters (plain propagation) and q_dup_clusters_pj (pointer
+    jumping) must produce identical (doc_id, rep_id, n_members) sets —
+    two structurally different algorithms, one answer."""
+    a = sorted((r.doc_id, r.rep_id, r.n_members) for r in run("q_dup_clusters"))
+    b = sorted((r.doc_id, r.rep_id, r.n_members) for r in run("q_dup_clusters_pj"))
+    assert a == b
+
+
+def test_knn_lsh_candidates_bounded_by_exact(run):
+    """Every LSH-bucket hit's similarity is <= the exact brute-force
+    top-1 (q_knn_self), and results arrive sorted desc — the ANN result
+    is a subset of the full ranking, never an overshoot."""
+    lsh = run("q_knn_lsh")
+    exact_best = run("q_knn_self")[0].cos_sim
+    sims = [r.cos_sim for r in lsh]
+    assert sims == sorted(sims, reverse=True)
+    assert all(s <= exact_best for s in sims)
+    # One bucket only: every candidate shares the probe's bucket.
+    assert len({r.bucket for r in lsh}) <= 1
+
+
+def test_contamination_pairs_are_near_dups(run):
+    """Every contamination hit must be one of q_near_dedup's pairs (same
+    threshold, orientation-normalized) and must cross the hash split."""
+    nd = {frozenset((r.doc_a, r.doc_b)) for r in run("q_near_dedup")}
+    cont = run("q_contamination_check")
+    assert cont, "fixture has cross-split near-dups; empty result is a bug"
+    for r in cont:
+        assert frozenset((r.test_doc, r.train_doc)) in nd
