@@ -51,6 +51,13 @@ LLM_OPS = [
     "q_quality_score",
     "q_dup_clusters",
     "q_edit_distance",
+    # round 4 additions: LSH-bucketed ANN, BM25 retrieval, repetition
+    # quality filters, cross-split contamination, pointer-jumping CC.
+    "q_knn_lsh",
+    "q_bm25",
+    "q_repetition_score",
+    "q_contamination_check",
+    "q_dup_clusters_pj",
 ]
 
 

@@ -322,3 +322,71 @@ def test_pack_sequences_window_is_sharded(spark, sf_dir):
     one sort task at scale."""
     plan = formatted_plan(QUERIES["q_pack_sequences"](spark, sf_dir))
     assert "windowspecdefinition(source#" in plan, plan.split("\n\n")[0]
+
+
+def test_cbo_reorders_joins_by_cost(spark, sf_dir):
+    """Cost-based join REORDERING end-to-end: declare a deliberately bad
+    inner-join order (big ⋈ big first, selective tiny table last) and
+    confirm ANALYZE'd stats make the optimizer join the tiny table first
+    — with reordering disabled the declared (bad) order survives, so the
+    flip is attributable to the cost model, not to a syntactic rewrite.
+    At warehouse scale this is the difference between shuffling the full
+    fact-fact join and shuffling a pre-filtered sliver of it."""
+    import uuid
+
+    from data_ingestion_service_spark.catalog import load_table
+
+    tag = uuid.uuid4().hex[:8]
+    big1, big2, tiny = f"b1_{tag}", f"b2_{tag}", f"t_{tag}"
+    load_table(spark, sf_dir, "orders").write.saveAsTable(big1)
+    load_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey AS o_orderkey", "l_quantity"
+    ).write.saveAsTable(big2)
+    load_table(spark, sf_dir, "orders").filter("o_orderkey % 500 = 0").selectExpr(
+        "o_orderkey", "o_totalprice AS tp"
+    ).write.saveAsTable(tiny)
+    q = (
+        f"SELECT count(*) AS n FROM {big1} "
+        f"JOIN {big2} ON {big1}.o_orderkey = {big2}.o_orderkey "
+        f"JOIN {tiny} ON {big1}.o_orderkey = {tiny}.o_orderkey"
+    )
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.cbo.enabled",
+            "spark.sql.cbo.joinReorder.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        # broadcast off so join order actually matters to the cost model
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for t in (big1, big2, tiny):
+            spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS")
+
+        import re
+
+        def outermost_right_table(reorder: bool) -> str:
+            spark.conf.set("spark.sql.cbo.joinReorder.enabled", str(reorder).lower())
+            opt = spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+            # In the printed tree the outermost join's RIGHT child is the
+            # last Relation line — the table joined LAST.
+            return re.findall(r"Relation spark_catalog\.default\.(\w+)", opt)[-1]
+
+        assert outermost_right_table(True) == big2, (
+            "stats did not flip the join order (tiny table should join first, "
+            "leaving the second big table outermost)"
+        )
+        assert outermost_right_table(False) == tiny, (
+            "declared order did not survive with reordering off — "
+            "the flip above would not be evidence of the cost model"
+        )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        for t in (big1, big2, tiny):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
