@@ -349,6 +349,124 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_regex_tokens — BPE-ish regex token counting beside whitespace counting.
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pre-tokenizer shape reduced to a portable alternation (runs
+# identically under Java regex and DuckDB's RE2): letter runs, digit
+# runs, and runs of anything else except spaces.
+_BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+
+_REGEX_TOKENS_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT)                AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT) AS re_tokens,
+       round(len(regexp_extract_all(text, '{_BPE_PATTERN}')) * 1.0
+             / len(string_split(text, ' ')), 4)                    AS fertility
+FROM documents
+"""
+
+
+@register("q_regex_tokens", oracle=_REGEX_TOKENS_ORACLE)
+def q_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace words and a BPE-ish regex
+    pre-tokenization; `fertility` (regex tokens per word) is the
+    standard proxy for how many subword units a tokenizer will emit.
+    Map-only over the corpus — no shuffle at all, the ideal 100 TB
+    shape; regexp_extract_all runs codegen'd in the JVM scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(tokens("text")).cast("bigint")
+    re_n = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0)
+    ).cast("bigint")
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        re_n.alias("re_tokens"),
+        F.round(re_n * 1.0 / ws, 4).alias("fertility"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_rolling_hash — Karp-Rabin window fingerprints (winnowing summary).
+# ---------------------------------------------------------------------------
+
+_RH_K = 4  # tokens per window
+_RH_M = 1 << 20  # token-hash modulus (keeps the polynomial in 48 bits)
+_RH_P = 1 << 40  # window-hash modulus
+_RH_B = 131  # polynomial base
+
+_ROLLING_HASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_transform(t, tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT
+                                  % {_RH_M}) AS ha,
+         len(t) AS n
+  FROM toks
+  WHERE len(t) >= {_RH_K}
+),
+w AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, n - {_RH_K - 2}),
+           i -> ((((ha[i] * {_RH_B} + ha[i+1]) % {_RH_P}) * {_RH_B} + ha[i+2])
+                 % {_RH_P} * {_RH_B} + ha[i+3]) % {_RH_P})) AS wh
+  FROM h
+)
+SELECT doc_id,
+       count(*)            AS n_windows,
+       min(wh)             AS fp_min,
+       count(DISTINCT wh)  AS fp_distinct
+FROM w
+GROUP BY doc_id
+"""
+
+
+@register("q_rolling_hash", oracle=_ROLLING_HASH_ORACLE)
+def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp-Rabin fingerprinting: polynomial hash of every 4-token
+    window (mod 2^40, base 131, token hashes from md5 mod 2^20 so the
+    fold never leaves 48 bits), summarized winnowing-style as the
+    window count, the minimum window hash, and the distinct-hash count.
+    The per-token hash array is computed ONCE per doc (one interpreted
+    HOF pass); window expansion is explode(sequence)+getItem arithmetic
+    that stays in whole-stage codegen, and the only shuffle is the
+    final doc_id aggregation — identical topology to shingle_rows. An
+    imperative engine would slide the window incrementally; the
+    declarative form computes each window independently, same values."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens("text").alias("t")).filter(
+        F.size("t") >= _RH_K
+    )
+    ha = F.transform(
+        F.col("t"),
+        lambda tok: F.conv(F.substring(F.md5(tok.cast("binary")), 1, 15), 16, 10)
+        .cast("bigint")
+        % _RH_M,
+    )
+    hashed = toked.select("doc_id", ha.alias("ha"))
+    exploded = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.size("ha") - _RH_K)).alias("i"),
+        "ha",
+    )
+    wh = F.col("ha")[F.col("i")]
+    for j in range(1, _RH_K):
+        wh = (wh * _RH_B + F.col("ha")[F.col("i") + j]) % _RH_P
+    return (
+        exploded.select("doc_id", wh.alias("wh"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.min("wh").alias("fp_min"),
+            F.countDistinct("wh").alias("fp_distinct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_dup_clusters_pj — connected components by pointer jumping.
 # ---------------------------------------------------------------------------
 
