@@ -58,6 +58,7 @@ LLM_OPS = [
     "q_repetition_score",
     "q_contamination_check",
     "q_dup_clusters_pj",
+    "q_pagerank",
 ]
 
 

@@ -349,6 +349,199 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_pagerank — fixed-point integer PageRank over the near-dup graph.
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_SCALE = 10**12  # rank stored as integer pico-units
+_PR_D_NUM, _PR_D_DEN = 85, 100  # damping 0.85 as a ratio
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    # One synchronous PageRank step in pure BIGINT arithmetic: every
+    # engine sums the same integers, so distributed float-addition order
+    # can't flip the result (same trick as the fixed-point money aggs).
+    return f"""
+{out} AS (
+  SELECT n.id,
+         (({_PR_SCALE} * {_PR_D_DEN - _PR_D_NUM}) // {_PR_D_DEN}) // nn.n
+         + ({_PR_D_NUM} * coalesce(inflow.s, 0)) // {_PR_D_DEN} AS r
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.d AS id, sum(p.r // deg.deg) AS s
+    FROM edges e JOIN {prev} p ON p.id = e.s JOIN deg ON deg.id = e.s
+    GROUP BY e.d
+  ) inflow ON inflow.id = n.id
+)"""
+
+
+_PAGERANK_ORACLE = (
+    """
+WITH nd AS MATERIALIZED ("""
+    + _NEAR_DEDUP_ORACLE
+    + f"""),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM nd
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM nd
+),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT s AS id, count(*) AS deg FROM edges GROUP BY s),
+r0 AS (SELECT id, {_PR_SCALE} // nn.n AS r FROM nodes, nn),
+"""
+    + ",".join(_pr_iter_sql(f"r{i}", f"r{i + 1}") for i in range(_PR_ITERS))
+    + f"""
+SELECT id AS doc_id, CAST(r AS BIGINT) AS pr_e12 FROM r{_PR_ITERS}
+"""
+)
+
+
+@register("q_pagerank", oracle=_PAGERANK_ORACLE)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (d=0.85, 3 synchronous iterations) over the undirected
+    near-dup pair graph, in integer fixed-point (pico-units) so engine
+    parity is exact: rank/deg uses integer division, sums are integer
+    sums (associative — no float-order hazard), damping is a ratio.
+
+    Scale shape per iteration: one join of the edge list against the
+    current rank vector + one groupBy(dst) — a single shuffle keyed by
+    dst, identical to the label-propagation topology. Degrees and node
+    count are computed once; the edge list is the session-cached pair
+    index. At 100 TB the graph is the near-dup fraction of the corpus,
+    not the corpus."""
+    pairs = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b"), F.col("doc_a"))
+    ).toDF("s", "d")
+    edges = session_persisted(
+        spark, ("pagerank_edges", sf_dir), lambda: edges
+    )
+    nodes = edges.select(F.col("s").alias("id")).distinct()
+    n = nodes.count()
+    deg = edges.groupBy(F.col("s").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    base = (_PR_SCALE * (_PR_D_DEN - _PR_D_NUM)) // _PR_D_DEN // n
+    ranks = nodes.select("id", F.lit(_PR_SCALE // n).alias("r"))
+    for _ in range(_PR_ITERS):
+        inflow = (
+            edges.join(ranks.withColumnRenamed("id", "s"), "s")
+            .join(F.broadcast(deg.withColumnRenamed("id", "s")), "s")
+            .groupBy(F.col("d").alias("id"))
+            .agg(F.sum(F.expr("r div deg")).alias("inflow"))
+        )
+        ranks = nodes.join(inflow, "id", "left").select(
+            "id",
+            (
+                F.lit(base)
+                + F.expr(f"{_PR_D_NUM} * coalesce(inflow, 0L) div {_PR_D_DEN}")
+            ).alias("r"),
+        )
+    return ranks.select(F.col("id").alias("doc_id"), F.col("r").alias("pr_e12"))
+
+
+# ---------------------------------------------------------------------------
+# q_corpus_temperature — temperature-scaled multi-source sampling weights.
+# ---------------------------------------------------------------------------
+
+_TEMP_ALPHA = 0.7
+
+_CORPUS_TEMPERATURE_ORACLE = f"""
+WITH per_source AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents
+  GROUP BY source
+),
+tot AS (SELECT sum(n_tokens) AS t FROM per_source),
+scaled AS (
+  SELECT source, n_docs, n_tokens,
+         n_tokens * 1.0 / tot.t AS share,
+         pow(n_tokens * 1.0 / tot.t, {_TEMP_ALPHA}) AS w
+  FROM per_source, tot
+),
+z AS (SELECT sum(w) AS z FROM scaled)
+SELECT source, n_docs, n_tokens,
+       round(share, 6)   AS token_share,
+       round(w / z.z, 6) AS mix_weight
+FROM scaled, z
+"""
+
+
+@register("q_corpus_temperature", oracle=_CORPUS_TEMPERATURE_ORACLE)
+def q_corpus_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (w_i ∝ share_i^0.7) — the
+    standard multi-corpus sampling-weight computation for training-data
+    pipelines: upweights small sources, downweights dominant ones.
+    One groupBy(source) plus two single-row broadcast aggregates; the
+    normalizer sums ~|sources| doubles on the driver-free path (the
+    20-source weight vector is the only non-integer aggregation, small
+    enough that summation order is a non-issue: one partial per source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("n_tokens"),
+    )
+    per_source = per_source.crossJoin(
+        F.broadcast(per_source.agg(F.sum("n_tokens").alias("t")))
+    ).withColumn("share", F.col("n_tokens") * 1.0 / F.col("t"))
+    scaled = per_source.withColumn("w", F.pow("share", _TEMP_ALPHA))
+    z = scaled.agg(F.sum("w").alias("z"))
+    return scaled.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("share", 6).alias("token_share"),
+        F.round(F.col("w") / F.col("z"), 6).alias("mix_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_feature_hash — hashing-trick featurization of categorical columns.
+# ---------------------------------------------------------------------------
+
+_FH_BUCKETS = 32
+
+_FEATURE_HASH_ORACLE = f"""
+SELECT
+  ('0x' || substr(md5(source || '|' || lang), 1, 15))::BIGINT % {_FH_BUCKETS}
+    AS bucket,
+  count(*) AS n_docs,
+  count(DISTINCT source) AS n_sources
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("q_feature_hash", oracle=_FEATURE_HASH_ORACLE)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: categorical (source, lang) pairs land in a
+    fixed 32-bucket feature space via md5 — no vocabulary build, no
+    fit/transform state, unbounded cardinality handled in O(1) memory.
+    Map-side hash + one groupBy(bucket); cross-engine identical via the
+    same hex-literal bigint derivation as q_rolling_hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", "source", "lang").cast("binary")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _FH_BUCKETS
+    )
+    return (
+        docs.select(bucket.alias("bucket"), "source")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_regex_tokens — BPE-ish regex token counting beside whitespace counting.
 # ---------------------------------------------------------------------------
 
