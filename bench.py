@@ -57,6 +57,13 @@ LLM_OPS = [
     "q_bm25",
     "q_repetition_score",
     "q_contamination_check",
+    # Expected ~2x q_dup_clusters here: pointer jumping spends 2
+    # shuffles/round (neighbor-min + jump) to cut ROUND COUNT, and this
+    # fixture's duplicate clusters are diameter-2 blobs (both variants
+    # converge in 2 rounds, measured), so the jump can't pay for itself.
+    # It wins on chain-shaped graphs — the 32-chain test pins <=10
+    # rounds where plain propagation needs 31. Benched anyway: the
+    # plain-vs-pj delta IS the measurement.
     "q_dup_clusters_pj",
     "q_pagerank",
 ]

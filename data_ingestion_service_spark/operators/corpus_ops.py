@@ -703,11 +703,16 @@ def pointer_jump_components(
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("label"))
         )
-        # Pointer jump: look the label up in the same round's table. A
+        # Pointer jump THROUGH THE PREVIOUS round's labels (already
+        # persisted, so the lookup side is a cache hit instead of a
+        # same-round self-join that would recompute the aggregation
+        # twice per action). prev[x] <= x for every touched x (labels
+        # start at the id and only decrease), so the jump is still
+        # monotone; on a chain it still compounds the lookback
+        # exponentially (pinned by the 32-chain convergence test). A
         # label always IS some touched doc's id, so the left join only
-        # misses when the row already points at a root that kept its own
-        # id — coalesce covers it either way.
-        lut = nbr_min.select(
+        # misses for rows already at a root — coalesce covers it.
+        lut = labels.select(
             F.col("doc_id").alias("lbl_id"), F.col("label").alias("lbl_label")
         )
         new_labels = (
