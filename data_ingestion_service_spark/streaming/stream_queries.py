@@ -966,3 +966,113 @@ def q_stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("value").cast("bigint").alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_state_inspect — read a streaming aggregation's STATE STORE
+# back as a batch DataFrame (Spark 4 `statestore` reader): the
+# operational surface for debugging/auditing live streaming state. The
+# inspected state must equal the batch aggregate over the drained
+# replay, which is exactly what the oracle checks. At 100 TB this reads
+# RocksDB state files per shuffle partition in parallel — the only way
+# to audit a live pipeline's state without stopping it.
+# ---------------------------------------------------------------------------
+
+_STATE_INSPECT_ORACLE = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("q_stream_state_inspect", oracle=_STATE_INSPECT_ORACLE)
+def q_stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")
+    )
+    out = tempfile.mkdtemp(prefix="ingest_state_inspect_")
+    name = f"state_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", out)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # Not the sink: the OPERATOR STATE itself, keyed by group, one
+    # struct per (key, partition).
+    state = spark.read.format("statestore").load(out)
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n"),
+        F.round(F.col("value.sum"), 2).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# src_python_stream_source — the Spark 4 Python DataSource API's
+# STREAMING surface (SimpleDataSourceStreamReader): offset management,
+# micro-batch planning, and replay-between-offsets all implemented in
+# Python — the extensibility path for ingesting from a system with no
+# native connector. The generator is deterministic (48 rows, 16 per
+# micro-batch), so the DuckDB oracle reproduces the drained result from
+# range(). processAllAvailable() terminates because the reader reports
+# an unchanged offset once exhausted.
+# ---------------------------------------------------------------------------
+
+_PY_STREAM_ROWS = 48
+_PY_STREAM_BATCH = 16
+
+_PY_STREAM_ORACLE = f"""
+SELECT i % 4 AS bucket, count(*) AS n, CAST(sum(i * 7) AS BIGINT) AS total
+FROM (SELECT unnest(range(0, {_PY_STREAM_ROWS})) AS i)
+GROUP BY 1
+"""
+
+
+def _make_counter_stream_source():
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    n_rows, per_batch = _PY_STREAM_ROWS, _PY_STREAM_BATCH
+
+    class _Reader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"i": 0}
+
+        def read(self, start):
+            i = start["i"]
+            end = min(i + per_batch, n_rows)
+            return iter([(j, j % 4, j * 7) for j in range(i, end)]), {"i": end}
+
+        def readBetweenOffsets(self, start, end):
+            return iter([(j, j % 4, j * 7) for j in range(start["i"], end["i"])])
+
+    class CounterStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "counter_stream"
+
+        def schema(self):
+            return "i bigint, bucket bigint, val bigint"
+
+        def simpleStreamReader(self, schema):
+            return _Reader()
+
+    return CounterStreamSource
+
+
+@register("src_python_stream_source", oracle=_PY_STREAM_ORACLE)
+def src_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
+    spark.dataSource.register(_make_counter_stream_source())
+    stream = spark.readStream.format("counter_stream").load()
+    agg = stream.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("val").alias("total")
+    )
+    final = run_to_memory(agg, "complete")
+    return final.select("bucket", "n", F.col("total").cast("bigint").alias("total"))
