@@ -151,3 +151,92 @@ def q_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nt").alias("max_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_pandas_udaf — a true Python UDAF: GROUPED_AGG pandas_udf computing a
+# weighted mean per group. The whole group's values arrive as one pandas
+# Series (no partial aggregation), so the arithmetic is done in exact
+# integer cents — integer sums are associative, which removes the
+# accumulate-order float hazard that a double UDAF would have across
+# shuffle orders. Scale note: GROUPED_AGG ships every group member to
+# Python (no map-side combine) — use it for genuinely non-relational
+# aggregates only; this one exists to prove the surface, and the oracle
+# can restate it relationally.
+# ---------------------------------------------------------------------------
+
+_PANDAS_UDAF_ORACLE = """
+SELECT
+  o_orderpriority,
+  round(sum((o_custkey % 10 + 1)
+            * CAST(round(o_totalprice * 100) AS BIGINT)) * 1.0
+        / sum(o_custkey % 10 + 1) / 100, 4) AS wavg_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def _make_wavg_udaf():
+    @pandas_udf(DoubleType())
+    def _wavg_cents(w: pd.Series, cents: pd.Series) -> float:
+        # int64 sums: exact, order-independent.
+        return float((w * cents).sum()) / float(w.sum())
+
+    return _wavg_cents
+
+
+@register("q_pandas_udaf", oracle=_PANDAS_UDAF_ORACLE)
+def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    wavg = _make_wavg_udaf()
+    w = (F.col("o_custkey") % 10 + 1).cast("long")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        orders.select("o_orderpriority", w.alias("w"), cents.alias("cents"))
+        .groupBy("o_orderpriority")
+        .agg(F.round(wavg(F.col("w"), F.col("cents")) / 100, 4).alias("wavg_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_map_in_arrow — mapInArrow: the zero-copy RecordBatch surface (one
+# abstraction level below mapInPandas — no pandas conversion at all).
+# Net-price cents are computed with pyarrow.compute integer kernels;
+# the aggregation stays JVM-side, so Python only touches a map stage.
+# ---------------------------------------------------------------------------
+
+_MAP_IN_ARROW_ORACLE = """
+SELECT
+  l_returnflag,
+  count(*) AS n,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+    AS net_e4
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def _arrow_net_batches(batches):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        ext = pc.cast(pc.round(pc.multiply(batch.column(1), 100.0)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(batch.column(2), 100.0)), pa.int64())
+        net = pc.multiply(ext, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        yield pa.RecordBatch.from_arrays(
+            [batch.column(0), net], ["l_returnflag", "net_e4"]
+        )
+
+
+@register("q_map_in_arrow", oracle=_MAP_IN_ARROW_ORACLE)
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    net = li.mapInArrow(_arrow_net_batches, "l_returnflag string, net_e4 long")
+    return net.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("net_e4").cast("bigint").alias("net_e4"),
+    )
