@@ -390,3 +390,22 @@ def test_cbo_reorders_joins_by_cost(spark, sf_dir):
                 spark.conf.set(k, v)
         for t in (big1, big2, tiny):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_knn_lsh_is_bucket_equijoin(spark, sf_dir):
+    """The LSH ANN must meet candidates through a hash EQUI-join on the
+    bucket id — never a cartesian/nested-loop pairing (which would make
+    it brute force with extra steps)."""
+    plan = formatted_plan(QUERIES["q_knn_lsh"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_no_explode_no_wide_shuffle(spark, sf_dir):
+    """BM25 term frequencies come from array HOFs in the scan itself:
+    the plan must contain no Generate (explode) and must finish with
+    TakeOrderedAndProject (top-k, not a global sort)."""
+    plan = formatted_plan(QUERIES["q_bm25"](spark, sf_dir))
+    assert "Generate" not in plan, "BM25 should not explode tokens"
+    assert "TakeOrderedAndProject" in plan
