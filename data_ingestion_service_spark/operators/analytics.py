@@ -248,3 +248,59 @@ def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("p_name", "([a-z]+)$", 0).alias("last_word"),
         F.size(F.split(F.col("p_name"), "\\s+")).alias("n_words"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_cumulative_distinct — running distinct-user count by day. COUNT
+# (DISTINCT) OVER a growing frame is unsupported (and would be O(n²)
+# state anyway); the scalable rewrite is first-seen flagging: mark each
+# user's first event (one shuffle keyed by user), aggregate new-user
+# counts per day, then a running SUM over days — O(days) window state
+# instead of a per-row distinct set. This is THE pattern for cumulative
+# uniques at 100 TB (the same shape HLL-merge rollups optimize further).
+# ---------------------------------------------------------------------------
+
+_CUMULATIVE_DISTINCT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS first_day
+  FROM events
+  GROUP BY user_id
+),
+daily AS (
+  SELECT first_day AS day, count(*) AS new_users FROM firsts GROUP BY first_day
+),
+days AS (
+  SELECT date_trunc('day', ts) AS day, count(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT days.day::TIMESTAMP AS day, days.n_events,
+       coalesce(daily.new_users, 0) AS new_users,
+       CAST(sum(coalesce(daily.new_users, 0)) OVER (
+         ORDER BY days.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cumulative_users
+FROM days LEFT JOIN daily ON daily.day = days.day
+"""
+
+
+@register("q_cumulative_distinct", oracle=_CUMULATIVE_DISTINCT_ORACLE)
+def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    firsts = ev.groupBy("user_id").agg(F.min(F.date_trunc("day", "ts")).alias("day"))
+    daily_new = firsts.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    days = ev.groupBy(day).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        days.join(daily_new, "day", "left")
+        .select(
+            F.col("day").cast("timestamp_ntz").alias("day"),
+            "n_events",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+        .withColumn(
+            "cumulative_users",
+            F.sum("new_users").over(w).cast("bigint"),
+        )
+    )
