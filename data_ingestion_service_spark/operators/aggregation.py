@@ -278,3 +278,47 @@ def q_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", 0.5), 4).alias("median_price"),
         F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_group_mad — median absolute deviation per group: the robust spread
+# statistic (outlier-insensitive, unlike stddev). Two exact-percentile
+# passes: group medians first (broadcast back — a handful of rows), then
+# the median of |x − median| per group. Same interpolated-percentile
+# parity contract as q_group_median (Spark percentile == DuckDB
+# quantile_cont). At 100 TB each pass is one shuffle keyed by the group;
+# the approximate path would swap in percentile_approx / KLL sketches.
+# ---------------------------------------------------------------------------
+
+_GROUP_MAD_ORACLE = """
+WITH med AS (
+  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT
+  l.l_returnflag,
+  count(*) AS n,
+  round(any_value(med.med), 4) AS median_price,
+  round(quantile_cont(abs(l.l_extendedprice - med.med), 0.5), 4) AS mad_price
+FROM lineitem l JOIN med ON med.l_returnflag = l.l_returnflag
+GROUP BY l.l_returnflag
+"""
+
+
+@register("q_group_mad", oracle=_GROUP_MAD_ORACLE)
+def q_group_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("med")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.any_value("med"), 4).alias("median_price"),
+            F.round(
+                F.percentile(F.abs(F.col("l_extendedprice") - F.col("med")), 0.5), 4
+            ).alias("mad_price"),
+        )
+    )
