@@ -349,6 +349,74 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_lm_score — bigram language-model quality scoring.
+# ---------------------------------------------------------------------------
+
+_LM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks
+  WHERE len(t) >= 2
+),
+bi2 AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bi),
+c2 AS (SELECT bg, count(*) AS c2 FROM bi2 GROUP BY bg),
+c1 AS (SELECT w1, count(*) AS c1 FROM bi2 GROUP BY w1),
+scored AS (
+  SELECT b.doc_id,
+         CAST(floor(log2(c2.c2 * 1.0 / c1.c1) * 1000000) AS BIGINT) AS lp_e6
+  FROM bi2 b JOIN c2 ON c2.bg = b.bg JOIN c1 ON c1.w1 = b.w1
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round(sum(lp_e6) * 1.0 / count(*) / 1000000, 4) AS avg_log2_prob
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@register("q_lm_score", oracle=_LM_ORACLE)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM scoring — the language-model quality
+    filter: train bigram conditionals P(w2|w1) = c(w1 w2)/c(w1·) on the
+    corpus itself, then score each doc by its mean log2 bigram
+    probability (low = improbable word sequences). Per-bigram log-probs
+    are floored to e6 fixed-point BEFORE summing, so the per-doc sum is
+    an integer sum — associative, immune to distributed accumulation
+    order (the float-sum hazard every distributed scoring pipeline
+    hits). Three shuffles: bigram counts, prefix counts, per-doc sum;
+    the model join is keyed by bigram — at 100 TB the model would be a
+    broadcast-able pruned table (min-count cutoff), same plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    bi = shingle_rows(docs, 2).select(
+        "doc_id",
+        F.col("shingle").alias("bg"),
+        F.substring_index("shingle", " ", 1).alias("w1"),
+    )
+    c2 = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        bi.join(c2, "bg")
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            F.floor(F.log2(F.col("c2") * 1.0 / F.col("c1")) * 1000000)
+            .cast("bigint")
+            .alias("lp_e6"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("lp_e6") * 1.0 / F.count(F.lit(1)) / 1000000, 4).alias(
+            "avg_log2_prob"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_pagerank — fixed-point integer PageRank over the near-dup graph.
 # ---------------------------------------------------------------------------
 
