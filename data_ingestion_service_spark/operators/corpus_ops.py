@@ -349,6 +349,59 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_near_dedup_survivors — end-to-end near-dup dedup: keep one doc per
+# duplicate cluster, report the surviving corpus per source.
+# ---------------------------------------------------------------------------
+
+_SURVIVORS_ORACLE = (
+    "WITH comp_full AS MATERIALIZED ("
+    + _DUP_CLUSTERS_ORACLE
+    + """)
+SELECT d.source,
+       count(*)                                           AS n_docs,
+       CAST(sum(CASE WHEN c.rep_id = d.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_survivors,
+       CAST(sum(CASE WHEN c.rep_id = d.doc_id
+                     THEN len(string_split(d.text, ' ')) ELSE 0 END) AS BIGINT)
+         AS surviving_tokens
+FROM documents d
+JOIN comp_full c ON c.doc_id = d.doc_id
+GROUP BY d.source
+"""
+)
+
+
+@register("q_near_dedup_survivors", oracle=_SURVIVORS_ORACLE)
+def q_near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's dedup OUTPUT stage: detect near-dups (shingle
+    index), cluster them (connected components), keep the min-id doc of
+    each cluster, and report per-source doc/survivor/token counts — what
+    a training-data build actually materializes. Reuses the cached pair
+    index and converged labels; the incremental cost is one broadcast
+    join of the label table against the corpus scan."""
+    from data_ingestion_service_spark.registry import QUERIES
+
+    comp = QUERIES["q_dup_clusters"](spark, sf_dir).select("doc_id", "rep_id")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens("text")).alias("n_tok")
+    )
+    survived = F.when(F.col("rep_id") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        docs.join(comp, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(survived).alias("n_survivors"),
+            F.sum(
+                F.when(F.col("rep_id") == F.col("doc_id"), F.col("n_tok")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("surviving_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_lm_score — bigram language-model quality scoring.
 # ---------------------------------------------------------------------------
 
