@@ -437,3 +437,16 @@ def test_contamination_pairs_are_near_dups(run):
     assert cont, "fixture has cross-split near-dups; empty result is a bug"
     for r in cont:
         assert frozenset((r.test_doc, r.train_doc)) in nd
+
+
+def test_minhash_lsh_recall_covers_near_dups(run):
+    """Recall contract of the banding pipeline: every exact near-dup
+    pair (3-shingle Jaccard >= 0.25, q_near_dedup) must appear among
+    the MinHash-LSH band candidates (8 bands x 2 hashes). Probabilistic
+    in general, deterministic on fixed fixtures — measured 100% at
+    sf0.001/0.01/0.1; a signature or banding regression would break
+    this before it broke the (independently-oracled) candidate list."""
+    nd = {(r.doc_a, r.doc_b) for r in run("q_near_dedup")}
+    mh = {(r.doc_a, r.doc_b) for r in run("q_minhash_pairs")}
+    missed = nd - mh
+    assert not missed, f"LSH candidates missed exact near-dups: {sorted(missed)[:5]}"
