@@ -1076,3 +1076,68 @@ def src_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     final = run_to_memory(agg, "complete")
     return final.select("bucket", "n", F.col("total").cast("bigint").alias("total"))
+
+
+# ---------------------------------------------------------------------------
+# q_stream_restart_exactly_once — checkpoint recovery across a process-
+# style restart: drain half the data, STOP the query, add the second
+# half, restart a NEW query object on the SAME checkpoint + sink, drain,
+# and read the sink. Exactly-once file-sink semantics (offset log +
+# commit-manifest) mean the result equals one batch pass over all the
+# data — no duplicated first half, no lost second half. This is the
+# core reliability contract an ingestion service restarts depend on; at
+# 100 TB the same checkpoint protocol rides on a durable object store.
+# ---------------------------------------------------------------------------
+
+_RESTART_ORACLE = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("q_stream_restart_exactly_once", oracle=_RESTART_ORACLE)
+def q_stream_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
+    kind = _events_ts_kind(spark, sf_dir)
+    schema = _events_raw_schema(kind)
+    work = tempfile.mkdtemp(prefix="ingest_restart_")
+    raw = spark.read.schema(schema).parquet(table_path(sf_dir, "events"))
+    # Two halves by event_id parity, staged as separate replay files.
+    raw.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{work}/h1")
+    raw.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{work}/h2")
+    os.makedirs(f"{work}/replay")
+    [p1] = glob.glob(f"{work}/h1/part-*.parquet")
+    shutil.copy(p1, f"{work}/replay/a_half.parquet")
+
+    def run_pass() -> None:
+        ev = _normalize_ts(
+            spark.readStream.schema(schema).parquet(f"{work}/replay"), kind
+        )
+        proj = ev.select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+        q = (
+            proj.writeStream.format("parquet")
+            .option("path", f"{work}/sink")
+            .option("checkpointLocation", f"{work}/checkpoint")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_pass()  # first half drains, query stops (planned "crash" point)
+    [p2] = glob.glob(f"{work}/h2/part-*.parquet")
+    shutil.copy(p2, f"{work}/replay/b_half.parquet")
+    run_pass()  # fresh query, same checkpoint: resumes after half one
+    sink = spark.read.parquet(f"{work}/sink")
+    return sink.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value_cents").cast("bigint").alias("value_cents"),
+    )
