@@ -585,3 +585,32 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mb").cast("long").alias("mb_lo"),
         F.max("mb").cast("long").alias("mb_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_filtered_agg — ANSI FILTER (WHERE ...) aggregate modifiers: one scan
+# computing several differently-filtered aggregates (the idiomatic
+# replacement for N self-joins or N CASE-wrapped sums). Identical SQL
+# runs on both engines; integer-cents sums keep float order out of it.
+# ---------------------------------------------------------------------------
+
+_FILTERED_AGG_SQL = """
+SELECT
+  o_orderpriority,
+  count(*)                                              AS n_orders,
+  count(*) FILTER (WHERE o_orderstatus = 'F')           AS n_finished,
+  count(*) FILTER (WHERE o_totalprice > 150000)         AS n_large,
+  CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                FILTER (WHERE o_orderstatus = 'O'), 0) AS BIGINT)
+                                                        AS open_cents
+FROM {orders}
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "q_filtered_agg", oracle=_FILTERED_AGG_SQL.format(orders="orders")
+)
+def q_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_fa")
+    return spark.sql(_FILTERED_AGG_SQL.format(orders="v_orders_fa"))
