@@ -59,8 +59,18 @@ _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], Dat
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with oracle-parity normalizations applied."""
+    import os
+
     per_session = _TABLE_CACHE.setdefault(spark, {})
-    key = (sf_dir.rstrip("/"), name)
+    # Keyed by (path, mtime, size) like stream_queries._TS_KIND_CACHE: a
+    # fixture regenerated in-place mid-session gets a fresh plan (new
+    # file listing + schema probe) instead of the stale cached one.
+    path = table_path(sf_dir, name)
+    try:
+        st = os.stat(path)
+        key = (sf_dir.rstrip("/"), name, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (sf_dir.rstrip("/"), name, 0, 0)
     cached = per_session.get(key)
     if cached is not None:
         return cached
