@@ -349,6 +349,69 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_entropy — per-source token-distribution entropy (corpus diversity).
+# ---------------------------------------------------------------------------
+
+# Shannon entropy H = log2(N) - (1/N)·Σ_t c_t·log2(c_t), quantized so
+# both engines compute identical integers: each log2 is floored to e6
+# fixed-point BEFORE the weighted sum (same discipline as q_lm_score).
+# The quantization error is < 2e-6 bits — irrelevant for the diversity
+# signal, decisive for cross-engine hash parity.
+_ENTROPY_ORACLE = """
+WITH terms AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+),
+cnt AS (
+  SELECT source, term, count(*) AS c FROM terms WHERE term <> '' GROUP BY 1, 2
+),
+agg AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT)                                   AS n_tokens,
+         count(*)                                                 AS n_terms,
+         CAST(sum(c * CAST(floor(log2(c) * 1000000) AS BIGINT)) AS BIGINT)
+                                                                  AS wlog_e6
+  FROM cnt GROUP BY source
+)
+SELECT source, n_tokens, n_terms,
+       round((CAST(floor(log2(n_tokens) * 1000000) AS BIGINT)
+              - wlog_e6 // n_tokens) / 1000000.0, 4) AS entropy_bits
+FROM agg
+"""
+
+
+@register("q_entropy", oracle=_ENTROPY_ORACLE)
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution entropy per source — the corpus-diversity
+    metric (low entropy = repetitive/templated source, a mix-weighting
+    and quality signal). Two shuffles: (source, term) counts with
+    map-side partials, then a per-source fold; the per-term weighted
+    log2 terms are e6 fixed-point integers so the distributed sum is
+    order-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("source", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wlog = F.sum(
+        F.col("c") * F.floor(F.log2("c") * 1000000).cast("bigint")
+    ).cast("bigint")
+    agg = cnt.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_terms"),
+        wlog.alias("wlog_e6"),
+    )
+    ent = (
+        F.floor(F.log2("n_tokens") * 1000000).cast("bigint")
+        - F.expr("wlog_e6 div n_tokens")
+    ) / 1000000.0
+    return agg.select(
+        "source", "n_tokens", "n_terms", F.round(ent, 4).alias("entropy_bits")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_near_dedup_survivors — end-to-end near-dup dedup: keep one doc per
 # duplicate cluster, report the surviving corpus per source.
 # ---------------------------------------------------------------------------
