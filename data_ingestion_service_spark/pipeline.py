@@ -1,0 +1,264 @@
+"""User-facing ingestion-pipeline API: declare source → transforms →
+sink once, run it in batch or streaming.
+
+The registry (`__spark_entry__.py`) is the *driver's* surface; this is
+the *user's* — what "a data-ingestion service" means as a library: a
+declarative description of where records come from, how they're
+transformed, and where they land, executed by Spark in either mode from
+the same description (the batch/stream unification that motivated
+Structured Streaming, PAPERS.md).
+
+Design rules, enforced here rather than documented away:
+  - The pipeline holds a DESCRIPTION (format, path, schema, transform
+    callables), not DataFrames — so one definition can be executed in
+    batch and streaming, repeatedly, against different sessions.
+  - Transforms are DataFrame -> DataFrame callables (or SQL strings
+    over the step's view) — everything stays declarative/Catalyst-
+    optimizable; nothing here touches rows.
+  - Streaming execution requires a checkpoint dir (exactly-once file
+    sinks, restart recovery — q_stream_restart_exactly_once is the
+    behavior contract) and replays the same transforms unchanged.
+
+Example::
+
+    p = (
+        Pipeline()
+        .read_parquet(f"{sf}/events.parquet")
+        .transform(lambda df: df.filter(F.col("event_type") == "purchase"))
+        .sql("SELECT event_type, count(*) AS n FROM {src} GROUP BY 1")
+        .write_parquet(out_dir)
+    )
+    p.run(spark)                      # batch: read -> transforms -> sink
+    p.run_stream(spark, checkpoint)   # same description, micro-batched
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_ingestion_service_spark.session import ensure_session_confs
+
+Transform = Callable[[DataFrame], DataFrame]
+
+
+@dataclass
+class _Source:
+    fmt: str
+    path: str
+    schema: str | None = None
+    options: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class _Sink:
+    fmt: str
+    path: str | None
+    mode: str = "overwrite"
+    partition_by: tuple[str, ...] = ()
+    options: dict[str, str] = field(default_factory=dict)
+
+
+class Pipeline:
+    """Declarative source → transforms → sink description."""
+
+    def __init__(self) -> None:
+        self._source: _Source | None = None
+        self._steps: list[Transform] = []
+        self._sink: _Sink | None = None
+
+    # -- sources ----------------------------------------------------------
+    def read_parquet(self, path: str, **options: str) -> "Pipeline":
+        return self._set_source("parquet", path, None, options)
+
+    def read_csv(self, path: str, schema: str, **options: str) -> "Pipeline":
+        # schema is mandatory: inference is a full extra pass at 100 TB
+        # and non-deterministic across samples — an ingestion service
+        # declares its contract.
+        return self._set_source("csv", path, schema, {"header": "true", **options})
+
+    def read_json(self, path: str, schema: str, **options: str) -> "Pipeline":
+        return self._set_source("json", path, schema, options)
+
+    def _set_source(self, fmt, path, schema, options) -> "Pipeline":
+        if self._source is not None:
+            raise ValueError("source already set")
+        self._source = _Source(fmt, path, schema, dict(options))
+        return self
+
+    # -- transforms -------------------------------------------------------
+    def transform(self, fn: Transform) -> "Pipeline":
+        """Append a DataFrame -> DataFrame step (runs in declared order)."""
+        self._steps.append(fn)
+        return self
+
+    def sql(self, query: str) -> "Pipeline":
+        """Append a SQL step; ``{src}`` in the query names this step's
+        input view. Runs through the same Catalyst pipeline as the
+        DataFrame steps."""
+
+        def _sql_step(df: DataFrame) -> DataFrame:
+            view = f"pipeline_step_{id(df) & 0xFFFFFF:x}"
+            df.createOrReplaceTempView(view)
+            return df.sparkSession.sql(query.format(src=view))
+
+        self._steps.append(_sql_step)
+        return self
+
+    # -- sinks ------------------------------------------------------------
+    def write_parquet(
+        self,
+        path: str,
+        mode: str = "overwrite",
+        partition_by: tuple[str, ...] | list[str] = (),
+        **options: str,
+    ) -> "Pipeline":
+        if self._sink is not None:
+            raise ValueError("sink already set")
+        self._sink = _Sink("parquet", path, mode, tuple(partition_by), dict(options))
+        return self
+
+    def to_dataframe(self) -> "Pipeline":
+        """No materialized sink: run() returns the final DataFrame."""
+        if self._sink is not None:
+            raise ValueError("sink already set")
+        self._sink = _Sink("dataframe", None)
+        return self
+
+    # -- execution --------------------------------------------------------
+    def _apply_steps(self, df: DataFrame) -> DataFrame:
+        for fn in self._steps:
+            df = fn(df)
+        return df
+
+    def _require(self) -> tuple[_Source, _Sink]:
+        if self._source is None:
+            raise ValueError("pipeline has no source")
+        if self._sink is None:
+            raise ValueError("pipeline has no sink")
+        return self._source, self._sink
+
+    def run(self, spark: SparkSession) -> DataFrame:
+        """Batch execution. Returns the sink contents as a DataFrame
+        (re-read for file sinks, so callers always observe exactly what
+        landed)."""
+        src, sink = self._require()
+        ensure_session_confs(spark)
+        reader = spark.read.format(src.fmt).options(**src.options)
+        if src.schema:
+            reader = reader.schema(src.schema)
+        out = self._apply_steps(reader.load(src.path))
+        if sink.fmt == "dataframe":
+            return out
+        writer = out.write.format(sink.fmt).mode(sink.mode).options(**sink.options)
+        if sink.partition_by:
+            writer = writer.partitionBy(*sink.partition_by)
+        writer.save(sink.path)
+        return spark.read.format(sink.fmt).load(sink.path)
+
+    def run_stream(
+        self,
+        spark: SparkSession,
+        checkpoint: str,
+        drain: bool = True,
+    ) -> Any:
+        """Streaming execution of the same description: file-stream the
+        source dir, apply the same transforms, append to the sink with
+        exactly-once checkpointing. With ``drain=True`` (default) the
+        call blocks until all currently-available input is processed,
+        stops the query, and returns the sink DataFrame; with
+        ``drain=False`` it returns the live StreamingQuery."""
+        src, sink = self._require()
+        if sink.fmt == "dataframe":
+            raise ValueError("streaming needs a materialized sink")
+        ensure_session_confs(spark)
+        if not src.schema:
+            # File-stream sources need an explicit schema; derive it
+            # from the batch reader once (footer probe, no data read).
+            src_schema = (
+                spark.read.format(src.fmt)
+                .options(**src.options)
+                .load(src.path)
+                .schema
+            )
+        else:
+            src_schema = src.schema  # type: ignore[assignment]
+        reader = spark.readStream.format(src.fmt).options(**src.options)
+        reader = reader.schema(src_schema)
+        stream_path = src.path
+        if os.path.isfile(stream_path):
+            # File-stream sources take directories; stream the parent
+            # with a glob pinned to this file.
+            reader = reader.option(
+                "pathGlobFilter", os.path.basename(stream_path)
+            )
+            stream_path = os.path.dirname(stream_path)
+        out = self._apply_steps(reader.load(stream_path))
+        q = (
+            out.writeStream.format(sink.fmt)
+            .option("path", sink.path)
+            .option("checkpointLocation", checkpoint)
+            .options(**sink.options)
+            .outputMode("append")
+            .start()
+        )
+        if not drain:
+            return q
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.format(sink.fmt).load(sink.path)
+
+
+# ---------------------------------------------------------------------------
+# q_pipeline_api — the pipeline API end-to-end, inside the correctness
+# gate: parquet source -> filter transform -> SQL aggregation step ->
+# partitioned parquet sink -> re-read. The oracle restates the whole
+# pipeline relationally, so the API's read/transform/write path is
+# hash-verified like any operator.
+# ---------------------------------------------------------------------------
+
+from data_ingestion_service_spark.registry import register  # noqa: E402
+
+_PIPELINE_ORACLE = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+WHERE event_type IN ('purchase', 'signup')
+GROUP BY event_type
+"""
+
+
+@register("q_pipeline_api", oracle=_PIPELINE_ORACLE)
+def q_pipeline_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="ingest_pipeline_")
+    p = (
+        Pipeline()
+        .read_parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+        .transform(
+            lambda df: df.filter(F.col("event_type").isin("purchase", "signup"))
+        )
+        .sql(
+            "SELECT event_type, count(*) AS n, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS value_cents FROM {src} GROUP BY event_type"
+        )
+        .write_parquet(f"{out}/sink", partition_by=("event_type",))
+    )
+    back = p.run(spark)
+    # partitionBy writes the partition column typed as read-back string;
+    # project columns in declared order and restore types for the hash.
+    return back.select(
+        F.col("event_type").cast("string"),
+        F.col("n").cast("bigint"),
+        F.col("value_cents").cast("bigint"),
+    )

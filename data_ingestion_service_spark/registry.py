@@ -71,5 +71,6 @@ def load_all_operators() -> None:
         udf_surface,
         windows,
     )
+    from data_ingestion_service_spark import pipeline  # noqa: F401
     from data_ingestion_service_spark.sources import io  # noqa: F401
     from data_ingestion_service_spark.streaming import stream_queries  # noqa: F401

@@ -1,0 +1,71 @@
+"""Pipeline API contract tests: one description executes identically in
+batch and streaming, SQL and DataFrame steps compose, and misuse fails
+loudly (SURVEY.md §2.1's source→transform→sink semantic is the unit
+under test here, not any single query)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_service_spark.pipeline import Pipeline
+
+
+def _purchases_pipeline(sf_dir: str, sink: str | None) -> Pipeline:
+    p = (
+        Pipeline()
+        .read_parquet(f"{sf_dir}/events.parquet")
+        .transform(lambda df: df.filter(F.col("event_type") == "purchase"))
+        .transform(lambda df: df.select("event_id", "user_id", "value"))
+    )
+    return p.write_parquet(sink) if sink else p.to_dataframe()
+
+
+def test_batch_run_returns_sink_contents(spark, sf_dir):
+    out = tempfile.mkdtemp(prefix="pl_batch_")
+    got = _purchases_pipeline(sf_dir, f"{out}/sink").run(spark)
+    direct = _purchases_pipeline(sf_dir, None).run(spark)
+    assert sorted(r.event_id for r in got.collect()) == sorted(
+        r.event_id for r in direct.collect()
+    )
+    assert set(got.columns) == {"event_id", "user_id", "value"}
+
+
+def test_stream_run_equals_batch_run(spark, sf_dir):
+    """Same description, both modes, same rows — the unification claim."""
+    out_b = tempfile.mkdtemp(prefix="pl_b_")
+    out_s = tempfile.mkdtemp(prefix="pl_s_")
+    batch = _purchases_pipeline(sf_dir, f"{out_b}/sink").run(spark)
+    stream = _purchases_pipeline(sf_dir, f"{out_s}/sink").run_stream(
+        spark, checkpoint=f"{out_s}/ck"
+    )
+    assert sorted(r.event_id for r in stream.collect()) == sorted(
+        r.event_id for r in batch.collect()
+    )
+
+
+def test_sql_and_dataframe_steps_compose(spark, sf_dir):
+    p = (
+        Pipeline()
+        .read_parquet(f"{sf_dir}/orders.parquet")
+        .sql("SELECT o_orderpriority, o_totalprice FROM {src}")
+        .transform(lambda df: df.groupBy("o_orderpriority").count())
+        .to_dataframe()
+    )
+    rows = p.run(spark).collect()
+    assert {r["o_orderpriority"] for r in rows} == {
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+    }
+
+
+def test_misuse_fails_loudly(spark, sf_dir):
+    with pytest.raises(ValueError, match="no source"):
+        Pipeline().to_dataframe().run(spark)
+    with pytest.raises(ValueError, match="source already set"):
+        Pipeline().read_parquet("a").read_parquet("b")
+    with pytest.raises(ValueError, match="no sink"):
+        Pipeline().read_parquet(f"{sf_dir}/orders.parquet").run(spark)
+    with pytest.raises(ValueError, match="materialized sink"):
+        _purchases_pipeline(sf_dir, None).run_stream(spark, checkpoint="/tmp/x")
