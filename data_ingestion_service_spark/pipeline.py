@@ -46,6 +46,10 @@ from data_ingestion_service_spark.session import ensure_session_confs
 Transform = Callable[[DataFrame], DataFrame]
 
 
+class ExpectationError(RuntimeError):
+    """A fail-mode data-quality expectation was violated at run time."""
+
+
 @dataclass
 class _Source:
     fmt: str
@@ -70,6 +74,9 @@ class Pipeline:
         self._source: _Source | None = None
         self._steps: list[Transform] = []
         self._sink: _Sink | None = None
+        # Steps that require batch execution (they run actions or side
+        # writes): run_stream refuses the whole pipeline if any exist.
+        self._batch_only: list[str] = []
 
     # -- sources ----------------------------------------------------------
     def read_parquet(self, path: str, **options: str) -> "Pipeline":
@@ -107,6 +114,52 @@ class Pipeline:
             return df.sparkSession.sql(query.format(src=view))
 
         self._steps.append(_sql_step)
+        return self
+
+    def expect(
+        self,
+        condition: str,
+        on_violation: str = "drop",
+        quarantine_path: str | None = None,
+    ) -> "Pipeline":
+        """Data-quality gate at this point in the chain.
+
+        ``on_violation``:
+          - ``"drop"``   — violating rows are filtered out (works in
+            batch AND streaming; pure predicate, Catalyst-pushable).
+          - ``"fail"``   — batch-only: count violations when the
+            pipeline runs and raise ``ExpectationError`` if any.
+          - ``"quarantine"`` — batch-only: append violating rows to
+            ``quarantine_path`` (parquet) and continue with the clean
+            subset — the malformed-row sideline every ingestion
+            pipeline needs (cf. src_csv_corrupt for the reader-level
+            variant).
+        """
+        if on_violation not in ("drop", "fail", "quarantine"):
+            raise ValueError(f"unknown on_violation: {on_violation!r}")
+        if on_violation == "quarantine" and not quarantine_path:
+            raise ValueError("quarantine needs quarantine_path")
+        if on_violation in ("fail", "quarantine"):
+            self._batch_only.append(f"expect({condition!r}, {on_violation})")
+
+        def _expect_step(df: DataFrame) -> DataFrame:
+            from pyspark.sql import functions as F
+
+            cond = F.expr(condition)
+            if on_violation == "drop":
+                return df.filter(cond)
+            bad = df.filter(~F.coalesce(cond, F.lit(False)))
+            if on_violation == "fail":
+                n = bad.count()
+                if n:
+                    raise ExpectationError(
+                        f"{n} rows violate expectation {condition!r}"
+                    )
+                return df
+            bad.write.mode("append").parquet(quarantine_path)
+            return df.filter(F.coalesce(cond, F.lit(False)))
+
+        self._steps.append(_expect_step)
         return self
 
     # -- sinks ------------------------------------------------------------
@@ -175,6 +228,10 @@ class Pipeline:
         src, sink = self._require()
         if sink.fmt == "dataframe":
             raise ValueError("streaming needs a materialized sink")
+        if self._batch_only:
+            raise ValueError(
+                f"batch-only steps in pipeline: {', '.join(self._batch_only)}"
+            )
         ensure_session_confs(spark)
         if not src.schema:
             # File-stream sources need an explicit schema; derive it
@@ -261,4 +318,56 @@ def q_pipeline_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").cast("string"),
         F.col("n").cast("bigint"),
         F.col("value_cents").cast("bigint"),
+    )
+
+
+_PIPELINE_EXPECT_ORACLE = """
+SELECT c_mktsegment,
+       CAST(sum(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clean,
+       CAST(sum(CASE WHEN c_acctbal >= 0 THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_quarantined
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@register("q_pipeline_expectations", oracle=_PIPELINE_EXPECT_ORACLE)
+def q_pipeline_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gated pipeline end-to-end: negative-balance customers are
+    quarantined to a side parquet sink, clean rows land in the main
+    sink, and the result reconciles both against the source — proving
+    the gate neither drops nor duplicates anything."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="ingest_expect_")
+    p = (
+        Pipeline()
+        .read_parquet(f"{sf_dir.rstrip('/')}/customer.parquet")
+        .expect(
+            "c_acctbal >= 0",
+            on_violation="quarantine",
+            quarantine_path=f"{out}/quarantine",
+        )
+        .write_parquet(f"{out}/clean")
+    )
+    clean = p.run(spark)
+    bad = spark.read.parquet(f"{out}/quarantine")
+    g_clean = clean.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_clean")
+    )
+    g_bad = bad.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_quarantined")
+    )
+    return (
+        g_clean.join(g_bad, "c_mktsegment", "full_outer")
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_clean", F.lit(0)).cast("bigint").alias("n_clean"),
+            F.coalesce("n_quarantined", F.lit(0))
+            .cast("bigint")
+            .alias("n_quarantined"),
+        )
     )

@@ -69,3 +69,36 @@ def test_misuse_fails_loudly(spark, sf_dir):
         Pipeline().read_parquet(f"{sf_dir}/orders.parquet").run(spark)
     with pytest.raises(ValueError, match="materialized sink"):
         _purchases_pipeline(sf_dir, None).run_stream(spark, checkpoint="/tmp/x")
+
+
+def test_expect_fail_raises_and_drop_filters(spark, sf_dir):
+    from data_ingestion_service_spark.pipeline import ExpectationError
+
+    base = (
+        Pipeline()
+        .read_parquet(f"{sf_dir}/customer.parquet")
+        .expect("c_acctbal >= 0", on_violation="fail")
+        .to_dataframe()
+    )
+    with pytest.raises(ExpectationError, match="violate expectation"):
+        base.run(spark)
+
+    dropped = (
+        Pipeline()
+        .read_parquet(f"{sf_dir}/customer.parquet")
+        .expect("c_acctbal >= 0", on_violation="drop")
+        .to_dataframe()
+        .run(spark)
+    )
+    assert dropped.filter("c_acctbal < 0").count() == 0
+
+
+def test_expect_blocks_streaming(spark, sf_dir):
+    p = (
+        Pipeline()
+        .read_parquet(f"{sf_dir}/customer.parquet")
+        .expect("c_acctbal >= 0", on_violation="fail")
+        .write_parquet("/tmp/never")
+    )
+    with pytest.raises(ValueError, match="batch-only steps"):
+        p.run_stream(spark, checkpoint="/tmp/never_ck")
