@@ -182,10 +182,38 @@ class Pipeline:
         self._sink = _Sink("dataframe", None)
         return self
 
+    def with_metrics(self) -> "Pipeline":
+        """Instrument the pipeline: after a batch ``run()``, read
+        ``last_metrics`` for per-stage row counts — ``source`` plus one
+        entry per step (``step_1`` …) — collected through Spark's
+        Observation API, i.e. free-riding on the job that already runs
+        (no extra pass per stage, unlike naive ``count()`` probes).
+        Batch-only: streaming reports equivalent numbers through each
+        micro-batch's ``lastProgress.observedMetrics`` instead."""
+        self._with_metrics = True
+        self._batch_only.append("with_metrics()")
+        return self
+
     # -- execution --------------------------------------------------------
+    _with_metrics = False
+    #: per-stage row counts from the latest instrumented batch run()
+    last_metrics: dict[str, int] | None = None
+
     def _apply_steps(self, df: DataFrame) -> DataFrame:
-        for fn in self._steps:
+        if not self._with_metrics:
+            for fn in self._steps:
+                df = fn(df)
+            return df
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        self._observations = [("source", Observation())]
+        df = df.observe(self._observations[0][1], F.count(F.lit(1)).alias("rows"))
+        for i, fn in enumerate(self._steps):
             df = fn(df)
+            obs = Observation()
+            self._observations.append((f"step_{i + 1}", obs))
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         return df
 
     def _require(self) -> tuple[_Source, _Sink]:
@@ -211,6 +239,10 @@ class Pipeline:
         if sink.partition_by:
             writer = writer.partitionBy(*sink.partition_by)
         writer.save(sink.path)
+        if self._with_metrics:
+            self.last_metrics = {
+                name: obs.get["rows"] for name, obs in self._observations
+            }
         return spark.read.format(sink.fmt).load(sink.path)
 
     def run_stream(

@@ -102,3 +102,24 @@ def test_expect_blocks_streaming(spark, sf_dir):
     )
     with pytest.raises(ValueError, match="batch-only steps"):
         p.run_stream(spark, checkpoint="/tmp/never_ck")
+
+
+def test_metrics_count_rows_per_stage(spark, sf_dir):
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="pl_metrics_")
+    p = (
+        Pipeline()
+        .read_parquet(f"{sf_dir}/customer.parquet")
+        .transform(lambda df: df.filter(F.col("c_acctbal") >= 0))
+        .transform(lambda df: df.select("c_custkey", "c_mktsegment"))
+        .write_parquet(f"{out}/sink")
+        .with_metrics()
+    )
+    sink = p.run(spark)
+    m = p.last_metrics
+    total = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    kept = sink.count()
+    assert m["source"] == total
+    assert m["step_1"] == kept and m["step_2"] == kept
+    assert m["step_1"] < total, "filter should have dropped negative balances"
