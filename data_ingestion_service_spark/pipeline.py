@@ -182,6 +182,35 @@ class Pipeline:
         self._sink = _Sink("dataframe", None)
         return self
 
+    def expect_schema(self, ddl: str) -> "Pipeline":
+        """Schema contract at this point in the chain: the step's input
+        must carry exactly these columns/types (DDL string, order-
+        insensitive). Fails at plan time — before any data moves — in
+        both batch and streaming, which is where an ingestion service
+        wants contract breaks to surface."""
+        from pyspark.sql.types import StructType
+
+        expected = {f.name: f.dataType for f in StructType.fromDDL(ddl).fields}
+
+        def _schema_step(df: DataFrame) -> DataFrame:
+            actual = {f.name: f.dataType for f in df.schema.fields}
+            if actual != expected:
+                missing = sorted(set(expected) - set(actual))
+                extra = sorted(set(actual) - set(expected))
+                drift = sorted(
+                    n
+                    for n in set(actual) & set(expected)
+                    if actual[n] != expected[n]
+                )
+                raise ExpectationError(
+                    f"schema contract violated: missing={missing} "
+                    f"extra={extra} type-drift={drift}"
+                )
+            return df
+
+        self._steps.append(_schema_step)
+        return self
+
     def with_metrics(self) -> "Pipeline":
         """Instrument the pipeline: after a batch ``run()``, read
         ``last_metrics`` for per-stage row counts — ``source`` plus one

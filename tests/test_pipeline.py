@@ -123,3 +123,24 @@ def test_metrics_count_rows_per_stage(spark, sf_dir):
     assert m["source"] == total
     assert m["step_1"] == kept and m["step_2"] == kept
     assert m["step_1"] < total, "filter should have dropped negative balances"
+
+
+def test_expect_schema_contract(spark, sf_dir):
+    from data_ingestion_service_spark.pipeline import ExpectationError
+
+    good = (
+        Pipeline()
+        .read_parquet(f"{sf_dir}/nation.parquet")
+        .expect_schema("n_nationkey int, n_name string, n_regionkey int")
+        .to_dataframe()
+    )
+    assert good.run(spark).count() == 25
+
+    bad = (
+        Pipeline()
+        .read_parquet(f"{sf_dir}/nation.parquet")
+        .expect_schema("n_nationkey bigint, n_name string")
+        .to_dataframe()
+    )
+    with pytest.raises(ExpectationError, match="type-drift=\\['n_nationkey'\\]"):
+        bad.run(spark)
