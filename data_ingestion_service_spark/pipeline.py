@@ -182,6 +182,35 @@ class Pipeline:
         self._sink = _Sink("dataframe", None)
         return self
 
+    def dedupe(
+        self, keys: list[str] | tuple[str, ...], order_by: str | None = None
+    ) -> "Pipeline":
+        """Keep one row per ``keys``. With ``order_by`` (a column name;
+        batch-only) the survivor is deterministic — the first row by
+        that ordering, ties broken by the key columns. Without it the
+        step is ``dropDuplicates(keys)``: survivor arbitrary but
+        streaming-capable (state-store-backed, bound the state with an
+        upstream watermark — q_stream_dedup is the behavior contract)."""
+        keys = list(keys)
+        if order_by:
+            self._batch_only.append(f"dedupe({keys}, order_by={order_by!r})")
+
+        def _dedupe_step(df: DataFrame) -> DataFrame:
+            if not order_by:
+                return df.dropDuplicates(keys)
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+
+            w = Window.partitionBy(*keys).orderBy(F.asc(order_by), *keys)
+            return (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+
+        self._steps.append(_dedupe_step)
+        return self
+
     def expect_schema(self, ddl: str) -> "Pipeline":
         """Schema contract at this point in the chain: the step's input
         must carry exactly these columns/types (DDL string, order-

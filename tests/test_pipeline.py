@@ -144,3 +144,44 @@ def test_expect_schema_contract(spark, sf_dir):
     )
     with pytest.raises(ExpectationError, match="type-drift=\\['n_nationkey'\\]"):
         bad.run(spark)
+
+
+def test_dedupe_deterministic_and_streamable(spark, sf_dir):
+    # Deterministic batch variant: earliest event per user survives.
+    det = (
+        Pipeline()
+        .read_parquet(f"{sf_dir}/events.parquet")
+        .dedupe(["user_id"], order_by="event_id")
+        .to_dataframe()
+        .run(spark)
+    )
+    per_user_min = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("event_id"))
+    )
+    assert sorted((r.user_id, r.event_id) for r in det.collect()) == sorted(
+        (r.user_id, r.event_id) for r in per_user_min.collect()
+    )
+    # Streaming-capable variant: key cardinality preserved, mode allowed.
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="pl_dd_")
+    streamed = (
+        Pipeline()
+        .read_parquet(f"{sf_dir}/events.parquet")
+        .transform(lambda df: df.select("event_id", "user_id"))
+        .dedupe(["user_id"])
+        .write_parquet(f"{out}/sink")
+        .run_stream(spark, checkpoint=f"{out}/ck")
+    )
+    assert streamed.count() == per_user_min.count()
+    # order_by variant must refuse streaming:
+    with pytest.raises(ValueError, match="batch-only steps"):
+        (
+            Pipeline()
+            .read_parquet(f"{sf_dir}/events.parquet")
+            .dedupe(["user_id"], order_by="event_id")
+            .write_parquet(f"{out}/never")
+            .run_stream(spark, checkpoint=f"{out}/never_ck")
+        )
