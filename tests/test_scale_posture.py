@@ -409,3 +409,55 @@ def test_bm25_no_explode_no_wide_shuffle(spark, sf_dir):
     plan = formatted_plan(QUERIES["q_bm25"](spark, sf_dir))
     assert "Generate" not in plan, "BM25 should not explode tokens"
     assert "TakeOrderedAndProject" in plan
+
+
+def test_aqe_converts_shuffle_join_to_broadcast(spark, sf_dir):
+    """AQE's dynamic join selection: with static broadcast disabled, a
+    join whose build side turns out tiny at runtime must be converted
+    to a broadcast join by the adaptive re-plan (the 100 TB payoff:
+    misestimated selective dims stop shuffling the fact side)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_service_spark.catalog import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "10MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        tiny = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 100 == 0)
+            .select("o_orderkey")
+        )
+        j = li.join(tiny, li.l_orderkey == tiny.o_orderkey).groupBy().count()
+        j.collect()
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in final, final[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_join_strategy_hints_respected(spark, sf_dir):
+    """Explicit join-strategy hints are the user's scale escape hatch;
+    pin that MERGE and SHUFFLE_HASH hints actually flip the physical
+    operator (vs the default broadcast pick for a dim-sized side)."""
+    from data_ingestion_service_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    merged = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+    assert "SortMergeJoin" in formatted_plan(merged)
+    hashed = li.join(
+        orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey
+    )
+    plan = formatted_plan(hashed)
+    assert "ShuffledHashJoin" in plan, plan[:800]
