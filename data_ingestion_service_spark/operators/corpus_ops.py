@@ -142,6 +142,83 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_knn_multiprobe — multi-probe LSH: the recall lever that probes the
+# query's home bucket PLUS every Hamming-1 neighbor bucket (flip one
+# sign bit), trading a 5× candidate set for recall that would otherwise
+# need 5 independent band tables (5× index storage). Same hyperplanes
+# as q_knn_lsh.
+# ---------------------------------------------------------------------------
+
+_KNN_MULTIPROBE_ORACLE = f"""
+WITH sigs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         {" + ".join(f"(CASE WHEN {_sql_proj(p)} >= 0 THEN {1 << p} ELSE 0 END)" for p in range(_LSH_PLANES))}
+           AS bucket
+  FROM embeddings
+),
+probe AS (SELECT e AS pe, bucket AS pb FROM sigs WHERE vec_id = 0),
+wanted AS (
+  SELECT pb AS b FROM probe
+  UNION ALL
+  SELECT xor(pb, bit) FROM probe,
+         (SELECT unnest([{", ".join(str(1 << p) for p in range(_LSH_PLANES))}]) AS bit)
+)
+SELECT vec_id, bucket,
+       round(list_cosine_similarity(s.e, probe.pe), 4) AS cos_sim
+FROM sigs s, probe
+WHERE s.bucket IN (SELECT b FROM wanted) AND s.vec_id <> 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+@register("q_knn_multiprobe", oracle=_KNN_MULTIPROBE_ORACLE)
+def q_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-10: candidates from the probe's bucket and
+    its 4 Hamming-1 neighbors (~5/16 of the corpus here, ~(P+1)/2^P in
+    general). The probe set is a 5-row broadcast joined on bucket —
+    still an equi-join, never a scan of the other 11 buckets. Compare
+    q_knn_lsh (single bucket): same index, wider probing, higher
+    recall, same plan shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = as_double("embedding")
+
+    def proj(p: int):
+        w = F.array(*[F.lit(v) for v in _LSH_SIGNS[p]])
+        return F.aggregate(
+            F.zip_with(e, w, lambda x, s: x * s), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    bucket = None
+    for p in range(_LSH_PLANES):
+        bit = F.when(proj(p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    sigs = emb.select("vec_id", e.alias("e"), bucket.alias("bucket"))
+    probe = sigs.filter(F.col("vec_id") == 0).select(
+        F.col("e").alias("pe"), F.col("bucket").alias("pb")
+    )
+    flips = spark.range(_LSH_PLANES + 1).select(
+        F.when(F.col("id") == _LSH_PLANES, F.lit(0))
+        .otherwise(F.expr("shiftleft(1, cast(id AS int))"))
+        .alias("bit")
+    )
+    wanted = probe.crossJoin(flips).select(
+        F.col("pe"), (F.col("pb").bitwiseXOR(F.col("bit"))).alias("bucket")
+    )
+    return (
+        sigs.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(wanted), "bucket")
+        .select(
+            "vec_id",
+            "bucket",
+            F.round(cosine(F.col("e"), F.col("pe")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_repetition_score — per-document duplicated-bigram fractions (the
 # Gopher/C4-style repetition quality filters).
 # ---------------------------------------------------------------------------

@@ -450,3 +450,19 @@ def test_minhash_lsh_recall_covers_near_dups(run):
     mh = {(r.doc_a, r.doc_b) for r in run("q_minhash_pairs")}
     missed = nd - mh
     assert not missed, f"LSH candidates missed exact near-dups: {sorted(missed)[:5]}"
+
+
+def test_multiprobe_widens_lsh(run):
+    """Multi-probe LSH must (a) only surface candidates from buckets
+    within Hamming distance 1 of the probe's bucket and (b) never do
+    worse than single-bucket LSH on the best hit (its candidate set is
+    a strict superset)."""
+    lsh = run("q_knn_lsh")
+    multi = run("q_knn_multiprobe")
+    assert multi, "multiprobe returned nothing"
+    probe_bucket = lsh[0].bucket if lsh else multi[0].bucket
+    for r in multi:
+        assert bin(r.bucket ^ probe_bucket).count("1") <= 1
+    if lsh:
+        assert multi[0].cos_sim >= lsh[0].cos_sim
+    assert len(multi) >= len(lsh)
