@@ -142,6 +142,177 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_knn_pq — product quantization: encode each vector as M=4 sub-space
+# codes (K=4 centroids per sub-space), search by asymmetric distance
+# (probe-to-centroid lookup tables, no full vectors touched at query
+# time). Codebooks are the sub-vectors of 4 fixed seed rows — learning
+# them is the orthogonal k-means step already shown by
+# q_knn_ivf_kmeans; fixed seeds keep both engines' codes identical by
+# construction. At 100 TB the 16-byte-per-vector code table IS the
+# searchable index: the scan reads codes, not 256-byte vectors, and
+# the ADC sum is 4 table lookups per candidate.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # sub-spaces
+_PQ_K = 4  # centroids per sub-space
+_PQ_D = 16  # dims per sub-space (4 x 16 = 64)
+_PQ_SEEDS = (1, 2, 3, 4)  # vec_ids whose sub-vectors form the codebook
+
+
+def _pq_sub_sql(expr: str, s: int) -> str:
+    return f"{expr}[{s * _PQ_D + 1}:{(s + 1) * _PQ_D}]"
+
+
+def _pq_l2_sql(a: str, b: str) -> str:
+    # Same left-to-right f64 fold as Spark's aggregate(zip_with(...)).
+    return (
+        f"round(list_aggregate(list_transform(range(1, {_PQ_D + 1}), "
+        f"i -> (({a})[i] - ({b})[i]) * (({a})[i] - ({b})[i])), 'sum'), 6)"
+    )
+
+
+def _pq_code_sql(d: list[str]) -> str:
+    # argmin with lowest-k tiebreak, identical CASE chain in both engines.
+    return (
+        f"CASE WHEN {d[0]} <= {d[1]} AND {d[0]} <= {d[2]} AND {d[0]} <= {d[3]} THEN 0 "
+        f"WHEN {d[1]} <= {d[2]} AND {d[1]} <= {d[3]} THEN 1 "
+        f"WHEN {d[2]} <= {d[3]} THEN 2 ELSE 3 END"
+    )
+
+
+def _pq_oracle() -> str:
+    cent_cols = ", ".join(
+        f"(SELECT v FROM e WHERE vec_id = {seed}) AS c{k}"
+        for k, seed in enumerate(_PQ_SEEDS)
+    )
+    code_cols = []
+    for s in range(_PQ_M):
+        d = [
+            _pq_l2_sql(_pq_sub_sql("x.v", s), _pq_sub_sql(f"cents.c{k}", s))
+            for k in range(_PQ_K)
+        ]
+        code_cols.append(f"{_pq_code_sql(d)} AS code{s}")
+    t_cols = []
+    for s in range(_PQ_M):
+        for k in range(_PQ_K):
+            t_cols.append(
+                f"{_pq_l2_sql(_pq_sub_sql('probe.v', s), _pq_sub_sql(f'cents.c{k}', s))}"
+                f" AS t{s}_{k}"
+            )
+    adc_terms = []
+    for s in range(_PQ_M):
+        adc_terms.append(
+            "CASE codes.code{s} "
+            + " ".join(f"WHEN {k} THEN tt.t{{s}}_{k}" for k in range(_PQ_K))
+            + " END"
+        )
+    adc = " + ".join(t.format(s=s) for s, t in enumerate(adc_terms))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT {cent_cols}),
+codes AS (
+  SELECT x.vec_id, {", ".join(code_cols)}
+  FROM e x CROSS JOIN cents
+),
+probe AS (SELECT v FROM e WHERE vec_id = 0),
+tt AS (SELECT {", ".join(t_cols)} FROM probe CROSS JOIN cents)
+SELECT codes.vec_id,
+       codes.code0 * 64 + codes.code1 * 16 + codes.code2 * 4 + codes.code3
+         AS pq_code,
+       round({adc}, 4) AS adc_dist
+FROM codes CROSS JOIN tt
+WHERE codes.vec_id <> 0
+ORDER BY adc_dist, codes.vec_id
+LIMIT 10
+"""
+
+
+_KNN_PQ_ORACLE = _pq_oracle()
+
+
+@register("q_knn_pq", oracle=_KNN_PQ_ORACLE)
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = as_double("embedding")
+
+    # Codebook: sub-vectors of the 4 seed rows, collected once (a
+    # 4x64-float broadcast — the PQ codebook is tiny by design).
+    seed_rows = {
+        r.vec_id: [float(x) for x in r.v]
+        for r in emb.filter(F.col("vec_id").isin(*_PQ_SEEDS))
+        .select("vec_id", e.alias("v"))
+        .collect()
+    }
+    cents = [seed_rows[seed] for seed in _PQ_SEEDS]
+
+    def sub(col, s):
+        return F.slice(col, s * _PQ_D + 1, _PQ_D)
+
+    def l2(col_sub, lits):
+        arr = F.array(*[F.lit(v) for v in lits])
+        return F.round(
+            F.aggregate(
+                F.zip_with(col_sub, arr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    def argmin(d):
+        return (
+            F.when((d[0] <= d[1]) & (d[0] <= d[2]) & (d[0] <= d[3]), 0)
+            .when((d[1] <= d[2]) & (d[1] <= d[3]), 1)
+            .when(d[2] <= d[3], 2)
+            .otherwise(3)
+        )
+
+    codes = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        *[
+            argmin(
+                [
+                    l2(sub(e, s), cents[k][s * _PQ_D : (s + 1) * _PQ_D])
+                    for k in range(_PQ_K)
+                ]
+            ).alias(f"code{s}")
+            for s in range(_PQ_M)
+        ],
+    )
+    probe_t = emb.filter(F.col("vec_id") == 0).select(
+        *[
+            l2(sub(e, s), cents[k][s * _PQ_D : (s + 1) * _PQ_D]).alias(f"t{s}_{k}")
+            for s in range(_PQ_M)
+            for k in range(_PQ_K)
+        ]
+    )
+    adc = None
+    for s in range(_PQ_M):
+        term = (
+            F.when(F.col(f"code{s}") == 0, F.col(f"t{s}_0"))
+            .when(F.col(f"code{s}") == 1, F.col(f"t{s}_1"))
+            .when(F.col(f"code{s}") == 2, F.col(f"t{s}_2"))
+            .otherwise(F.col(f"t{s}_3"))
+        )
+        adc = term if adc is None else adc + term
+    return (
+        codes.crossJoin(F.broadcast(probe_t))
+        .select(
+            "vec_id",
+            (
+                F.col("code0") * 64
+                + F.col("code1") * 16
+                + F.col("code2") * 4
+                + F.col("code3")
+            ).alias("pq_code"),
+            F.round(adc, 4).alias("adc_dist"),
+        )
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_knn_multiprobe — multi-probe LSH: the recall lever that probes the
 # query's home bucket PLUS every Hamming-1 neighbor bucket (flip one
 # sign bit), trading a 5× candidate set for recall that would otherwise
