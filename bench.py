@@ -66,6 +66,7 @@ LLM_OPS = [
     # plain-vs-pj delta IS the measurement.
     "q_dup_clusters_pj",
     "q_pagerank",
+    "q_knn_pq",
 ]
 
 
