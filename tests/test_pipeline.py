@@ -185,3 +185,38 @@ def test_dedupe_deterministic_and_streamable(spark, sf_dir):
             .write_parquet(f"{out}/never")
             .run_stream(spark, checkpoint=f"{out}/never_ck")
         )
+
+
+def test_stream_restart_resumes_exactly_once(spark, sf_dir):
+    """The Pipeline's streaming mode inherits checkpoint recovery: stop
+    after half the input, add the rest, rerun the SAME description on
+    the same checkpoint — the sink must equal one batch pass (no
+    re-read of half one, no loss of half two)."""
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="pl_restart_")
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src.filter("event_id % 2 = 0").coalesce(1).write.parquet(f"{work}/h1")
+    src.filter("event_id % 2 = 1").coalesce(1).write.parquet(f"{work}/h2")
+    import glob as g
+
+    import os
+
+    os.makedirs(f"{work}/replay")
+    shutil.copy(g.glob(f"{work}/h1/part-*.parquet")[0], f"{work}/replay/a.parquet")
+
+    def pipe() -> Pipeline:
+        return (
+            Pipeline()
+            .read_parquet(f"{work}/replay")
+            .transform(lambda df: df.select("event_id", "event_type"))
+            .write_parquet(f"{work}/sink", mode="append")
+        )
+
+    first = pipe().run_stream(spark, checkpoint=f"{work}/ck")
+    n_first = first.count()
+    shutil.copy(g.glob(f"{work}/h2/part-*.parquet")[0], f"{work}/replay/b.parquet")
+    second = pipe().run_stream(spark, checkpoint=f"{work}/ck")
+    assert n_first == src.filter("event_id % 2 = 0").count()
+    assert second.count() == src.count(), "restart lost or duplicated rows"
