@@ -27,6 +27,8 @@ KEYS = [
     "q_events_json",
     "q_knn_self",
     "q_knn_lsh",
+    "q_knn_multiprobe",
+    "q_knn_pq",
     "q_bm25",
     "q_near_dedup",
     "q_minhash_pairs",
