@@ -1,6 +1,10 @@
-"""Round-4 corpus operators: LSH-bucketed ANN, repetition-based quality
-scoring, train/test contamination detection, BM25 retrieval scoring, and
-pointer-jumping connected components.
+"""Round-4 corpus operators: the LSH/PQ similarity-search family
+(bucketed ANN, multi-probe, product quantization), retrieval and
+quality scoring (BM25, repetition fractions, bigram-LM scoring, token
+entropy), dedup pipeline stages (contamination check, survivor
+selection, pointer-jumping connected components, PageRank over the
+near-dup graph), and training-mix tooling (temperature weights,
+feature hashing, rolling-hash fingerprints, BPE-ish token counts).
 
 These extend the LLM-training-data family (BASELINE.json:6 mandate; the
 reference snapshot specifies nothing beyond its name, SURVEY.md §0):
