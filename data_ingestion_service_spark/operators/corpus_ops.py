@@ -717,6 +717,64 @@ def q_near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_triangle_count — triangles in the near-dup graph (cluster-density
+# signal: triangle-rich components are tight duplicate blobs; chains
+# have none). Wedge join on id-ordered edges: a<b<c means each triangle
+# is counted exactly once, and the join fan-out is bounded by the
+# posting-order degrees. At 100 TB the standard refinement is
+# DEGREE-ordering the endpoints before the wedge join (hubs stop being
+# wedge centers); id-ordering suffices at this graph's degree cap
+# (hot-shingle stop-list bounds near-dup degrees upstream).
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = (
+    "WITH nd AS MATERIALIZED ("
+    + _NEAR_DEDUP_ORACLE
+    + """),
+e AS (SELECT doc_a AS a, doc_b AS b FROM nd),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+stats AS (
+  SELECT (SELECT count(*) FROM e) AS n_edges,
+         (SELECT count(DISTINCT v)
+          FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)) AS n_vertices
+)
+SELECT tri.n_triangles, stats.n_edges, stats.n_vertices
+FROM tri CROSS JOIN stats
+"""
+)
+
+
+@register("q_triangle_count", oracle=_TRIANGLE_ORACLE)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = near_dup_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(F.col("e1.a").alias("wa"), F.col("e2.b").alias("wc"))
+    )
+    tri = wedges.join(
+        e.alias("e3"),
+        (F.col("wa") == F.col("e3.a")) & (F.col("wc") == F.col("e3.b")),
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    verts = e.select(F.col("a").alias("v")).unionAll(e.select(F.col("b")))
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_verts = verts.agg(F.countDistinct("v").alias("n_vertices"))
+    return (
+        tri.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_verts))
+        .select("n_triangles", "n_edges", "n_vertices")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_lm_score — bigram language-model quality scoring.
 # ---------------------------------------------------------------------------
 
