@@ -717,6 +717,61 @@ def q_near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_stratified_sample — deterministic per-stratum downsampling: even-
+# numbered sources keep a ~50% hash band, odd-numbered a ~25% band.
+# The sample is a pure function of doc_id (md5 hex prefix, the
+# q_train_test_split idiom), so it is reproducible across runs,
+# machines, and engines — what "sampling" must mean in a pipeline whose
+# outputs are audited. No randomness, no state, embarrassingly parallel.
+# ---------------------------------------------------------------------------
+
+_STRATIFIED_ORACLE = """
+WITH tagged AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n_tok,
+         CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN '8' ELSE '4' END
+           AS band,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN h < band THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(sum(CASE WHEN h < band THEN n_tok ELSE 0 END) AS BIGINT)
+         AS sampled_tokens
+FROM tagged
+GROUP BY source
+"""
+
+
+@register("q_stratified_sample", oracle=_STRATIFIED_ORACLE)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    band = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, "8"
+    ).otherwise("4")
+    h = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    keep = h < band
+    return (
+        docs.select(
+            "source",
+            F.size(tokens("text")).alias("n_tok"),
+            keep.alias("keep"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_sampled"),
+            F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(0))
+            .cast("bigint")
+            .alias("sampled_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_triangle_count — triangles in the near-dup graph (cluster-density
 # signal: triangle-rich components are tight duplicate blobs; chains
 # have none). Wedge join on id-ordered edges: a<b<c means each triangle
