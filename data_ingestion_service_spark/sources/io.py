@@ -499,3 +499,95 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return read_version(1).unionAll(read_version(2))
+
+
+# ---------------------------------------------------------------------------
+# src_binaryfile — the binaryFile source: ingest opaque files as
+# (path, length, content: binary) rows — the entry point for multimodal
+# corpora (images/audio land exactly like this before q_media_features'
+# decode stage). Files are staged from documents' text so the oracle
+# can recompute every checksum from the table; the id travels in the
+# FILENAME and is recovered with regexp_extract on the path, the
+# standard layout-metadata pattern.
+# ---------------------------------------------------------------------------
+
+_BINARYFILE_ORACLE = """
+SELECT doc_id,
+       md5(text)                                   AS content_md5,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+FROM documents
+WHERE doc_id < 20
+"""
+
+
+@register("src_binaryfile", oracle=_BINARYFILE_ORACLE)
+def src_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", "text")
+        .collect()
+    )
+    stage = tempfile.mkdtemp(prefix="ingest_binfiles_")
+    for r in docs:
+        with open(os.path.join(stage, f"doc_{r.doc_id}.bin"), "wb") as f:
+            f.write(r.text.encode("utf-8"))
+    files = spark.read.format("binaryFile").load(stage)
+    return files.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.md5("content").alias("content_md5"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_checksum_table — content checksum per partition-of-record: the
+# data-contract audit primitive. Every row is canonicalized to a pipe-
+# joined string of engine-stable fields (integer keys, money re-
+# quantized to cents, dates as epoch seconds), hashed, reduced to a
+# bounded integer, and SUMMED — integer addition is associative and
+# commutative, so the checksum is independent of row order, partition
+# count, and engine, which is exactly what lets two sides of a transfer
+# (or two snapshots) be compared with one number per group.
+# ---------------------------------------------------------------------------
+
+_CHECKSUM_ORACLE = """
+SELECT o_orderstatus,
+       count(*) AS n_rows,
+       CAST(sum(('0x' || substr(md5(
+           CAST(o_orderkey AS VARCHAR) || '|' ||
+           CAST(o_custkey AS VARCHAR) || '|' ||
+           CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) || '|' ||
+           CAST(CAST(epoch(o_orderdate) AS BIGINT) AS VARCHAR) || '|' ||
+           o_orderpriority), 1, 15))::BIGINT % 1000000000) AS BIGINT)
+         AS content_checksum
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("q_checksum_table", oracle=_CHECKSUM_ORACLE)
+def q_checksum_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).cast("string"),
+        F.col("o_orderpriority"),
+    )
+    row_hash = (
+        F.conv(F.substring(F.md5(canon.cast("binary")), 1, 15), 16, 10).cast(
+            "bigint"
+        )
+        % 1000000000
+    )
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_hash).cast("bigint").alias("content_checksum"),
+    )
