@@ -219,3 +219,35 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_percent_rank — percent_rank / cume_dist per market segment: the
+# relative-standing window functions (both are exact small-integer
+# ratios — (rank-1)/(n-1) and rank_hi/n — so cross-engine parity is a
+# non-issue even before rounding).
+# ---------------------------------------------------------------------------
+
+_PERCENT_RANK_ORACLE = """
+SELECT
+  c_custkey,
+  c_mktsegment,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist()    OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@register("q_percent_rank", oracle=_PERCENT_RANK_ORACLE)
+def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
