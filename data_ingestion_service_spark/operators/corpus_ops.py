@@ -1078,10 +1078,19 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-side hash + one groupBy(bucket); cross-engine identical via the
     same hex-literal bigint derivation as q_rolling_hash."""
     docs = load_table(spark, sf_dir, "documents")
+    # concat (NULL-propagating, like SQL ||), NOT concat_ws (NULL-
+    # skipping): a NULL lang must land in the NULL bucket on both
+    # engines, not silently hash as if the column were absent.
     bucket = (
         F.conv(
             F.substring(
-                F.md5(F.concat_ws("|", "source", "lang").cast("binary")), 1, 15
+                F.md5(
+                    F.concat(F.col("source"), F.lit("|"), F.col("lang")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                15,
             ),
             16,
             10,

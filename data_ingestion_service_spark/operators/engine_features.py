@@ -11,7 +11,6 @@ tests/test_scale_posture.py).
 from __future__ import annotations
 
 import threading
-import uuid
 import weakref
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -74,11 +73,23 @@ GROUP BY o_orderpriority
 
 
 def _write_bucketed_inputs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Bucket both join sides on the join key; unique table names per call
-    (a stale spark-warehouse/ location from a previous session would make
-    mode('overwrite') fail with LOCATION_ALREADY_EXISTS)."""
-    tag = uuid.uuid4().hex[:10]
+    """Bucket both join sides on the join key. Table names are a pure
+    function of the sf_dir, so every session reuses/overwrites ONE pair
+    per tier instead of leaking uuid-tagged warehouse directories on
+    every run (the in-memory catalog dies with the session, but
+    saveAsTable's files do not). A stale location from a dead session is
+    cleared explicitly — DROP TABLE alone is catalog-only and would
+    leave saveAsTable failing with LOCATION_ALREADY_EXISTS."""
+    import re
+    import shutil
+
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     li_tbl, ord_tbl = f"li_bucketed_{tag}", f"orders_bucketed_{tag}"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    warehouse = warehouse.removeprefix("file:")
+    for tbl in (li_tbl, ord_tbl):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(f"{warehouse}/{tbl.lower()}", ignore_errors=True)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(li_tbl)
@@ -90,9 +101,9 @@ def _write_bucketed_inputs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 # whole point of bucketing at 100 TB. Cache the pair of table names per
 # (session, sf): repeat invocations join the existing buckets instead of
 # re-writing two tables per call (the round-3 wart: rewrite-per-call plus
-# a mutable pending-drop list). Weak session keys — a session's warehouse
-# tables die with it; uuid-tagged names mean a later session never
-# collides with a dead one's leftovers.
+# a mutable pending-drop list). Weak session keys — a session's CATALOG
+# entries die with it; the deterministic per-tier table names mean a
+# later session overwrites (never accumulates) the files on disk.
 _BUCKETED_TABLES: "weakref.WeakKeyDictionary[SparkSession, dict[str, tuple[str, str]]]" = (
     weakref.WeakKeyDictionary()
 )

@@ -109,7 +109,11 @@ class Pipeline:
         DataFrame steps."""
 
         def _sql_step(df: DataFrame) -> DataFrame:
-            view = f"pipeline_step_{id(df) & 0xFFFFFF:x}"
+            import uuid
+
+            # uuid, not id(df): temp views are session-global and masked
+            # ids can collide across concurrently-running pipelines.
+            view = f"pipeline_step_{uuid.uuid4().hex[:12]}"
             df.createOrReplaceTempView(view)
             return df.sparkSession.sql(query.format(src=view))
 
@@ -187,8 +191,10 @@ class Pipeline:
     ) -> "Pipeline":
         """Keep one row per ``keys``. With ``order_by`` (a column name;
         batch-only) the survivor is deterministic — the first row by
-        that ordering, ties broken by the key columns. Without it the
-        step is ``dropDuplicates(keys)``: survivor arbitrary but
+        that ordering, residual ties broken by every remaining column
+        (so for distinct row contents the pick is a pure function of
+        the data, never of shuffle order). Without it the step is
+        ``dropDuplicates(keys)``: survivor arbitrary but
         streaming-capable (state-store-backed, bound the state with an
         upstream watermark — q_stream_dedup is the behavior contract)."""
         keys = list(keys)
@@ -201,7 +207,11 @@ class Pipeline:
             from pyspark.sql import Window
             from pyspark.sql import functions as F
 
-            w = Window.partitionBy(*keys).orderBy(F.asc(order_by), *keys)
+            # Tie-break on ALL other columns, sorted by name: partition
+            # keys are constant within a partition, so they can't break
+            # order_by ties — data columns can and do.
+            rest = sorted(c for c in df.columns if c not in keys and c != order_by)
+            w = Window.partitionBy(*keys).orderBy(F.asc(order_by), *rest)
             return (
                 df.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
@@ -444,7 +454,14 @@ def q_pipeline_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write_parquet(f"{out}/clean")
     )
     clean = p.run(spark)
-    bad = spark.read.parquet(f"{out}/quarantine")
+    import os
+
+    if os.path.isdir(f"{out}/quarantine"):
+        bad = spark.read.parquet(f"{out}/quarantine")
+    else:
+        # Zero violations -> the side sink was never written; an audit
+        # must report n_quarantined=0, not crash on a missing path.
+        bad = clean.limit(0)
     g_clean = clean.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_clean")
     )

@@ -67,11 +67,24 @@ _CONFIGURED_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 # keys: entries die with their session.
 _DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
 
-# One lock is enough: build() only constructs a lazy plan + calls persist()
-# (no job runs), so the critical section is cheap even under the bench's
-# 8-thread client pool. Reentrant because builds nest (near_dup_pairs's
-# build calls doc_shingles, another session_persisted entry).
-_DF_CACHE_LOCK = threading.RLock()
+# PER-KEY locks: some builds are no longer lazy-plan-only (q_pagerank's
+# iteration loop, the dup-cluster label propagation both run multi-second
+# jobs inside the build), and one global lock would serialize unrelated
+# first builds under the bench's 8-thread pool. The registry lock below
+# only guards lock creation (cheap); each key's build runs under its own
+# reentrant lock (reentrant because builds nest: near_dup_pairs's build
+# calls doc_shingles, another session_persisted entry — nested DIFFERENT
+# keys take different locks, same-key re-entry is the RLock case).
+_DF_CACHE_LOCK = threading.Lock()
+_KEY_LOCKS: dict = {}
+
+
+def _key_lock(key) -> "threading.RLock":
+    with _DF_CACHE_LOCK:
+        lock = _KEY_LOCKS.get(key)
+        if lock is None:
+            lock = _KEY_LOCKS[key] = threading.RLock()
+        return lock
 
 
 def _norm_key(key):
@@ -94,7 +107,7 @@ def session_persisted(spark: SparkSession, key, build):
     per_session = _DF_CACHE.setdefault(spark, {})
     df = per_session.get(key)
     if df is None:
-        with _DF_CACHE_LOCK:
+        with _key_lock(key):
             df = per_session.get(key)
             if df is None:
                 df = build()
@@ -110,7 +123,7 @@ def session_invalidate(spark: SparkSession, key) -> bool:
     a caller-side ``unpersist()`` would leave a cached-but-unpersisted
     entry behind for every later caller of the same key."""
     key = _norm_key(key)
-    with _DF_CACHE_LOCK:
+    with _key_lock(key):
         per_session = _DF_CACHE.get(spark)
         df = per_session.pop(key, None) if per_session else None
     if df is None:

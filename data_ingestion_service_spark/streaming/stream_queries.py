@@ -833,11 +833,14 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # subset; micro-batch 3 then delivers a deterministic "late" subset
 # (event_id%50==0 with ts < max−2h) whose 1-hour windows all ended hours
 # below the watermark — Structured Streaming must DROP every one of
-# them. Three batches because the watermark LAGS one batch: the
-# watermark in effect during batch N is computed from data through batch
-# N−2 (measured on this build: a late file in batch 2 is filtered, in
-# batch 1 it is admitted), so the middle file exists purely to let the
-# bulk file's watermark take effect before the late rows arrive. The
+# them. Three batches because watermark advancement lags the data that
+# produced it: Spark documents a one-batch lag (batch N runs under the
+# watermark derived from data through batch N−1), and this build was
+# measured to need the extra middle batch before the bulk file's
+# watermark reliably took effect. With three files the late rows arrive
+# in batch 3, where the bulk watermark is active under EITHER the
+# documented one-batch lag or the measured slower propagation — the
+# design does not depend on which one this Spark version exhibits. The
 # oracle aggregates events EXCLUDING exactly the late subset, so the
 # result differs (and the driver's hash check fails) if late rows were
 # let back in. Complements q_stream_watermark, whose in-order replay

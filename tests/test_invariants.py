@@ -460,9 +460,13 @@ def test_multiprobe_widens_lsh(run):
     lsh = run("q_knn_lsh")
     multi = run("q_knn_multiprobe")
     assert multi, "multiprobe returned nothing"
-    probe_bucket = lsh[0].bucket if lsh else multi[0].bucket
+    # The fixture guarantees same-bucket neighbors, so the single-bucket
+    # result is non-empty and names the probe's HOME bucket — a fallback
+    # to multi[0].bucket would be wrong (that may be a Hamming-1
+    # neighbor, making valid candidates look two flips away).
+    assert lsh, "single-bucket LSH empty — can't derive the probe bucket"
+    probe_bucket = lsh[0].bucket
     for r in multi:
         assert bin(r.bucket ^ probe_bucket).count("1") <= 1
-    if lsh:
-        assert multi[0].cos_sim >= lsh[0].cos_sim
+    assert multi[0].cos_sim >= lsh[0].cos_sim
     assert len(multi) >= len(lsh)
