@@ -393,3 +393,82 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).alias("n_signups"),
         interp.cast("long").alias("avg_interp_e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_weekday_revenue — revenue seasonality by day-of-week. Engines number
+# weekdays differently (Spark dayofweek: Sunday=1; DuckDB dayofweek:
+# Sunday=0), so the weekday is derived portably from epoch days:
+# (days_since_1970 + 4) % 7 with Monday=0 (1970-01-01 was a Thursday).
+# Pure integer arithmetic — no calendar-API parity risk at all.
+# ---------------------------------------------------------------------------
+
+_WEEKDAY_ORACLE = """
+SELECT
+  (date_diff('day', DATE '1970-01-01', o_orderdate) + 3) % 7 AS weekday,
+  count(*) AS n_orders,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("q_weekday_revenue", oracle=_WEEKDAY_ORACLE)
+def q_weekday_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    weekday = (
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        + 3
+    ) % 7
+    return (
+        orders.select(
+            weekday.alias("weekday"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("weekday")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("c").cast("bigint").alias("cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_profile_columns — column-level data profiling of the customer table:
+# null count, exact distinct count, min/max lengths — the statistics an
+# ingestion service publishes per feed for contract monitoring. One
+# wide aggregate pass (every stat is a map-side-combinable aggregate);
+# output is pivoted long so adding columns never changes the schema.
+# ---------------------------------------------------------------------------
+
+_PROFILE_ORACLE = """
+SELECT 'c_name' AS column_name,
+       count(*) - count(c_name)        AS n_null,
+       count(DISTINCT c_name)          AS n_distinct,
+       CAST(min(length(c_name)) AS BIGINT) AS min_len,
+       CAST(max(length(c_name)) AS BIGINT) AS max_len
+FROM customer
+UNION ALL
+SELECT 'c_mktsegment',
+       count(*) - count(c_mktsegment),
+       count(DISTINCT c_mktsegment),
+       CAST(min(length(c_mktsegment)) AS BIGINT),
+       CAST(max(length(c_mktsegment)) AS BIGINT)
+FROM customer
+"""
+
+
+@register("q_profile_columns", oracle=_PROFILE_ORACLE)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+
+    def profile(col: str) -> DataFrame:
+        return cust.agg(
+            F.lit(col).alias("column_name"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(F.length(col)).cast("bigint").alias("min_len"),
+            F.max(F.length(col)).cast("bigint").alias("max_len"),
+        )
+
+    return profile("c_name").unionAll(profile("c_mktsegment"))
