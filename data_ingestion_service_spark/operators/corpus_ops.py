@@ -46,6 +46,7 @@ from data_ingestion_service_spark.functions.text import shingle_rows, tokens
 from data_ingestion_service_spark.functions.vector import as_double, cosine
 from data_ingestion_service_spark.operators.llm import (
     _NEAR_DEDUP_ORACLE,
+    doc_shingles,
     near_dup_pairs,
 )
 from data_ingestion_service_spark.operators.llm_extended import _DUP_CLUSTERS_ORACLE
@@ -714,6 +715,88 @@ def q_near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("surviving_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_containment_pairs — asymmetric near-dup detection: shingle
+# CONTAINMENT C(A in B) = |A∩B| / |A| catches a short document embedded
+# verbatim in a longer one — a case symmetric Jaccard structurally
+# under-scores (the union is dominated by the long side). Same inverted
+# -index candidate generation as q_near_dedup (only docs sharing a
+# shingle ever pair), different final score; emitted per direction.
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_THRESHOLD = 0.6
+
+_CONTAINMENT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM toks
+    WHERE len(t) >= 3
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+directed AS (
+  SELECT doc_a AS inner_doc, doc_b AS outer_doc, n_common,
+         n_common * 1.0 / sa.sz AS containment
+  FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+  UNION ALL
+  SELECT doc_b, doc_a, n_common, n_common * 1.0 / sb.sz
+  FROM pairs JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT inner_doc, outer_doc, round(containment, 4) AS containment
+FROM directed
+WHERE containment >= {_CONTAINMENT_THRESHOLD}
+"""
+
+
+@register("q_containment_pairs", oracle=_CONTAINMENT_ORACLE)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.countDistinct("shingle").alias("sz"))
+    grouped = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter((F.size("ds") <= 64) & (F.size("ds") >= 2))
+    )
+    e1 = grouped.select("ds", F.posexplode("ds").alias("i", "doc_a"))
+    pairs = (
+        e1.select(
+            "doc_a",
+            F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    both = pairs.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    directed = both.select(
+        F.col("doc_a").alias("inner_doc"),
+        F.col("doc_b").alias("outer_doc"),
+        (F.col("n_common") / F.col("sz_a")).alias("containment"),
+    ).unionAll(
+        both.select(
+            F.col("doc_b"),
+            F.col("doc_a"),
+            (F.col("n_common") / F.col("sz_b")),
+        )
+    )
+    return directed.filter(
+        F.col("containment") >= _CONTAINMENT_THRESHOLD
+    ).select("inner_doc", "outer_doc", F.round("containment", 4).alias("containment"))
 
 
 # ---------------------------------------------------------------------------
