@@ -212,6 +212,8 @@ def _pq_oracle() -> str:
             + " END"
         )
     adc = " + ".join(t.format(s=s) for s, t in enumerate(adc_terms))
+    # Shared WITH-body: `scored` = every non-probe vector with its code
+    # and (rounded) ADC distance; the two PQ oracles select from it.
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cents AS (SELECT {cent_cols}),
@@ -220,23 +222,32 @@ codes AS (
   FROM e x CROSS JOIN cents
 ),
 probe AS (SELECT v FROM e WHERE vec_id = 0),
-tt AS (SELECT {", ".join(t_cols)} FROM probe CROSS JOIN cents)
-SELECT codes.vec_id,
-       codes.code0 * 64 + codes.code1 * 16 + codes.code2 * 4 + codes.code3
-         AS pq_code,
-       round({adc}, 4) AS adc_dist
-FROM codes CROSS JOIN tt
-WHERE codes.vec_id <> 0
-ORDER BY adc_dist, codes.vec_id
+tt AS (SELECT {", ".join(t_cols)} FROM probe CROSS JOIN cents),
+scored AS (
+  SELECT codes.vec_id,
+         codes.code0 * 64 + codes.code1 * 16 + codes.code2 * 4 + codes.code3
+           AS pq_code,
+         round({adc}, 4) AS adc_dist
+  FROM codes CROSS JOIN tt
+  WHERE codes.vec_id <> 0
+)"""
+
+
+_KNN_PQ_ORACLE = (
+    _pq_oracle()
+    + """
+SELECT vec_id, pq_code, adc_dist
+FROM scored
+ORDER BY adc_dist, vec_id
 LIMIT 10
 """
+)
 
 
-_KNN_PQ_ORACLE = _pq_oracle()
-
-
-@register("q_knn_pq", oracle=_KNN_PQ_ORACLE)
-def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, pq_code, adc_dist) for every non-probe vector — the PQ
+    code table scored against probe 0; shared by the plain PQ search
+    and the re-ranked variant."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = as_double("embedding")
 
@@ -300,20 +311,75 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col(f"t{s}_3"))
         )
         adc = term if adc is None else adc + term
+    return codes.crossJoin(F.broadcast(probe_t)).select(
+        "vec_id",
+        (
+            F.col("code0") * 64
+            + F.col("code1") * 16
+            + F.col("code2") * 4
+            + F.col("code3")
+        ).alias("pq_code"),
+        F.round(adc, 4).alias("adc_dist"),
+    )
+
+
+@register("q_knn_pq", oracle=_KNN_PQ_ORACLE)
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        codes.crossJoin(F.broadcast(probe_t))
-        .select(
-            "vec_id",
-            (
-                F.col("code0") * 64
-                + F.col("code1") * 16
-                + F.col("code2") * 4
-                + F.col("code3")
-            ).alias("pq_code"),
-            F.round(adc, 4).alias("adc_dist"),
-        )
+        _pq_scored(spark, sf_dir)
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_knn_pq_rerank — two-stage retrieval: the ADC code scan shortlists 32
+# candidates (reading only 16-byte codes), then ONLY those 32 full
+# vectors are fetched for an exact cosine re-rank of the top 5 — the
+# standard recall-restoring pattern that keeps full-vector IO
+# proportional to the shortlist, not the corpus.
+# ---------------------------------------------------------------------------
+
+_PQ_RERANK_ORACLE = (
+    _pq_oracle()
+    + """,
+shortlist AS (
+  SELECT vec_id FROM scored ORDER BY adc_dist, vec_id LIMIT 32
+)
+SELECT s.vec_id,
+       round(list_cosine_similarity(e.v, probe.pe), 4) AS cos_sim
+FROM shortlist s
+JOIN e ON e.vec_id = s.vec_id
+CROSS JOIN (SELECT v AS pe FROM e WHERE vec_id = 0) probe
+ORDER BY cos_sim DESC, s.vec_id
+LIMIT 5
+"""
+)
+
+
+@register("q_knn_pq_rerank", oracle=_PQ_RERANK_ORACLE)
+def q_knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    shortlist = (
+        _pq_scored(spark, sf_dir)
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(32)
+        .select("vec_id")
+    )
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        as_double("embedding").alias("pe")
+    )
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id", "left_semi")
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.round(cosine(as_double("embedding"), F.col("pe")), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(5)
     )
 
 

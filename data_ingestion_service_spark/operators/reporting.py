@@ -472,3 +472,42 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return profile("c_name").unionAll(profile("c_mktsegment"))
+
+
+# ---------------------------------------------------------------------------
+# q_rollup_cascade — multi-granularity pre-aggregation: events roll up
+# to hours, hours to days, days to months — each tier computed FROM THE
+# PREVIOUS tier, never from raw. This is how 100 TB OLAP serving stays
+# cheap (the monthly query reads 12 rows/metric, not 10^11 events);
+# counts and integer-cent sums compose losslessly across tiers, which
+# is exactly what the oracle (direct month-from-raw aggregation)
+# verifies.
+# ---------------------------------------------------------------------------
+
+_ROLLUP_CASCADE_ORACLE = """
+SELECT date_trunc('month', ts)::TIMESTAMP AS month_start,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY 1
+"""
+
+
+@register("q_rollup_cascade", oracle=_ROLLUP_CASCADE_ORACLE)
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    daily = hourly.groupBy(F.date_trunc("day", "h").alias("d")).agg(
+        F.sum("n").alias("n"), F.sum("cents").alias("cents")
+    )
+    monthly = daily.groupBy(F.date_trunc("month", "d").alias("m")).agg(
+        F.sum("n").alias("n"), F.sum("cents").alias("cents")
+    )
+    return monthly.select(
+        F.col("m").cast("timestamp_ntz").alias("month_start"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("cents").cast("bigint").alias("value_cents"),
+    )
