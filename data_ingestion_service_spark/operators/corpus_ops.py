@@ -784,6 +784,95 @@ def q_near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_minhash_estimate — Jaccard ESTIMATION from MinHash signatures: for
+# every LSH candidate pair, the fraction of agreeing signature
+# components is an unbiased estimate of the true Jaccard — the second
+# half of what signatures buy (banding finds the pairs, agreement
+# scores them WITHOUT touching shingles again). At 100 TB this replaces
+# the exact-verify join for use cases that tolerate ±1/16 resolution.
+# ---------------------------------------------------------------------------
+
+_MINHASH_EST_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM toks
+    WHERE len(t) >= 3
+  )
+),
+hashes AS (
+  SELECT doc_id, ii.i, min(md5(ii.i::VARCHAR || '|' || shingle)) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS i) ii
+  GROUP BY doc_id, ii.i
+),
+bands AS (
+  SELECT doc_id, i // 2 AS band, md5(string_agg(mh, '' ORDER BY i)) AS band_hash
+  FROM hashes
+  GROUP BY doc_id, i // 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       round(count(CASE WHEN ha.mh = hb.mh THEN 1 END) / 16.0, 4)
+         AS est_jaccard
+FROM cand c
+JOIN hashes ha ON ha.doc_id = c.doc_a
+JOIN hashes hb ON hb.doc_id = c.doc_b AND hb.i = ha.i
+GROUP BY c.doc_a, c.doc_b
+"""
+
+
+@register("q_minhash_estimate", oracle=_MINHASH_EST_ORACLE)
+def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_service_spark.registry import QUERIES
+
+    sh = doc_shingles(spark, sf_dir)
+    sigs = session_persisted(
+        spark,
+        ("minhash_sigs", sf_dir),
+        lambda: sh.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))
+                ).alias(f"mh{i}")
+                for i in range(16)
+            ]
+        ),
+    )
+    cand = QUERIES["q_minhash_pairs"](spark, sf_dir).select("doc_a", "doc_b")
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(16)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(16)],
+    )
+    matches = None
+    for i in range(16):
+        m = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        matches = m if matches is None else matches + m
+    # Broadcast the CANDIDATE PAIRS (hundreds of rows), never the
+    # signature table (grows with the corpus): each join streams sigs
+    # against the broadcast pair list, and the enriched intermediate
+    # stays |cand|-sized for the second hop.
+    with_a = a.join(F.broadcast(cand), "doc_a")
+    return b.join(F.broadcast(with_a), "doc_b").select(
+        "doc_a", "doc_b", F.round(matches / 16.0, 4).alias("est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_containment_pairs — asymmetric near-dup detection: shingle
 # CONTAINMENT C(A in B) = |A∩B| / |A| catches a short document embedded
 # verbatim in a longer one — a case symmetric Jaccard structurally
