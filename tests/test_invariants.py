@@ -470,3 +470,32 @@ def test_multiprobe_widens_lsh(run):
         assert bin(r.bucket ^ probe_bucket).count("1") <= 1
     assert multi[0].cos_sim >= lsh[0].cos_sim
     assert len(multi) >= len(lsh)
+
+
+def test_minhash_estimate_tracks_exact_jaccard(run):
+    """Signature-agreement estimates must track exact Jaccard on the
+    shared candidate pairs. 16 hashes give std ~ sqrt(J(1-J)/16) ~ 0.12,
+    and the fixture's worst measured deviation is 0.24 (~2 sigma); the
+    0.32 bound is loose enough for estimator noise but fails on any
+    gross signature bug (estimates collapsing to 0 or 1)."""
+    exact = {(r.doc_a, r.doc_b): r.jaccard for r in run("q_near_dedup")}
+    est = {(r.doc_a, r.doc_b): r.est_jaccard for r in run("q_minhash_estimate")}
+    shared = [p for p in exact if p in est]
+    assert shared, "LSH recall invariant guarantees shared pairs exist"
+    worst = max(abs(est[p] - exact[p]) for p in shared)
+    assert worst <= 0.32, f"estimator diverged from exact Jaccard by {worst}"
+
+
+def test_containment_dominates_jaccard(run):
+    """Mathematical invariant: for any pair, containment |A∩B|/|A| >=
+    Jaccard |A∩B|/|A∪B| (the denominator can only grow). Every exact
+    near-dup pair above the containment threshold must therefore appear
+    with containment >= its jaccard."""
+    jac = {(r.doc_a, r.doc_b): r.jaccard for r in run("q_near_dedup")}
+    cont = {}
+    for r in run("q_containment_pairs"):
+        key = (min(r.inner_doc, r.outer_doc), max(r.inner_doc, r.outer_doc))
+        cont[key] = max(cont.get(key, 0.0), r.containment)
+    for pair, c in cont.items():
+        if pair in jac:
+            assert c >= jac[pair] - 1e-9, f"{pair}: containment {c} < jaccard {jac[pair]}"
