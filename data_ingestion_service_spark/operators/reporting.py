@@ -511,3 +511,41 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.col("cents").cast("bigint").alias("value_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ship_latency — order-to-ship latency distribution in whole days
+# (lineitem.l_shipdate − orders.o_orderdate): the fulfillment-SLA
+# histogram. Integer day arithmetic on both engines; one fact/fact
+# equi-join + one small groupBy — nothing here changes shape at 100 TB.
+# ---------------------------------------------------------------------------
+
+_SHIP_LATENCY_ORACLE = """
+SELECT date_diff('day', o_orderdate, l_shipdate) AS latency_days,
+       count(*) AS n,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+@register("q_ship_latency", oracle=_SHIP_LATENCY_ORACLE)
+def q_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("latency_days"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("latency_days")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").cast("bigint").alias("price_cents"),
+        )
+    )
