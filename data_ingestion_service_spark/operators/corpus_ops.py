@@ -45,6 +45,7 @@ from data_ingestion_service_spark.catalog import load_table
 from data_ingestion_service_spark.functions.text import shingle_rows, tokens
 from data_ingestion_service_spark.functions.vector import as_double, cosine
 from data_ingestion_service_spark.operators.llm import (
+    _HOT_SHINGLE_CAP,
     _NEAR_DEDUP_ORACLE,
     doc_shingles,
     near_dup_pairs,
@@ -924,7 +925,7 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped = (
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
-        .filter((F.size("ds") <= 64) & (F.size("ds") >= 2))
+        .filter((F.size("ds") <= _HOT_SHINGLE_CAP) & (F.size("ds") >= 2))
     )
     e1 = grouped.select("ds", F.posexplode("ds").alias("i", "doc_a"))
     pairs = (

@@ -72,21 +72,44 @@ GROUP BY o_orderpriority
 """
 
 
+def _pid_alive(pid: int) -> bool:
+    import os
+
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
 def _write_bucketed_inputs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Bucket both join sides on the join key. Table names are a pure
-    function of the sf_dir, so every session reuses/overwrites ONE pair
-    per tier instead of leaking uuid-tagged warehouse directories on
-    every run (the in-memory catalog dies with the session, but
-    saveAsTable's files do not). A stale location from a dead session is
-    cleared explicitly — DROP TABLE alone is catalog-only and would
-    leave saveAsTable failing with LOCATION_ALREADY_EXISTS."""
+    function of (sf_dir, PID): per-tier so a session reuses ONE pair per
+    tier, per-PROCESS so two concurrent runs sharing a cwd/warehouse can
+    never rmtree each other's files mid-write (the in-process
+    _BUCKETED_LOCK cannot see across processes — the r4 advisor's race).
+    Leak control without the race: stale dirs are garbage-collected only
+    when their embedded PID is provably dead (a dead process cannot be
+    mid-write), plus our own previous location — DROP TABLE alone is
+    catalog-only and would leave saveAsTable failing with
+    LOCATION_ALREADY_EXISTS."""
+    import os
     import re
     import shutil
 
-    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    tier = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    tag = f"{tier}_p{os.getpid()}"
     li_tbl, ord_tbl = f"li_bucketed_{tag}", f"orders_bucketed_{tag}"
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     warehouse = warehouse.removeprefix("file:")
+    # GC: any bucketed-table dir whose _p<pid> owner is dead is stale.
+    if os.path.isdir(warehouse):
+        for d in os.listdir(warehouse):
+            m = re.fullmatch(r"(?:li|orders)_bucketed_.*_p(\d+)", d)
+            if m and not _pid_alive(int(m.group(1))):
+                shutil.rmtree(os.path.join(warehouse, d), ignore_errors=True)
     for tbl in (li_tbl, ord_tbl):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(f"{warehouse}/{tbl.lower()}", ignore_errors=True)

@@ -77,6 +77,7 @@ class Pipeline:
         # Steps that require batch execution (they run actions or side
         # writes): run_stream refuses the whole pipeline if any exist.
         self._batch_only: list[str] = []
+        self._quarantine_paths: list[str] = []
 
     # -- sources ----------------------------------------------------------
     def read_parquet(self, path: str, **options: str) -> "Pipeline":
@@ -115,7 +116,10 @@ class Pipeline:
             # ids can collide across concurrently-running pipelines.
             view = f"pipeline_step_{uuid.uuid4().hex[:12]}"
             df.createOrReplaceTempView(view)
-            return df.sparkSession.sql(query.format(src=view))
+            # replace, not str.format: user SQL legitimately contains
+            # literal braces (named_struct, format_string('{}')) which
+            # .format would choke on with KeyError/ValueError.
+            return df.sparkSession.sql(query.replace("{src}", view))
 
         self._steps.append(_sql_step)
         return self
@@ -133,16 +137,30 @@ class Pipeline:
             batch AND streaming; pure predicate, Catalyst-pushable).
           - ``"fail"``   — batch-only: count violations when the
             pipeline runs and raise ``ExpectationError`` if any.
-          - ``"quarantine"`` — batch-only: append violating rows to
-            ``quarantine_path`` (parquet) and continue with the clean
-            subset — the malformed-row sideline every ingestion
-            pipeline needs (cf. src_csv_corrupt for the reader-level
-            variant).
+          - ``"quarantine"`` — batch-only: write violating rows to
+            ``quarantine_path`` (parquet, OVERWRITE — re-running the
+            pipeline replaces rather than duplicates the side sink, so
+            audits stay single-counted; one gate per path, enforced) and
+            continue with the clean subset — the malformed-row sideline
+            every ingestion pipeline needs (cf. src_csv_corrupt for the
+            reader-level variant).
         """
         if on_violation not in ("drop", "fail", "quarantine"):
             raise ValueError(f"unknown on_violation: {on_violation!r}")
         if on_violation == "quarantine" and not quarantine_path:
             raise ValueError("quarantine needs quarantine_path")
+        if on_violation == "quarantine":
+            # One gate per quarantine path: the side sink is written with
+            # overwrite (so re-running the pipeline — advertised above —
+            # does not duplicate quarantined rows and audits stay
+            # single-counted); two gates sharing a path would clobber
+            # each other, so refuse at declaration time.
+            if quarantine_path in self._quarantine_paths:
+                raise ValueError(
+                    f"quarantine_path {quarantine_path!r} already used by "
+                    "another expect() in this pipeline"
+                )
+            self._quarantine_paths.append(quarantine_path)
         if on_violation in ("fail", "quarantine"):
             self._batch_only.append(f"expect({condition!r}, {on_violation})")
 
@@ -160,7 +178,7 @@ class Pipeline:
                         f"{n} rows violate expectation {condition!r}"
                     )
                 return df
-            bad.write.mode("append").parquet(quarantine_path)
+            bad.write.mode("overwrite").parquet(quarantine_path)
             return df.filter(F.coalesce(cond, F.lit(False)))
 
         self._steps.append(_expect_step)

@@ -573,12 +573,19 @@ GROUP BY o_orderstatus
 @register("q_checksum_table", oracle=_CHECKSUM_ORACLE)
 def q_checksum_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    canon = F.concat_ws(
-        "|",
+    # NULL-propagating concat (not concat_ws): the oracle's `||` nulls the
+    # whole canonical string on any NULL field, so a NULL must null the hash
+    # rather than silently shifting separators — concat_ws would drop the
+    # field and let two distinct rows collide (the q_feature_hash idiom).
+    canon = F.concat(
         F.col("o_orderkey").cast("string"),
+        F.lit("|"),
         F.col("o_custkey").cast("string"),
+        F.lit("|"),
         F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.lit("|"),
         F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).cast("string"),
+        F.lit("|"),
         F.col("o_orderpriority"),
     )
     row_hash = (
