@@ -19,6 +19,7 @@ same plans run with RocksDB state store and watermarked eviction.
 from __future__ import annotations
 
 import glob
+import importlib.util
 import os
 import shutil
 import tempfile
@@ -1143,4 +1144,240 @@ def q_stream_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame
     return sink.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("value_cents").cast("bigint").alias("value_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_state_evolution — what happens to a checkpoint when the QUERY
+# evolves: phase 1 drains half the data with a count-only aggregate,
+# stops; phase 2 restarts the SAME checkpoint with an ADDED aggregation
+# column (sum). Observed behavior (pinned into the hashed result):
+# Spark REFUSES — STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE — because the
+# evolved value schema (count, sum) cannot be reconciled with the
+# checkpointed (count) state rows. That refusal is the safe semantics
+# (silently mis-decoding state would corrupt totals; the conf escape
+# hatch spark.sql.streaming.stateStore.stateSchemaCheck=false trades
+# exactly that safety away). The production remediation is also run:
+# the evolved query starts on a FRESH checkpoint and — the source being
+# replayable — rebuilds state from the full history. The result carries
+# phase-1 counts, the refusal flag, and the rebuilt totals, so the
+# oracle hash-checks all three observed facts.
+# ---------------------------------------------------------------------------
+
+_STATE_EVOLUTION_ORACLE = """
+SELECT e.event_type,
+       CAST(sum(CASE WHEN e.event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_first_half,
+       TRUE AS evolution_refused,
+       count(*) AS n_total,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents_total
+FROM events e
+GROUP BY e.event_type
+"""
+
+
+@register("q_stream_state_evolution", oracle=_STATE_EVOLUTION_ORACLE)
+def q_stream_state_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    ensure_session_confs(spark)
+    kind = _events_ts_kind(spark, sf_dir)
+    schema = _events_raw_schema(kind)
+    work = tempfile.mkdtemp(prefix="ingest_evolve_")
+    raw = spark.read.schema(schema).parquet(table_path(sf_dir, "events"))
+    raw.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{work}/h1")
+    raw.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{work}/h2")
+    os.makedirs(f"{work}/replay")
+    [p1] = glob.glob(f"{work}/h1/part-*.parquet")
+    shutil.copy(p1, f"{work}/replay/a_half.parquet")
+
+    def run_agg(aggs: list, ckpt: str, name: str) -> DataFrame:
+        ev = _normalize_ts(
+            spark.readStream.schema(schema).parquet(f"{work}/replay"), kind
+        )
+        agg = ev.groupBy("event_type").agg(*aggs)
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(name)
+
+    count_only = [F.count(F.lit(1)).alias("n")]
+    evolved = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    ]
+    sink1 = f"evo_{uuid.uuid4().hex[:12]}"
+    phase1 = run_agg(count_only, f"{work}/ckpt", sink1).select(
+        "event_type", F.col("n").alias("n_first_half")
+    )
+    # Freeze phase 1's final state batch-side: the memory sink table is
+    # re-populated by any later query reusing it, and phase 2 intends to
+    # fail mid-batch.
+    phase1 = spark.createDataFrame(phase1.collect(), phase1.schema)
+
+    [p2] = glob.glob(f"{work}/h2/part-*.parquet")
+    shutil.copy(p2, f"{work}/replay/b_half.parquet")
+    refused = False
+    try:
+        run_agg(evolved, f"{work}/ckpt", f"evo_{uuid.uuid4().hex[:12]}")
+    except StreamingQueryException as e:
+        # The precise refusal matters: anything else is a different bug.
+        refused = "STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE" in str(e)
+    rebuilt = run_agg(
+        evolved, f"{work}/ckpt_v2", f"evo_{uuid.uuid4().hex[:12]}"
+    )
+    return phase1.join(rebuilt, "event_type").select(
+        "event_type",
+        F.col("n_first_half").cast("long"),
+        F.lit(refused).alias("evolution_refused"),
+        F.col("n").alias("n_total"),
+        F.col("cents").cast("long").alias("value_cents_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_transform_with_state — Spark 4's transformWithStateInPandas:
+# the arbitrary-state successor to applyInPandasWithState (kept above as
+# q_stream_stateful for contrast), with named state variables, TTL, and
+# timers. Here: a per-user running counter in a ValueState with a 1h
+# TTL, plus a registered processing-time timer whose expiry path clears
+# the state (it cannot fire inside the bounded drain — registering it
+# exercises the timer API; handleExpiredTimer pins the eviction shape).
+# The replay is split into two chunks consumed one micro-batch each, so
+# state provably carries ACROSS batches; updates are emitted per batch
+# and the batch side keeps each user's final (max-count) update, which
+# the plain GROUP BY oracle checks exactly. TWS requires the RocksDB
+# state store — the 100 TB posture by construction.
+#
+# ENVIRONMENT GATE: pyspark's TWS Python state client speaks protobuf
+# (pyspark/sql/streaming/proto/StateMessage_pb2.py imports
+# google.protobuf), and this container has no protobuf package — the
+# streaming runner dies with STREAMING_PYTHON_RUNNER_INITIALIZATION_
+# FAILURE / ImportError (observed; pinned by
+# tests/test_invariants.py::test_transform_with_state_env_gate). The
+# key therefore registers only when protobuf is importable, and NOTES.md
+# records the dead end; on any standard cluster image (protobuf ships
+# with every major distro) it activates unchanged.
+# ---------------------------------------------------------------------------
+
+try:
+    _HAS_PROTOBUF = importlib.util.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:  # no `google` namespace package at all
+    _HAS_PROTOBUF = False
+
+_TWS_ORACLE = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+def _transform_with_state_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ensure_session_confs(spark)
+    kind = _events_ts_kind(spark, sf_dir)
+    schema = _events_raw_schema(kind)
+    work = tempfile.mkdtemp(prefix="ingest_tws_")
+    (
+        spark.read.schema(schema)
+        .parquet(table_path(sf_dir, "events"))
+        .repartition(2)
+        .write.parquet(f"{work}/chunks")
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/chunks")
+    )
+    ev = _normalize_ts(raw, kind).select("user_id", "value")
+
+    class UserCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "counts", "n bigint, total double", ttlDurationMs=3_600_000
+            )
+            self._handle = handle
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            self._handle.registerTimer(
+                timerValues.getCurrentProcessingTimeInMs() + 3_600_000
+            )
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            self._state.clear()
+            return iter([])
+
+        def close(self) -> None:
+            pass
+
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        UserCounter(),
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
+    )
+    name = f"tws_{uuid.uuid4().hex[:12]}"
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{work}/checkpoint")
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    updates = spark.table(name)
+    # One update per (user, batch-with-activity); n_events is strictly
+    # increasing per user, so the final state is the max-n row.
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("total_value"), 2).alias("total_value"),
+        )
+    )
+
+
+if _HAS_PROTOBUF:
+    register("q_stream_transform_with_state", oracle=_TWS_ORACLE)(
+        _transform_with_state_impl
     )

@@ -499,3 +499,61 @@ def test_containment_dominates_jaccard(run):
     for pair, c in cont.items():
         if pair in jac:
             assert c >= jac[pair] - 1e-9, f"{pair}: containment {c} < jaccard {jac[pair]}"
+
+
+def test_transform_with_state_env_gate(spark, sf_dir):
+    """transformWithStateInPandas requires the protobuf Python package
+    (pyspark's TWS state client imports google.protobuf). The key
+    registers iff the capability exists; without it the implementation
+    must die with exactly the documented runner-init failure — anything
+    else means the diagnosis in NOTES.md is stale."""
+    from data_ingestion_service_spark.streaming.stream_queries import (
+        _HAS_PROTOBUF,
+        _transform_with_state_impl,
+    )
+
+    if _HAS_PROTOBUF:
+        assert "q_stream_transform_with_state" in QUERIES
+        out = {
+            (r.user_id, r.n_events, r.total_value)
+            for r in _transform_with_state_impl(spark, sf_dir).collect()
+        }
+        from pyspark.sql import functions as F
+
+        exp = {
+            (r.user_id, r.n_events, r.total_value)
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .collect()
+        }
+        assert out == exp
+    else:
+        assert "q_stream_transform_with_state" not in QUERIES
+        with pytest.raises(Exception) as ei:
+            _transform_with_state_impl(spark, sf_dir).collect()
+        msg = str(ei.value)
+        # The failure surfaces two ways depending on which side notices
+        # first: the runner-init error (carrying the protobuf
+        # ImportError) or the generic "driver worker exited unexpectedly
+        # (crashed)" wrapper around it.
+        assert (
+            "STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE" in msg
+            or "protobuf" in msg
+            or "driver worker exited unexpectedly" in msg
+        ), msg
+
+
+def test_state_evolution_refusal_observed(spark, sf_dir, run):
+    """The evolution key must report Spark's actual refusal (pinned
+    error class), not a hardcoded TRUE: every row carries the flag that
+    was set only if STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE was caught,
+    and rebuilt totals must cover BOTH halves (n_total > n_first_half
+    for at least one type — the rebuild read the full replay)."""
+    rows = run("q_stream_state_evolution")
+    assert rows and all(r.evolution_refused for r in rows)
+    assert any(r.n_total > r.n_first_half for r in rows)
+    assert all(r.n_total >= r.n_first_half for r in rows)
