@@ -266,6 +266,13 @@ def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.slice(col, s * _PQ_D + 1, _PQ_D)
 
     def l2(col_sub, lits):
+        # aggregate(zip_with(...)) is interpreted per row (HOF lambdas
+        # never codegen), but it stays COMPACT: the argmin CASE below
+        # references each distance 3-4 times, and an expanded scalar
+        # chain (tried round 5) gets duplicated at each reference —
+        # thousands of codegen terms, measured 1.8x SLOWER than the
+        # interpreted HOF. Compact-interpreted beats exploded-codegen
+        # when the consumer multiplies the expression.
         arr = F.array(*[F.lit(v) for v in lits])
         return F.round(
             F.aggregate(
@@ -1013,12 +1020,14 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q_triangle_count — triangles in the near-dup graph (cluster-density
 # signal: triangle-rich components are tight duplicate blobs; chains
-# have none). Wedge join on id-ordered edges: a<b<c means each triangle
-# is counted exactly once, and the join fan-out is bounded by the
-# posting-order degrees. At 100 TB the standard refinement is
-# DEGREE-ordering the endpoints before the wedge join (hubs stop being
-# wedge centers); id-ordering suffices at this graph's degree cap
-# (hot-shingle stop-list bounds near-dup degrees upstream).
+# have none). DEGREE-ordered wedge join (Schank/Wagner): every edge is
+# oriented from its lower- to its higher-(degree, id) endpoint, each
+# triangle is counted exactly once at its lowest-ordered vertex, and a
+# hub's wedge fan-out collapses (its out-edges point only to yet-higher-
+# degree vertices), bounding total wedge work at O(m^1.5) even when the
+# hot-shingle degree cap is loosened at 100 TB — the r4-noted refinement
+# over id-ordering, where a low-id hub kept all O(d²) wedge pairs.
+# Posture pinned by test_triangle_wedges_are_degree_ordered.
 # ---------------------------------------------------------------------------
 
 _TRIANGLE_ORACLE = (
@@ -1043,19 +1052,58 @@ FROM tri CROSS JOIN stats
 )
 
 
+def _degree_directed_edges(e: DataFrame) -> DataFrame:
+    """Orient each undirected edge from lower to higher (degree, id).
+
+    The node-iterator refinement that survives hubs at 100 TB: a vertex
+    of degree d only keeps out-edges to HIGHER-(degree,id) neighbors, so
+    a hub's out-degree collapses and the wedge count is O(m^1.5)
+    (Schank/Wagner ordered triangle listing) instead of O(sum deg²) —
+    id-ordering leaves a low-id hub as wedge center with all d² pairs.
+    Columns: src, dst, plus dst's order key (dd, dst) for wedge-side
+    lexicographic comparison without a global rank (a global rank would
+    need a corpus-wide window — one task)."""
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = (
+        e.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
+    )
+
+
 @register("q_triangle_count", oracle=_TRIANGLE_ORACLE)
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = near_dup_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
+    d = _degree_directed_edges(e)
+    # Wedges centered at each triangle's LOWEST-ordered vertex; the two
+    # legs are kept in (deg,id) order so the closing edge — necessarily
+    # directed low→high — is a single equi-semi-join probe.
+    leg_lt = (F.col("d1.dd") < F.col("d2.dd")) | (
+        (F.col("d1.dd") == F.col("d2.dd")) & (F.col("d1.dst") < F.col("d2.dst"))
+    )
     wedges = (
-        e.alias("e1")
-        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
-        .select(F.col("e1.a").alias("wa"), F.col("e2.b").alias("wc"))
+        d.alias("d1")
+        .join(d.alias("d2"), F.col("d1.src") == F.col("d2.src"))
+        .filter(leg_lt)
+        .select(F.col("d1.dst").alias("wa"), F.col("d2.dst").alias("wc"))
     )
     tri = wedges.join(
-        e.alias("e3"),
-        (F.col("wa") == F.col("e3.a")) & (F.col("wc") == F.col("e3.b")),
+        d.alias("e3"),
+        (F.col("wa") == F.col("e3.src")) & (F.col("wc") == F.col("e3.dst")),
         "left_semi",
     ).agg(F.count(F.lit(1)).alias("n_triangles"))
     verts = e.select(F.col("a").alias("v")).unionAll(e.select(F.col("b")))
@@ -1203,11 +1251,19 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = pairs.union(
             pairs.select(F.col("doc_b"), F.col("doc_a"))
         ).toDF("s", "d").persist()
-        nodes = edges.select(F.col("s").alias("id")).distinct()
-        n = nodes.count()
-        deg = edges.groupBy(F.col("s").alias("id")).agg(
-            F.count(F.lit(1)).alias("deg")
+        # One aggregation serves three roles: the degree table, the node
+        # list (every touched node has deg >= 1, so deg's key set IS the
+        # vertex set), and — via count() on the persisted result — the
+        # scalar n. The previous shape ran a separate distinct()+count()
+        # job over the edge list before computing degrees: one full extra
+        # pass over the edges per build, pure overlap with the deg agg.
+        deg = (
+            edges.groupBy(F.col("s").alias("id"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .persist()
         )
+        n = deg.count()
+        nodes = deg.select("id")
         base = (_PR_SCALE * (_PR_D_DEN - _PR_D_NUM)) // _PR_D_DEN // n
         ranks = nodes.select("id", F.lit(_PR_SCALE // n).alias("r"))
         for _ in range(_PR_ITERS):
@@ -1224,10 +1280,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.expr(f"{_PR_D_NUM} * coalesce(inflow, 0L) div {_PR_D_DEN}")
                 ).alias("r"),
             )
-        # Materialize the converged ranks, then free the edge cache —
+        # Materialize the converged ranks, then free the edge/deg caches —
         # iterations are done; only the result outlives the build.
         ranks = ranks.localCheckpoint()
         edges.unpersist()
+        deg.unpersist()
         return ranks.select(F.col("id").alias("doc_id"), F.col("r").alias("pr_e12"))
 
     # Ranks are an index-like artifact: 3 iterations build once per

@@ -1175,40 +1175,50 @@ def _dup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist()
         )
         labels = touched.select("doc_id", F.col("doc_id").alias("label")).persist()
-        prev_sum = None
-        for it in range(20):
-            new_labels = (
-                edges.join(labels, edges.src == labels.doc_id)
+
+        def propagate(lbl: DataFrame) -> DataFrame:
+            return (
+                edges.join(lbl, edges.src == lbl.doc_id)
                 .groupBy(F.col("dst").alias("nbr_doc"))
                 .agg(F.min("label").alias("label"))
                 .select(F.col("nbr_doc").alias("doc_id"), "label")
             )
-            # Lineage control: each iteration's plan chains on the last;
-            # localCheckpoint (eager) truncates the chain every few
-            # rounds so plan depth — and with it task-serialization and
-            # planning cost — stays O(1) in iteration count at 100 TB.
-            # Other iterations persist (cheaper than a checkpoint copy)
-            # and unpersist as soon as the next round materializes.
-            # Cluster caveat (deliberate local-mode tradeoff):
-            # localCheckpoint stores to executor-LOCAL storage, so on a
-            # real cluster an executor loss makes the truncated lineage
-            # unrecoverable (job failure, rerun the build) — swap for
-            # reliable checkpoint() to a checkpoint dir when running
-            # multi-node. The intermediate checkpoint RDDs also outlive
-            # unpersist() and are freed only at session end — bounded,
-            # because session_persisted builds this exactly once per
-            # (session, sf).
-            if (it + 1) % 4 == 0:
-                new_labels = new_labels.localCheckpoint()
-            else:
-                new_labels = new_labels.persist()
-            # Labels only decrease; an unchanged sum means a fixed point.
-            cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+
+        for it in range(7):
+            # THREE propagation steps per ACTION, with the convergence
+            # probe folded into that same action: materialize `mid`
+            # (2 steps, persisted) and `nxt` (1 more step, persisted),
+            # and collect sum(mid) UNION sum(nxt) in one job. Labels
+            # only decrease, so sum(mid) == sum(nxt) proves `mid` was
+            # already a fixed point — convergence is OBSERVED without
+            # the former separate confirm-round action. Each action on
+            # this per-iteration-tiny graph costs Spark's fixed
+            # scheduling floor, so a diameter-2 blob now converges in
+            # ONE action (formerly three: two propagate+sum rounds plus
+            # a confirm), and longer graphs advance 3 steps per floor
+            # payment. Lineage per action stays a bounded 3 shuffles on
+            # top of the previous round's PERSISTED labels; the persist
+            # chain keeps recompute O(1) while plan depth grows only
+            # linearly in rounds (bounded: 7 rounds = 21 steps covers
+            # any graph the upstream hot-shingle cap admits; production
+            # long-chain graphs use the pointer-jumping variant).
+            # Cluster caveat (deliberate local-mode tradeoff): on a real
+            # cluster swap the persists for reliable checkpoint() so an
+            # executor loss cannot force recomputing the whole chain.
+            mid = propagate(propagate(labels)).persist()
+            nxt = propagate(mid).persist()
+            tag = F.lit(0).alias("which")
+            sums = (
+                mid.agg(F.sum("label").alias("s"), tag)
+                .unionAll(nxt.agg(F.sum("label").alias("s"), F.lit(1).alias("which")))
+                .collect()
+            )
+            by_tag = {r.which: r.s for r in sums}
             labels.unpersist()
-            labels = new_labels
-            if cur_sum == prev_sum:
+            mid.unpersist()
+            labels = nxt
+            if by_tag[0] == by_tag[1]:
                 break
-            prev_sum = cur_sum
         edges.unpersist()
         return labels
 
@@ -1228,9 +1238,14 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = docs.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("label", "doc_id").alias("rep_id")
     )
-    sizes = comp.groupBy("rep_id").agg(F.count(F.lit(1)).alias("n_members"))
-    return comp.join(F.broadcast(sizes), "rep_id").select(
-        "doc_id", "rep_id", "n_members"
+    # Cluster size via a count window over rep_id — ONE shuffle, one pass.
+    # The previous groupBy+broadcast-join shape evaluated the unpersisted
+    # `comp` lineage twice (once to build the sizes table, once as the
+    # probe side) plus a broadcast job; the window shuffles by the same
+    # key the groupBy would and cluster sizes are bounded, so no skew.
+    w = Window.partitionBy("rep_id")
+    return comp.select(
+        "doc_id", "rep_id", F.count(F.lit(1)).over(w).alias("n_members")
     )
 
 

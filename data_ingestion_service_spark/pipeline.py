@@ -336,14 +336,26 @@ class Pipeline:
         spark: SparkSession,
         checkpoint: str,
         drain: bool = True,
+        sink_path: str | None = None,
     ) -> Any:
         """Streaming execution of the same description: file-stream the
         source dir, apply the same transforms, append to the sink with
         exactly-once checkpointing. With ``drain=True`` (default) the
         call blocks until all currently-available input is processed,
         stops the query, and returns the sink DataFrame; with
-        ``drain=False`` it returns the live StreamingQuery."""
+        ``drain=False`` it returns the live StreamingQuery.
+
+        ``sink_path`` overrides the sink location for THIS execution
+        only — the batch/stream-parity pattern: one definition, run()
+        to one sink and run_stream() to another, compare (the declared
+        sink path is deployment config, not part of the transform
+        semantics; without the override a batch run followed by a
+        streaming run would append a second copy into the same files)."""
         src, sink = self._require()
+        if sink_path is not None:
+            sink = _Sink(
+                sink.fmt, sink_path, sink.mode, sink.partition_by, sink.options
+            )
         if sink.fmt == "dataframe":
             raise ValueError("streaming needs a materialized sink")
         if self._batch_only:
@@ -495,4 +507,73 @@ def q_pipeline_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_quarantined"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_pipeline_stream_parity — the batch/stream unification claim actually
+# oracle-gated over a REAL operator chain: ONE pipeline definition
+# (quality gate -> dedupe -> parquet sink) executed BOTH ways — run()
+# into one sink, run_stream() into another — over a replay dir holding
+# TWO copies of the events table (so .dedupe() has real duplicates to
+# remove and the gate real rows to drop). The returned row set is the
+# STREAMING sink's aggregate (hash-checked against the batch-relational
+# oracle), with per-group batch-equality pinned as a hashed column —
+# both executions of the one definition must land identical data.
+# ---------------------------------------------------------------------------
+
+_PIPELINE_PARITY_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       TRUE AS batch_stream_match
+FROM events
+WHERE value >= 250
+GROUP BY event_type
+"""
+
+
+@register("q_pipeline_stream_parity", oracle=_PIPELINE_PARITY_ORACLE)
+def q_pipeline_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="ingest_parity_")
+    src_file = f"{sf_dir.rstrip('/')}/events.parquet"
+    os.makedirs(f"{work}/replay")
+    for i in range(2):  # duplicate delivery: what .dedupe() must undo
+        shutil.copy(src_file, f"{work}/replay/events_{i}.parquet")
+
+    p = (
+        Pipeline()
+        .read_parquet(f"{work}/replay")
+        .expect("value >= 250", on_violation="drop")
+        .dedupe(["event_id"])
+        .write_parquet(f"{work}/batch_sink")
+    )
+    batch = p.run(spark)
+    stream = p.run_stream(
+        spark, f"{work}/ckpt", sink_path=f"{work}/stream_sink"
+    )
+
+    def agg(df: DataFrame, n: str, c: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias(n),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias(c),
+        )
+
+    b = agg(batch, "n_b", "cents_b")
+    s = agg(stream, "n", "value_cents")
+    return s.join(b, "event_type", "full_outer").select(
+        "event_type",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("value_cents", F.lit(0)).alias("value_cents"),
+        (
+            (F.col("n") == F.col("n_b"))
+            & (F.col("value_cents") == F.col("cents_b"))
+        ).alias("batch_stream_match"),
     )

@@ -44,9 +44,21 @@ from pyspark.sql import functions as F
 from data_ingestion_service_spark.session import get_spark
 
 SRC = os.environ.get("GEN_SCALE_SRC", "/root/testdata/sf0.1")
-OUT = os.environ.get("GEN_SCALE_OUT", "/root/repo/.stress/sf1")
+# Skew mode (VERDICT r4 item 4): reshape the scaled data like a real
+# crawl-heavy training mix — ONE source owns 80% of documents and ONE
+# user owns 80% of events — so the skew guards (AQE skew-split, salting,
+# per-shard packing windows) fire on organically-shaped data instead of
+# only on the forced-skew posture fixtures. Purely deterministic
+# remapping (id % 10 < 8), so both engines read identical files and the
+# oracle gate stays exact.
+SKEW = os.environ.get("GEN_SCALE_SKEW", "") == "1"
+OUT = os.environ.get(
+    "GEN_SCALE_OUT",
+    "/root/repo/.stress/sf1skew" if SKEW else "/root/repo/.stress/sf1",
+)
 COPIES = int(os.environ.get("GEN_SCALE_COPIES", "10"))
 EMB_COPIES = int(os.environ.get("GEN_SCALE_EMB_COPIES", "3"))
+HOT_USER = 1  # lowest customer key — always a valid FK target
 
 # Key strides: comfortably above each table's max id at sf0.1.
 C_OFF = 100_000          # c_custkey / user_id
@@ -110,14 +122,34 @@ def main() -> None:
         "lineitem",
         {"l_orderkey": O_OFF, "l_partkey": P_OFF, "l_suppkey": S_OFF},
     )
-    scaled("events", {"event_id": E_OFF, "user_id": C_OFF})
+    def hot_user(out):
+        if not SKEW:
+            return out
+        return out.withColumn(
+            "user_id",
+            F.when(F.col("event_id") % 10 < 8, F.lit(HOT_USER).cast("long"))
+            .otherwise(F.col("user_id")),
+        )
+
+    scaled("events", {"event_id": E_OFF, "user_id": C_OFF}, extra=hot_user)
 
     def suffix_vocab(out):
         toks = F.split("text", " ")
         suffixed = F.transform(
             toks, lambda t: F.concat(t, F.lit("_"), F.col("cp").cast("string"))
         )
-        return out.withColumn("text", F.array_join(suffixed, " "))
+        out = out.withColumn("text", F.array_join(suffixed, " "))
+        if SKEW:
+            # 80% of docs land in src0 — the dominant-crawl shape. Token
+            # content is untouched: dedup/shingle structure stays the
+            # per-copy-unique design above; only GROUPING skews.
+            out = out.withColumn(
+                "source",
+                F.when(F.col("doc_id") % 10 < 8, F.lit("src0")).otherwise(
+                    F.col("source")
+                ),
+            )
+        return out
 
     scaled("documents", {"doc_id": D_OFF}, extra=suffix_vocab)
 

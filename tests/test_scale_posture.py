@@ -494,3 +494,40 @@ def test_join_strategy_hints_respected(spark, sf_dir):
     )
     plan = formatted_plan(hashed)
     assert "ShuffledHashJoin" in plan, plan[:800]
+
+
+def test_triangle_wedges_are_degree_ordered(spark, sf_dir):
+    """q_triangle_count must build wedges from DEGREE-ordered directed
+    edges (Schank/Wagner): (a) the plan joins on src equality with no
+    nested-loop/cartesian fallback, and (b) on an adversarial star-plus-
+    rim graph the degree orientation provably collapses the hub's wedge
+    fan-out where id-ordering would keep all O(d²) pairs."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_service_spark.operators.corpus_ops import (
+        _degree_directed_edges,
+    )
+
+    plan = formatted_plan(QUERIES["q_triangle_count"](spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    # Exactly the two deliberate 1-row stat crossJoins (n_edges,
+    # n_vertices) may be nested-loop; the wedge join and the closing
+    # semi-join must both be equi-joins.
+    assert tree.count("BroadcastNestedLoopJoin") == 2, tree
+
+    # Star: hub 0 with spokes 1..40, plus one rim edge (1,2). Hub id is
+    # LOWEST, so id-ordering makes it the center of 40*39/2 = 780 wedges;
+    # degree-ordering directs every spoke edge AWAY from the hub
+    # (deg 40 > deg ≤ 3), leaving it zero out-degree.
+    edges = [(0, i) for i in range(1, 41)] + [(1, 2)]
+    e = spark.createDataFrame(edges, "a bigint, b bigint")
+    d = _degree_directed_edges(e)
+    hub_out = d.filter(F.col("src") == 0).count()
+    assert hub_out == 0, f"hub kept {hub_out} out-edges under degree ordering"
+    # Wedge work under the orientation: sum over src of C(outdeg, 2).
+    out = d.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    wedge_work = out.select(
+        F.sum(F.col("od") * (F.col("od") - 1) / 2).alias("w")
+    ).first()[0]
+    assert wedge_work <= 41, f"degree-ordered wedge work {wedge_work} (id-ordered: 780)"
