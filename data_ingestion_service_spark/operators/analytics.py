@@ -304,3 +304,69 @@ def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("new_users").over(w).cast("bigint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ewma — exponentially weighted moving average of event values per
+# user (alpha = 1/2, 8-tap truncated kernel): the time-series smoothing
+# primitive behind rate limiting, anomaly baselines, and engagement
+# scores. Expressed as 8 LAG window taps with weights 2^-k — each
+# product is an EXACT binary halving and the taps are summed in a fixed
+# literal order, so both engines produce bit-identical doubles (no
+# float-order hazard to round away); output is floored to e6
+# fixed-point. Scale shape: ONE window shuffle keyed by user_id with an
+# 8-row frame — state is O(taps), never O(history), and a hot user
+# costs 8 lags per row, not a growing scan. Result is compacted to the
+# per-user LAST smoothed value (max_by over the same shuffle).
+# ---------------------------------------------------------------------------
+
+_EWMA_TAPS = 8
+
+_EWMA_NUM_SQL = " + ".join(
+    f"coalesce(lag(value, {k}) OVER w, 0) * {0.5 ** k!r}"
+    for k in range(_EWMA_TAPS)
+)
+_EWMA_DEN_SQL = " + ".join(
+    f"(CASE WHEN lag(value, {k}) OVER w IS NULL THEN 0 ELSE {0.5 ** k!r} END)"
+    for k in range(_EWMA_TAPS)
+)
+
+_EWMA_ORACLE = f"""
+WITH smoothed AS (
+  SELECT user_id, event_id,
+         ({_EWMA_NUM_SQL}) / ({_EWMA_DEN_SQL}) AS ewma
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(floor(max_by(ewma, event_id) * 1000000) AS BIGINT) AS last_ewma_e6
+FROM smoothed
+GROUP BY user_id
+"""
+
+
+@register("q_ewma", oracle=_EWMA_ORACLE)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for k in range(_EWMA_TAPS):
+        tap = F.lag("value", k).over(w)
+        wk = F.lit(0.5**k)
+        n_term = F.coalesce(tap, F.lit(0)) * wk
+        d_term = F.when(tap.isNull(), F.lit(0.0)).otherwise(wk)
+        num = n_term if num is None else num + n_term
+        den = d_term if den is None else den + d_term
+    smoothed = ev.select(
+        "user_id", "event_id", (num / den).alias("ewma")
+    )
+    return smoothed.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor(F.max_by("ewma", "event_id") * 1e6)
+        .cast("long")
+        .alias("last_ewma_e6"),
+    )

@@ -1618,3 +1618,246 @@ def q_dup_clusters_pj(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.join(F.broadcast(sizes), "rep_id").select(
         "doc_id", "rep_id", "n_members"
     )
+
+
+# ---------------------------------------------------------------------------
+# q_embed_quantize — int8 symmetric quantization of the embedding
+# column: per-vector scale = max|x|/127, codes q_i = clamp(floor(x_i /
+# scale + 0.5), -127, 127) — the vector-store compression step that cuts
+# ANN index memory 4x (f32 -> i8) at a bounded recall cost, reported
+# here as the max absolute reconstruction error per vector. Everything
+# is engine-exact by construction: floor(+0.5) half-up is identical in
+# both engines (no round() dialect hazard), code sums are integer sums,
+# and the error is floored to e6 fixed-point instead of rounded. Scale
+# path: pure per-row column math (map-only, no shuffle) — at 100 TB this
+# is a projection over the embedding scan feeding the PQ/IVF builders.
+# ---------------------------------------------------------------------------
+
+_QUANT_ORACLE = """
+WITH q AS (
+  SELECT vec_id,
+         embedding::DOUBLE[] AS v,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+           AS scale
+  FROM embeddings
+),
+codes AS (
+  SELECT vec_id, scale,
+         list_transform(v, x ->
+           greatest(-127, least(127, CAST(floor(x / scale + 0.5) AS BIGINT))))
+           AS code,
+         v
+  FROM q
+  WHERE scale > 0
+)
+SELECT vec_id,
+       CAST(floor(scale * 1000000000) AS BIGINT)      AS scale_e9,
+       CAST(list_aggregate(code, 'sum') AS BIGINT)    AS code_sum,
+       CAST(floor(list_max(list_transform(range(1, len(v) + 1),
+            i -> abs(v[i] - code[i] * scale))) * 1000000) AS BIGINT)
+         AS max_abs_err_e6
+FROM codes
+"""
+
+
+@register("q_embed_quantize", oracle=_QUANT_ORACLE)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double("embedding")
+    scale = (
+        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    ).alias("scale")
+    q = emb.select("vec_id", v.alias("v"), scale).filter(F.col("scale") > 0)
+    code = F.transform(
+        F.col("v"),
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127), F.floor(x / F.col("scale") + F.lit(0.5)).cast("long")
+            ),
+        ),
+    )
+    c = q.select("vec_id", "scale", "v", code.alias("code"))
+    err = F.array_max(
+        F.zip_with(
+            F.col("v"),
+            F.col("code"),
+            lambda x, ci: F.abs(x - ci.cast("double") * F.col("scale")),
+        )
+    )
+    return c.select(
+        "vec_id",
+        F.floor(F.col("scale") * 1e9).cast("long").alias("scale_e9"),
+        F.aggregate(
+            F.col("code"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("code_sum"),
+        F.floor(err * 1e6).cast("long").alias("max_abs_err_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_pii_redact — PII scrubbing, the compliance gate every training-data
+# pipeline runs before text leaves the ingestion boundary: regex-detect
+# emails and phone numbers, replace with typed placeholder tags, report
+# per-source hit counts and an order-independent checksum of the
+# REDACTED text (so the scrub's exact output — not just its counts — is
+# hash-verified). The fixture corpus is synthetic word soup with no
+# organic PII, so both engines deterministically append the same
+# synthetic contact line per doc before scrubbing — the construction is
+# part of the shared query, keeping detection+redaction real while the
+# fixture stays clean. Patterns use only portable regex (char classes,
+# +, {n}) — identical semantics in Java regex and DuckDB's RE2. Scale
+# shape: map-only scan -> per-source agg, one shuffle of 5 rows.
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL_RE = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+_PII_PHONE_RE = "[+][0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+_PII_ORACLE = f"""
+WITH synth AS (
+  SELECT source,
+         text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+         '@example.com or +1-555-' ||
+         substr(CAST(10000 + doc_id % 10000 AS VARCHAR), 2, 4) AS raw
+  FROM documents
+),
+red AS (
+  SELECT source,
+         regexp_matches(raw, '{_PII_EMAIL_RE}') AS has_email,
+         regexp_matches(raw, '{_PII_PHONE_RE}') AS has_phone,
+         regexp_replace(
+           regexp_replace(raw, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_PII_PHONE_RE}', '<PHONE>', 'g') AS clean
+  FROM synth
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN has_email THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_email,
+       CAST(sum(CASE WHEN has_phone THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_phone,
+       CAST(sum(CASE WHEN clean LIKE '%@%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_residual_at,
+       CAST(sum(('0x' || substr(md5(clean), 1, 15))::BIGINT % 1000000000)
+         AS BIGINT) AS clean_checksum
+FROM red
+GROUP BY source
+"""
+
+
+@register("q_pii_redact", oracle=_PII_ORACLE)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.substring((F.lit(10000) + F.col("doc_id") % 10000).cast("string"), 2, 4),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(raw, _PII_EMAIL_RE, "<EMAIL>"),
+        _PII_PHONE_RE,
+        "<PHONE>",
+    )
+    red = docs.select(
+        "source",
+        raw.rlike(_PII_EMAIL_RE).alias("has_email"),
+        raw.rlike(_PII_PHONE_RE).alias("has_phone"),
+        clean.alias("clean"),
+    )
+    checksum = (
+        F.conv(F.substring(F.md5(F.col("clean").cast("binary")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 1000000000
+    )
+    return red.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("has_email").cast("long")).cast("long").alias("n_with_email"),
+        F.sum(F.col("has_phone").cast("long")).cast("long").alias("n_with_phone"),
+        F.sum(F.col("clean").contains("@").cast("long"))
+        .cast("long")
+        .alias("n_residual_at"),
+        F.sum(checksum).cast("long").alias("clean_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_text_normalize — Unicode canonicalization, the FIRST step of every
+# text-cleaning pipeline: NFC-compose combining marks, casefold, and
+# collapse runs of spaces, so "Cafe" + U+0301 and "Café" dedup/tokenize
+# identically downstream. Spark has no built-in Unicode normalizer, so
+# this is a deliberate Arrow-batched pandas_udf (unicodedata.normalize —
+# the canonical use of the Python escape hatch: per-row pure function,
+# vectorized batch transfer, no state); the oracle runs DuckDB's native
+# nfc_normalize — cross-engine agreement holds because NFC is defined by
+# the Unicode standard, not the engine. Every doc gets the same
+# synthetic decomposed prefix on BOTH sides (the fixture corpus is
+# plain-ASCII word soup, so the construction makes the normalization
+# observable — pre/post lengths MUST differ). Output hash-checks the
+# normalized text itself per source, not just counts.
+# ---------------------------------------------------------------------------
+
+_TEXT_NORM_ORACLE = """
+WITH synth AS (
+  SELECT source,
+         'Cafe' || chr(769) || '  NAI' || chr(776) || 'VE  ' || text AS raw
+  FROM documents
+),
+norm AS (
+  SELECT source,
+         length(raw) AS pre_len,
+         regexp_replace(lower(nfc_normalize(raw)), ' +', ' ', 'g') AS clean
+  FROM synth
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(pre_len) AS BIGINT)       AS pre_chars,
+       CAST(sum(length(clean)) AS BIGINT) AS post_chars,
+       CAST(sum(('0x' || substr(md5(clean), 1, 15))::BIGINT % 1000000000)
+         AS BIGINT) AS norm_checksum
+FROM norm
+GROUP BY source
+"""
+
+
+@register("q_text_normalize", oracle=_TEXT_NORM_ORACLE)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc_lower_collapse(s: "pandas.Series") -> "pandas.Series":
+        import re
+        import unicodedata
+
+        return s.map(
+            lambda t: re.sub(" +", " ", unicodedata.normalize("NFC", t).lower())
+        )
+
+    # Under `from __future__ import annotations` the decorator resolves
+    # the string hints against the function's globals — "pandas.Series"
+    # must name a module visible there (a function-local `pd` alias is
+    # not: PySpark raises UNSUPPORTED_SIGNATURE).
+    _nfc_lower_collapse.__globals__.setdefault("pandas", pandas)
+    nfc_lower_collapse = pandas_udf("string")(_nfc_lower_collapse)
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("Café  NAÏVE  "), F.col("text")
+    )
+    norm = docs.select(
+        "source",
+        F.length(raw).alias("pre_len"),
+        nfc_lower_collapse(raw).alias("clean"),
+    )
+    checksum = (
+        F.conv(F.substring(F.md5(F.col("clean").cast("binary")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 1000000000
+    )
+    return norm.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("pre_len").cast("long").alias("pre_chars"),
+        F.sum(F.length("clean")).cast("long").alias("post_chars"),
+        F.sum(checksum).cast("long").alias("norm_checksum"),
+    )

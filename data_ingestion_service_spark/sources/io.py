@@ -598,3 +598,122 @@ def q_checksum_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(row_hash).cast("bigint").alias("content_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sink_python_datasource — the WRITE half of the Spark 4 Python
+# DataSource API (src_python_datasource exercises the read half): a
+# custom batch WRITER — per-task write(iterator) -> commit-message, a
+# driver-side commit() that publishes a manifest, and abort() cleanup —
+# the connector surface for pushing curated data into a system Spark
+# has no native sink for. Each task writes its partition to a JSON-lines
+# part file and returns (path, rows, checksum); commit() writes the
+# manifest only if every task reported — the two-phase commit an
+# exactly-once custom sink needs. The key writes orders aggregates
+# through the custom sink, re-reads what landed, VERIFIES the manifest
+# totals, and returns the re-read rows for the oracle hash.
+# ---------------------------------------------------------------------------
+
+_PYTHON_SINK_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def _make_jsonl_sink():
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class _Commit(WriterCommitMessage):
+        def __init__(self, path, rows):
+            self.path = path
+            self.rows = rows
+
+    class _Writer(DataSourceWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, iterator):
+            import json
+            import os
+            import uuid
+
+            os.makedirs(self.path, exist_ok=True)
+            part = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+            n = 0
+            with open(part, "w", encoding="utf-8") as f:
+                for row in iterator:
+                    f.write(json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return _Commit(part, n)
+
+        def commit(self, messages):
+            import json
+            import os
+
+            manifest = {
+                "parts": sorted(m.path for m in messages),
+                "total_rows": sum(m.rows for m in messages),
+            }
+            with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
+                json.dump(manifest, f)
+
+        def abort(self, messages):
+            import os
+
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+
+    class JsonlSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "jsonl_manifest"
+
+        def writer(self, schema, overwrite):
+            return _Writer(self.options)
+
+    return JsonlSink
+
+
+@register("sink_python_datasource", oracle=_PYTHON_SINK_ORACLE)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+
+    spark.dataSource.register(_make_jsonl_sink())
+    out = tempfile.mkdtemp(prefix="ingest_pysink_") + "/sink"
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )
+    agg.write.format("jsonl_manifest").option("path", out).mode("append").save()
+    with open(f"{out}/_MANIFEST") as f:
+        manifest = json.load(f)
+    back = spark.read.schema(
+        "o_orderpriority string, n_orders bigint, total_cents bigint"
+    ).json(f"{out}/part-*.jsonl")
+    n_back = back.agg(F.sum("n_orders")).collect()[0][0]
+    agg_rows = agg.agg(F.sum("n_orders")).collect()[0][0]
+    if manifest["total_rows"] != back.count() or n_back != agg_rows:
+        raise AssertionError(
+            f"python sink manifest mismatch: {manifest['total_rows']} manifest "
+            f"rows, {back.count()} read back, {n_back} vs {agg_rows} orders"
+        )
+    for p in manifest["parts"]:
+        if not os.path.exists(p):
+            raise AssertionError(f"manifest names missing part {p}")
+    return back.select("o_orderpriority", "n_orders", "total_cents")

@@ -1381,3 +1381,91 @@ if _HAS_PROTOBUF:
     register("q_stream_transform_with_state", oracle=_TWS_ORACLE)(
         _transform_with_state_impl
     )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_outer_join — LEFT OUTER stream-stream interval join: signups
+# left-join purchases within 1 hour; signups with NO purchase must still
+# emit (with nulls) — but only once the watermark proves no match can
+# still arrive, which is the part an inner join never exercises. Outer
+# results flush a batch AFTER the watermark passes their join window, so
+# the replay appends two far-future sentinel batches (each carrying a
+# signup+purchase pair on a negative user so BOTH sides' watermarks
+# advance): batch 2 moves the watermark past every real window, batch 3
+# gives Spark the extra trigger in which the flushed outer rows are
+# actually emitted — the operational gotcha ("my outer join emits
+# nothing") demonstrated and pinned. Oracle = the batch LEFT JOIN.
+# ---------------------------------------------------------------------------
+
+_STREAM_OUTER_ORACLE = """
+SELECT s.user_id, s.ts AS signup_ts, p.ts AS purchase_ts
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = s.user_id
+ AND p.ts >= s.ts
+ AND p.ts <= s.ts + INTERVAL 1 HOUR
+"""
+
+
+@register("q_stream_outer_join", oracle=_STREAM_OUTER_ORACLE)
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
+    kind = _events_ts_kind(spark, sf_dir)
+    schema = _events_raw_schema(kind)
+    work = tempfile.mkdtemp(prefix="ingest_souter_")
+    raw = spark.read.schema(schema).parquet(table_path(sf_dir, "events"))
+    max_raw = raw.agg(F.max("ts")).collect()[0][0]
+
+    def plus_hours(h: int):
+        if kind == "bigint":
+            return max_raw + h * 3600 * 10**9
+        import datetime
+
+        return max_raw + datetime.timedelta(hours=h)
+
+    os.makedirs(f"{work}/replay")
+    raw.coalesce(1).write.parquet(f"{work}/b1")
+    [p1] = glob.glob(f"{work}/b1/part-*.parquet")
+    shutil.copy(p1, f"{work}/replay/a_events.parquet")
+    for tag, uid, hrs in (("b", -1, 24), ("c", -2, 48)):
+        spark.createDataFrame(
+            [
+                (uid, plus_hours(hrs), uid, "signup", 0.0, "{}"),
+                (uid, plus_hours(hrs), uid, "purchase", 0.0, "{}"),
+            ],
+            schema,
+        ).coalesce(1).write.mode("overwrite").parquet(f"{work}/s_{tag}")
+        [sp] = glob.glob(f"{work}/s_{tag}/part-*.parquet")
+        shutil.copy(sp, f"{work}/replay/{tag}_sentinel.parquet")
+    now = time.time()
+    for i, name in enumerate(
+        ("a_events.parquet", "b_sentinel.parquet", "c_sentinel.parquet")
+    ):
+        os.utime(f"{work}/replay/{name}", (now - 60 + 30 * i, now - 60 + 30 * i))
+
+    def side(event_type: str, u: str, t: str) -> DataFrame:
+        raw_s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{work}/replay")
+        )
+        return (
+            _normalize_ts(raw_s, kind)
+            .filter(F.col("event_type") == event_type)
+            .select(F.col("user_id").alias(u), F.col("ts").alias(t))
+            .withWatermark(t, "1 hour")
+        )
+
+    joined = side("signup", "s_user", "s_ts").join(
+        side("purchase", "p_user", "p_ts"),
+        F.expr(
+            "s_user = p_user AND p_ts >= s_ts AND p_ts <= s_ts + interval 1 hour"
+        ),
+        "leftOuter",
+    )
+    final = run_to_memory(joined, "append")
+    return final.filter(F.col("s_user") >= 0).select(
+        F.col("s_user").alias("user_id"),
+        F.col("s_ts").cast("timestamp_ntz").alias("signup_ts"),
+        F.col("p_ts").cast("timestamp_ntz").alias("purchase_ts"),
+    )
