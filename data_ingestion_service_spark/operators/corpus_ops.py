@@ -1861,3 +1861,183 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("clean")).cast("long").alias("post_chars"),
         F.sum(checksum).cast("long").alias("norm_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_bpe_pairs — BPE vocabulary induction, merge step 0: count adjacent
+# CHARACTER pairs across the corpus weighted by token frequency and
+# rank the top 20 merge candidates — the inner loop of byte-pair-
+# encoding tokenizer training (the highest-count pair becomes the first
+# merge). Two-stage shape that scales: token frequencies first (shuffle
+# keyed by token — corpus-size reduce to vocab-size), THEN pair
+# expansion over the DISTINCT vocab (len(vocab) × token-length rows,
+# tiny vs corpus), pair counts weighted by freq. Expansion uses the
+# codegen explode(sequence)+substring idiom, not an interpreted HOF.
+# Ties at the top-20 cut break on (count, pair) — deterministic across
+# engines by construction.
+# ---------------------------------------------------------------------------
+
+_BPE_ORACLE = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+),
+tf AS (
+  SELECT t, count(*) AS freq FROM tok WHERE len(t) >= 2 GROUP BY t
+),
+pairs AS (
+  SELECT substr(t, CAST(i AS INT), 2) AS pair, freq
+  FROM tf CROSS JOIN unnest(range(1, len(t))) AS u(i)
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 20
+"""
+
+
+@register("q_bpe_pairs", oracle=_BPE_ORACLE)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.length("t") >= 2)
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = tf.select(
+        "freq",
+        "t",
+        F.explode(F.sequence(F.lit(1), F.length("t") - 1)).alias("i"),
+    ).select("freq", F.substring(F.col("t"), F.col("i"), F.lit(2)).alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_mmr_diversify — Maximal Marginal Relevance re-ranking: greedily pick
+# k=5 results from the top-20 cosine shortlist, each step maximizing
+# relevance MINUS max-similarity-to-already-picked (lambda = 1/2, where
+# argmax(l*rel - (1-l)*red) == argmax(rel - red)) — the diversity
+# re-ranker that stops retrieval returning five near-copies of the same
+# document (directly relevant to dedup-aware RAG/eval sets). All
+# similarities are floored to e6 fixed-point BEFORE the greedy loop and
+# ties break on vec_id, so the argmax sequence is engine-exact. Scale
+# shape: the distributed work is the shortlist scan (TakeOrdered top-20)
+# and a 20x20 pairwise block; the greedy loop itself runs driver-side
+# over those <=400 collected rows — bounded by k and shortlist size by
+# construction, like the PQ codebook collect (per-query rerank state,
+# never corpus-proportional). Oracle: the same five steps unrolled as
+# chained CTEs — no recursion, bit-identical folds.
+# ---------------------------------------------------------------------------
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = (
+        f"list_aggregate(list_transform(range(1, len({a}) + 1), "
+        f"i -> ({a})[i] * ({b})[i]), 'sum')"
+    )
+    na = f"list_aggregate(list_transform({a}, x -> x * x), 'sum')"
+    nb = f"list_aggregate(list_transform({b}, x -> x * x), 'sum')"
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+def _mmr_oracle() -> str:
+    steps = []
+    prev_sets = []
+    for step in range(2, 6):
+        prev = " UNION ALL ".join(f"SELECT vec_id FROM s{i}" for i in range(1, step))
+        steps.append(f"""
+c{step} AS (
+  SELECT sv.vec_id, sv.rel_e6, max(sims.sim_e6) AS ms
+  FROM sv
+  JOIN sims ON sims.va = sv.vec_id AND sims.vb IN ({prev})
+  WHERE sv.vec_id NOT IN ({prev})
+  GROUP BY sv.vec_id, sv.rel_e6
+),
+s{step} AS (
+  SELECT vec_id, rel_e6, ms FROM c{step}
+  ORDER BY rel_e6 - ms DESC, vec_id LIMIT 1
+)""")
+        prev_sets.append(prev)
+    picks = " UNION ALL ".join(
+        [f"SELECT 1 AS rank, vec_id, rel_e6, CAST(0 AS BIGINT) AS redundancy_e6 FROM s1"]
+        + [
+            f"SELECT {i} AS rank, vec_id, rel_e6, ms AS redundancy_e6 FROM s{i}"
+            for i in range(2, 6)
+        ]
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+probe AS (SELECT v AS p FROM e WHERE vec_id = 0),
+rel AS (
+  SELECT e.vec_id,
+         CAST(floor({_cos_sql('e.v', 'probe.p')} * 1000000) AS BIGINT) AS rel_e6
+  FROM e CROSS JOIN probe WHERE e.vec_id <> 0
+),
+short AS (SELECT vec_id, rel_e6 FROM rel ORDER BY rel_e6 DESC, vec_id LIMIT 20),
+sv AS (SELECT s.vec_id, s.rel_e6, e.v FROM short s JOIN e USING (vec_id)),
+sims AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(floor({_cos_sql('a.v', 'b.v')} * 1000000) AS BIGINT) AS sim_e6
+  FROM sv a JOIN sv b ON a.vec_id <> b.vec_id
+),
+s1 AS (SELECT vec_id, rel_e6 FROM sv ORDER BY rel_e6 DESC, vec_id LIMIT 1),
+{",".join(steps)}
+{picks}
+"""
+
+
+@register("q_mmr_diversify", oracle=_mmr_oracle())
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double("embedding").alias("v"))
+    probe = vecs.filter(F.col("vec_id") == 0).select(F.col("v").alias("p"))
+    rel_e6 = F.floor(cosine(F.col("v"), F.col("p")) * 1e6).cast("long")
+    short = (
+        vecs.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", "v", rel_e6.alias("rel_e6"))
+        .orderBy(F.desc("rel_e6"), F.asc("vec_id"))
+        .limit(20)
+    )
+    a = short.select(
+        F.col("vec_id").alias("va"), F.col("v").alias("xa"), "rel_e6"
+    )
+    b = short.select(F.col("vec_id").alias("vb"), F.col("v").alias("xb"))
+    sims = (
+        a.join(b, F.col("va") != F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            F.floor(cosine(F.col("xa"), F.col("xb")) * 1e6)
+            .cast("long")
+            .alias("sim_e6"),
+        )
+        .collect()
+    )
+    rels = {r.va: r.rel_e6 for r in a.select("va", "rel_e6").collect()}
+    sim = {(r.va, r.vb): r.sim_e6 for r in sims}
+    # Greedy MMR over the collected <=400-entry block (bounded by k and
+    # the shortlist — per-query rerank state, never corpus-sized).
+    first = max(rels, key=lambda v: (rels[v], -v))
+    picked = [(1, first, rels[first], 0)]
+    chosen = [first]
+    for rank in range(2, 6):
+        best = None
+        for v, r in rels.items():
+            if v in chosen:
+                continue
+            ms = max(sim[(v, c)] for c in chosen)
+            key = (r - ms, -v)
+            if best is None or key > best[0]:
+                best = (key, v, r, ms)
+        picked.append((rank, best[1], best[2], best[3]))
+        chosen.append(best[1])
+    return spark.createDataFrame(
+        picked, "rank int, vec_id bigint, rel_e6 bigint, redundancy_e6 bigint"
+    )

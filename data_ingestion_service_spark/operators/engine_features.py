@@ -648,3 +648,72 @@ GROUP BY o_orderpriority
 def q_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_fa")
     return spark.sql(_FILTERED_AGG_SQL.format(orders="v_orders_fa"))
+
+
+# ---------------------------------------------------------------------------
+# q_observed_metrics — the Observation API as a first-class surface:
+# data-quality counters (row count, null count, value bounds) collected
+# ON the same job that computes the business aggregate — zero extra
+# passes, vs the naive count()-probe pattern that re-scans per metric.
+# The observed metrics are then RETURNED AS DATA joined onto the result,
+# so the oracle hash-verifies the monitoring numbers themselves, not
+# just the aggregate they rode along with. At 100 TB this is how a
+# pipeline affords per-feed contract metrics: they are free.
+# ---------------------------------------------------------------------------
+
+_OBSERVED_ORACLE = """
+WITH agg AS (
+  SELECT o_orderstatus, count(*) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM orders GROUP BY o_orderstatus
+),
+m AS (
+  SELECT count(*) AS observed_rows,
+         CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS observed_nonpositive,
+         CAST(floor(max(o_totalprice) * 100) AS BIGINT) AS observed_max_cents
+  FROM orders
+)
+SELECT a.o_orderstatus, a.n_orders, a.total_cents,
+       m.observed_rows, m.observed_nonpositive, m.observed_max_cents
+FROM agg a CROSS JOIN m
+"""
+
+
+@register("q_observed_metrics", oracle=_OBSERVED_ORACLE)
+def q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation()
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("observed_rows"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias(
+            "observed_nonpositive"
+        ),
+        F.floor(F.max("o_totalprice") * 100).cast("long").alias(
+            "observed_max_cents"
+        ),
+    )
+    agg = observed.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+    )
+    # Materialize once — the observation is populated by this job.
+    rows = agg.collect()
+    m = obs.get
+    out = spark.createDataFrame(rows, agg.schema)
+    return out.select(
+        "o_orderstatus",
+        "n_orders",
+        "total_cents",
+        F.lit(m["observed_rows"]).cast("bigint").alias("observed_rows"),
+        F.lit(m["observed_nonpositive"]).cast("bigint").alias(
+            "observed_nonpositive"
+        ),
+        F.lit(m["observed_max_cents"]).cast("bigint").alias("observed_max_cents"),
+    )
