@@ -1469,3 +1469,109 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_ts").cast("timestamp_ntz").alias("signup_ts"),
         F.col("p_ts").cast("timestamp_ntz").alias("purchase_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_stateful_timeout — the TIMEOUT path of applyInPandasWithState
+# (q_stream_stateful exercises NoTimeout): per-user counters that emit
+# ONLY when their processing-time timeout fires — the session-flush /
+# abandoned-cart pattern where absence of input is itself the signal.
+# Replay is split by USER parity, one file per micro-batch, so each
+# user's whole history lands in exactly one batch and its single timer
+# flush carries the full per-user totals (a user spanning batches would
+# flush twice with partial counts). DRAIN CAVEAT, learned the hard way:
+# a ProcessingTimeTimeout query NEVER quiesces — shouldRunAnotherBatch
+# is always true (processing time keeps advancing), Spark schedules
+# empty micro-batches forever to evaluate timers, and
+# processAllAvailable() therefore never returns (observed: 90+ empty
+# batches before the harness timeout). The correct drain for a
+# timeout-driven stream is CONVERGENCE POLLING: wait until the sink
+# holds one flush row per expected user, then stop() — which is also
+# how production monitors such pipelines (they are unbounded by
+# design). Oracle = the plain batch GROUP BY.
+# ---------------------------------------------------------------------------
+
+_STATEFUL_TIMEOUT_ORACLE = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("q_stream_stateful_timeout", oracle=_STATEFUL_TIMEOUT_ORACLE)
+def q_stream_stateful_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ensure_session_confs(spark)
+    kind = _events_ts_kind(spark, sf_dir)
+    schema = _events_raw_schema(kind)
+    work = tempfile.mkdtemp(prefix="ingest_sto_")
+    raw = spark.read.schema(schema).parquet(table_path(sf_dir, "events"))
+    os.makedirs(f"{work}/replay")
+    for tag, parity in (("a_even", 0), ("b_odd", 1)):
+        raw.filter(F.col("user_id") % 2 == parity).coalesce(1).write.parquet(
+            f"{work}/{tag}_stage"
+        )
+        [p] = glob.glob(f"{work}/{tag}_stage/part-*.parquet")
+        shutil.copy(p, f"{work}/replay/{tag}.parquet")
+    n_users = raw.select("user_id").distinct().count()
+    now = time.time()
+    os.utime(f"{work}/replay/a_even.parquet", (now - 60, now - 60))
+    os.utime(f"{work}/replay/b_odd.parquet", (now, now))
+
+    ev = _normalize_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/replay"),
+        kind,
+    ).select("user_id", "value")
+
+    def flush_on_timeout(key, pdf_iter, state):
+        if state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+        else:
+            n, total = state.get if state.exists else (0, 0.0)
+            for pdf in pdf_iter:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            state.update((n, total))
+            state.setTimeoutDuration(1)  # ms; expires before the next batch
+            return
+
+    flushed = ev.groupBy("user_id").applyInPandasWithState(
+        flush_on_timeout,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+    name = f"sto_{uuid.uuid4().hex[:12]}"
+    q = (
+        flushed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 180
+        while time.monotonic() < deadline:
+            if spark.table(name).count() >= n_users:
+                break
+            time.sleep(0.25)
+        else:
+            raise TimeoutError(
+                f"stateful-timeout flush incomplete: "
+                f"{spark.table(name).count()}/{n_users} users"
+            )
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        "user_id",
+        "n_events",
+        F.round(F.col("total_value"), 2).alias("total_value"),
+    )

@@ -33,6 +33,12 @@ KEYS = [
     "q_near_dedup",
     "q_minhash_pairs",
     "q_dpp_join",
+    # round 5 scale-critical additions
+    "q_pack_sequences",
+    "q_triangle_count",
+    "q_embed_quantize",
+    "q_ewma",
+    "q_bpe_pairs",
 ]
 
 
