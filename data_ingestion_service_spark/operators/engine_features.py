@@ -717,3 +717,71 @@ def q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(m["observed_max_cents"]).cast("bigint").alias("observed_max_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_scd2_history — Slowly-Changing-Dimension Type 2 from a change feed:
+# treat each user's event stream as CDC updates to a one-attribute
+# dimension (current event_type), compress consecutive equal values
+# into runs, and emit versioned rows with [effective_from, effective_to)
+# validity and an is_current flag — the warehouse-ingestion pattern that
+# turns an append-only feed into a point-in-time-queryable dimension.
+# Three windows, all partitioned by user_id with the same (ts, event_id)
+# order — ONE shuffle, Spark reuses the sort across lag/row_number/lead.
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (
+  SELECT user_id, event_type, ts AS effective_from, event_id
+  FROM ordered
+  WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id,
+       CAST(row_number() OVER v AS BIGINT)  AS version,
+       event_type,
+       effective_from,
+       lead(effective_from) OVER v          AS effective_to,
+       lead(effective_from) OVER v IS NULL  AS is_current
+FROM changes
+-- event_id tiebreak: two changes at an identical timestamp must
+-- version deterministically in both engines
+WINDOW v AS (PARTITION BY user_id ORDER BY effective_from, event_id)
+"""
+
+
+@register("q_scd2_history", oracle=_SCD2_ORACLE)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("effective_from"),
+            "event_id",
+        )
+    )
+    # event_id tiebreak mirrors the oracle: identical-timestamp changes
+    # must version deterministically.
+    v = Window.partitionBy("user_id").orderBy("effective_from", "event_id")
+    return changes.select(
+        "user_id",
+        F.row_number().over(v).cast("long").alias("version"),
+        "event_type",
+        F.col("effective_from").cast("timestamp_ntz"),
+        F.lead("effective_from").over(v).cast("timestamp_ntz").alias(
+            "effective_to"
+        ),
+        F.lead("effective_from").over(v).isNull().alias("is_current"),
+    )
