@@ -219,3 +219,66 @@ def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_null_skew_join — the null-key skew bypass: in real feeds a large
+# fraction of foreign keys are NULL (unattributed sessions, guest
+# checkouts), and a naive outer join hashes EVERY null row to one
+# reducer — the single most common production join skew. The fix is
+# structural, not statistical: split the probe side, join ONLY the
+# non-null rows (nulls can never match anyway), and union the null rows
+# back with null-extended columns — the null "partition" never enters
+# the shuffle at all, at any scale. Here ~1/7 of orders get their
+# custkey deterministically nulled (the fixture has no organic nulls;
+# the same expression runs in both engines), and the oracle is the
+# plain LEFT JOIN over the identical nullified key — proving the
+# split-union rewrite is result-identical.
+# ---------------------------------------------------------------------------
+
+_NULL_SKEW_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey,
+         CASE WHEN o_custkey % 7 = 0 THEN NULL ELSE o_custkey END AS k,
+         o_totalprice
+  FROM orders
+)
+SELECT coalesce(c.c_mktsegment, 'UNATTRIBUTED') AS segment,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM o LEFT JOIN customer c ON c.c_custkey = o.k
+GROUP BY 1
+"""
+
+
+@register("q_null_skew_join", oracle=_NULL_SKEW_ORACLE)
+def q_null_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+        "o_totalprice",
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    matched = orders.filter(F.col("k").isNotNull()).join(cust, "k", "left")
+    bypassed = orders.filter(F.col("k").isNull()).withColumn(
+        "c_mktsegment", F.lit(None).cast("string")
+    )
+    both = matched.select("o_totalprice", "c_mktsegment").unionByName(
+        bypassed.select("o_totalprice", "c_mktsegment")
+    )
+    return (
+        both.groupBy(
+            F.coalesce("c_mktsegment", F.lit("UNATTRIBUTED")).alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )

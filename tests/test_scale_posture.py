@@ -531,3 +531,16 @@ def test_triangle_wedges_are_degree_ordered(spark, sf_dir):
         F.sum(F.col("od") * (F.col("od") - 1) / 2).alias("w")
     ).first()[0]
     assert wedge_work <= 41, f"degree-ordered wedge work {wedge_work} (id-ordered: 780)"
+
+
+def test_null_skew_join_bypasses_shuffle(spark, sf_dir):
+    """The null-key rows must NEVER enter the join: the plan's join
+    inputs both carry isnotnull filters, and the null branch reaches
+    the union through a filter-only (no-join) path."""
+    plan = formatted_plan(QUERIES["q_null_skew_join"](spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "Union" in tree
+    join_lines = [l for l in plan.splitlines() if "Join" in l and "Broadcast" in l or "SortMergeJoin" in l]
+    assert join_lines, tree
+    # the probe-side scan below the join filters out nulls
+    assert "isnotnull(k" in plan or "isnotnull(o_custkey" in plan, tree
