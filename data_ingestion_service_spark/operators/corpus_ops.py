@@ -2041,3 +2041,98 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picked, "rank int, vec_id bigint, rel_e6 bigint, redundancy_e6 bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ngram_decontaminate — n-gram-level test-set decontamination (the
+# GPT-3-style "13-gram filter", here 8-grams): a TRAIN document is
+# contaminated if it shares ANY token 8-gram with any TEST document —
+# finer than q_contamination_check's whole-doc near-dup criterion,
+# because a single quoted benchmark answer inside an otherwise-unique
+# crawl page is exactly what this catches. Split is the q_train_test_
+# split hash (~75/25), shingles come from the shared codegen explode
+# idiom, and the join is an inverted-index semi/inner join keyed on the
+# 8-gram — train-side grams are DISTINCT-ed per doc first, so a gram
+# repeated inside one doc cannot amplify the join, and the test-side
+# gram set is corpus-wide distinct (the benchmark suite is always the
+# small side at 100 TB — broadcastable; here Spark picks it
+# automatically). Reported per source: train docs, contaminated docs,
+# and total distinct (doc, gram) overlap instances.
+# ---------------------------------------------------------------------------
+
+_NGRAM_DECON_K = 8
+
+_NGRAM_DECON_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' AS is_train,
+         string_split(text, ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source, is_train,
+         unnest(list_transform(range(1, len(t) - {_NGRAM_DECON_K} + 2),
+                i -> list_aggregate(t[i : i + {_NGRAM_DECON_K} - 1], 'string_agg', ' ')))
+           AS g
+  FROM toks
+  WHERE len(t) >= {_NGRAM_DECON_K}
+),
+test_grams AS (SELECT DISTINCT g FROM grams WHERE NOT is_train),
+train_grams AS (
+  SELECT DISTINCT doc_id, source, g FROM grams WHERE is_train
+),
+hits AS (
+  SELECT tg.doc_id, tg.source, count(*) AS n_hits
+  FROM train_grams tg JOIN test_grams te ON te.g = tg.g
+  GROUP BY tg.doc_id, tg.source
+),
+train_docs AS (
+  SELECT source, count(DISTINCT doc_id) AS n_train
+  FROM toks WHERE is_train GROUP BY source
+)
+SELECT d.source,
+       d.n_train,
+       CAST(coalesce(count(h.doc_id), 0) AS BIGINT)   AS n_contaminated,
+       CAST(coalesce(sum(h.n_hits), 0) AS BIGINT)     AS overlap_instances
+FROM train_docs d LEFT JOIN hits h ON h.source = d.source
+GROUP BY d.source, d.n_train
+"""
+
+
+@register("q_ngram_decontaminate", oracle=_NGRAM_DECON_ORACLE)
+def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_train = (
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+        < "c"
+    )
+    tagged = docs.select("doc_id", "source", is_train.alias("is_train"))
+    grams = shingle_rows(docs, _NGRAM_DECON_K).join(tagged, "doc_id")
+    test_grams = (
+        grams.filter(~F.col("is_train")).select(F.col("shingle").alias("g")).distinct()
+    )
+    train_grams = (
+        grams.filter(F.col("is_train"))
+        .select("doc_id", "source", F.col("shingle").alias("g"))
+        .distinct()
+    )
+    hits = (
+        train_grams.join(test_grams, "g")
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    train_docs = (
+        tagged.filter("is_train")
+        .groupBy("source")
+        .agg(F.countDistinct("doc_id").alias("n_train"))
+    )
+    return (
+        train_docs.join(hits, "source", "left")
+        .groupBy("source", "n_train")
+        .agg(
+            F.count("doc_id").cast("long").alias("n_contaminated"),
+            F.coalesce(F.sum("n_hits"), F.lit(0))
+            .cast("long")
+            .alias("overlap_instances"),
+        )
+    )
