@@ -1575,3 +1575,85 @@ def q_stream_stateful_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("total_value"), 2).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_fanout — multi-sink fan-out from ONE stream pass: each
+# micro-batch is persisted once inside foreachBatch, then lands in TWO
+# sinks — raw high-value rows (audit trail) and a per-type aggregate
+# (serving layer) — the standard one-ingest-many-consumers shape.
+# Without the persist, each sink write would re-read the source and the
+# sinks could observe DIFFERENT data on a changing source; with it both
+# writes consume the same materialized batch. The result joins the two
+# re-read sinks and reconciles them against each other (row counts from
+# the aggregate sink must equal counting the raw sink) so cross-sink
+# consistency is itself hash-verified.
+# ---------------------------------------------------------------------------
+
+_STREAM_FANOUT_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       TRUE AS sinks_consistent
+FROM events
+WHERE value >= 100
+GROUP BY event_type
+"""
+
+
+@register("q_stream_fanout", oracle=_STREAM_FANOUT_ORACLE)
+def q_stream_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="ingest_fanout_")
+
+    def fan_out(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.filter(F.col("value") >= 100).persist()
+        try:
+            (
+                batch_df.select("event_id", "event_type", "value")
+                .write.mode("append")
+                .parquet(f"{out}/raw")
+            )
+            (
+                batch_df.groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                        "cents"
+                    ),
+                )
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(f"{out}/agg")
+            )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        ev.writeStream.foreachBatch(fan_out)
+        .option("checkpointLocation", f"{out}/checkpoint")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    raw = spark.read.parquet(f"{out}/raw")
+    agg = spark.read.parquet(f"{out}/agg")
+    from_raw = raw.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents_raw"),
+    )
+    from_agg = agg.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("value_cents"),
+    )
+    return from_agg.join(from_raw, "event_type", "full_outer").select(
+        "event_type",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("value_cents", F.lit(0)).alias("value_cents"),
+        (
+            (F.col("n") == F.col("n_raw"))
+            & (F.col("value_cents") == F.col("cents_raw"))
+        ).alias("sinks_consistent"),
+    )
