@@ -2136,3 +2136,157 @@ def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overlap_instances"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dup_paragraph_fraction — CROSS-document duplicate-paragraph
+# fraction (the CCNet/Gopher corpus-quality signal; q_repetition_score
+# is the WITHIN-doc complement): docs are segmented into fixed 10-token
+# blocks ("paragraphs" — the fixture has no newlines, so segmentation
+# is positional and identical in both engines), each block is hashed,
+# and a block is duplicated if the SAME block text appears in any other
+# document. Per doc: block count and duplicated-block fraction; per
+# source: mean fraction and the share of docs with >=50% duplicated
+# blocks (the usual drop threshold). Scale shape: block hashing is
+# map-side; the only shuffle is the block-hash groupBy whose fan-in is
+# bounded the same way the shingle index is (a viral block counts once
+# per doc via per-doc distinct).
+# ---------------------------------------------------------------------------
+
+_PARA_K = 10
+
+_DUP_PARA_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+),
+blocks AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(0, CAST(floor(len(t) / {_PARA_K}) AS BIGINT)),
+                i -> list_aggregate(t[i * {_PARA_K} + 1 : (i + 1) * {_PARA_K}],
+                                    'string_agg', ' '))) AS block
+  FROM toks
+  WHERE len(t) >= {_PARA_K}
+),
+per_block AS (
+  SELECT DISTINCT doc_id, source, block FROM blocks
+),
+block_docs AS (
+  SELECT block, count(*) AS n_docs_with FROM per_block GROUP BY block
+),
+per_doc AS (
+  SELECT p.doc_id, p.source,
+         count(*) AS n_blocks,
+         sum(CASE WHEN bd.n_docs_with > 1 THEN 1 ELSE 0 END) AS n_dup
+  FROM per_block p JOIN block_docs bd ON bd.block = p.block
+  GROUP BY p.doc_id, p.source
+)
+SELECT source,
+       count(*) AS n_docs,
+       -- integer-only mean: per-doc e6 fraction floored FIRST, then an
+       -- integer-sum mean — no float accumulation order anywhere
+       CAST(sum(n_dup * 1000000 // n_blocks) // count(*) AS BIGINT)
+         AS mean_dup_frac_e6,
+       CAST(sum(CASE WHEN n_dup * 2 >= n_blocks THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_half_dup
+FROM per_doc
+GROUP BY source
+"""
+
+
+@register("q_dup_paragraph_fraction", oracle=_DUP_PARA_ORACLE)
+def q_dup_paragraph_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= _PARA_K)
+    exploded = toked.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.sequence(F.lit(0), F.floor(F.size("t") / _PARA_K).cast("long") - 1)
+        ).alias("i"),
+        "t",
+    )
+    block = F.concat_ws(
+        " ",
+        *[
+            F.col("t")[(F.col("i") * _PARA_K + j).cast("int")]
+            for j in range(_PARA_K)
+        ],
+    )
+    per_block = (
+        exploded.select("doc_id", "source", block.alias("block"))
+        .repartition("block")
+        .dropDuplicates(["doc_id", "source", "block"])
+    )
+    block_docs = per_block.groupBy("block").agg(
+        F.count(F.lit(1)).alias("n_docs_with")
+    )
+    per_doc = (
+        per_block.join(block_docs, "block")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum((F.col("n_docs_with") > 1).cast("long")).alias("n_dup"),
+        )
+    )
+    # Per-doc e6 fraction floored FIRST (integer div), then an integer
+    # mean — distributed accumulation order cannot flip the result.
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("sum(n_dup * 1000000 div n_blocks) div count(*)")
+        .cast("long")
+        .alias("mean_dup_frac_e6"),
+        F.sum((F.col("n_dup") * 2 >= F.col("n_blocks")).cast("long"))
+        .cast("long")
+        .alias("n_docs_half_dup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_k_anonymity — re-identification risk audit, the privacy-compliance
+# gate on any released dataset: group records by their quasi-identifier
+# tuple (here nation × market segment) and flag equivalence classes
+# smaller than k=5 — rows in such classes are re-identifiable by
+# joining public attributes. Reports, per nation: class counts, the
+# k-violating classes, the rows that would need suppression or
+# generalization, and the minimum class size (the dataset's actual k).
+# One shuffle on the quasi-identifier tuple, one tiny rollup — the
+# audit costs a GROUP BY at any scale.
+# ---------------------------------------------------------------------------
+
+_K_ANON_K = 5
+
+_K_ANON_ORACLE = f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment
+)
+SELECT c_nationkey,
+       count(*) AS n_classes,
+       CAST(sum(CASE WHEN class_size < {_K_ANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_classes,
+       CAST(sum(CASE WHEN class_size < {_K_ANON_K} THEN class_size ELSE 0 END)
+         AS BIGINT) AS n_rows_at_risk,
+       CAST(min(class_size) AS BIGINT) AS min_class_size
+FROM classes
+GROUP BY c_nationkey
+"""
+
+
+@register("q_k_anonymity", oracle=_K_ANON_ORACLE)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    small = F.col("class_size") < _K_ANON_K
+    return classes.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(small.cast("long")).cast("long").alias("n_violating_classes"),
+        F.sum(F.when(small, F.col("class_size")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.min("class_size").cast("long").alias("min_class_size"),
+    )
