@@ -1657,3 +1657,100 @@ def q_stream_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("value_cents") == F.col("cents_raw"))
         ).alias("sinks_consistent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_dim_refresh — per-batch dimension refresh: the dimension a
+# stream enriches against CHANGES while the stream runs, and each
+# micro-batch must join the CURRENT version — the gap q_stream_static_
+# join cannot show (a static DataFrame join plans the dim once). The
+# standard fix is foreachBatch re-reading the dimension per batch. The
+# replay splits events by event_id parity into two files (one per
+# micro-batch); the handler enriches batch 1 against dim v1 (segment
+# labels suffixed "_v1"), then REWRITES the dimension to v2 and
+# enriches batch 2 against it — so the sink provably carries both
+# versions, split exactly along the parity line, which the oracle
+# reconstructs relationally. At 100 TB this is the hourly-refreshed
+# broadcast dim every enrichment pipeline runs.
+# ---------------------------------------------------------------------------
+
+_STREAM_DIM_REFRESH_ORACLE = """
+SELECT c.c_mktsegment ||
+         (CASE WHEN e.event_id % 2 = 0 THEN '_v1' ELSE '_v2' END) AS segment,
+       count(*) AS n,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1
+"""
+
+
+@register("q_stream_dim_refresh", oracle=_STREAM_DIM_REFRESH_ORACLE)
+def q_stream_dim_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
+    kind = _events_ts_kind(spark, sf_dir)
+    schema = _events_raw_schema(kind)
+    work = tempfile.mkdtemp(prefix="ingest_dimref_")
+    raw = spark.read.schema(schema).parquet(table_path(sf_dir, "events"))
+    os.makedirs(f"{work}/replay")
+    for tag, parity in (("a_even", 0), ("b_odd", 1)):
+        raw.filter(F.col("event_id") % 2 == parity).coalesce(1).write.parquet(
+            f"{work}/{tag}_stage"
+        )
+        [p] = glob.glob(f"{work}/{tag}_stage/part-*.parquet")
+        shutil.copy(p, f"{work}/replay/{tag}.parquet")
+    now = time.time()
+    os.utime(f"{work}/replay/a_even.parquet", (now - 60, now - 60))
+    os.utime(f"{work}/replay/b_odd.parquet", (now, now))
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+    def write_dim(version: str) -> None:
+        cust.select(
+            "c_custkey",
+            F.concat(F.col("c_mktsegment"), F.lit(f"_{version}")).alias(
+                "segment"
+            ),
+        ).write.mode("overwrite").parquet(f"{work}/dim")
+
+    write_dim("v1")
+    ev = _normalize_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/replay"),
+        kind,
+    )
+
+    def enrich(batch_df: DataFrame, batch_id: int) -> None:
+        # Re-read the dimension EVERY batch: this is the refresh — a
+        # dim captured outside the closure would be planned once and
+        # never see v2.
+        dim = spark.read.parquet(f"{work}/dim")
+        (
+            batch_df.join(dim, batch_df.user_id == dim.c_custkey)
+            .select(
+                "segment",
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+            .write.mode("append")
+            .parquet(f"{work}/sink")
+        )
+        if batch_id == 0:
+            write_dim("v2")  # the refresh lands between batches
+
+    q = (
+        ev.writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", f"{work}/checkpoint")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sink = spark.read.parquet(f"{work}/sink")
+    return sink.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("value_cents"),
+    )
