@@ -1754,3 +1754,91 @@ def q_stream_dim_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").cast("long").alias("value_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_medallion — the bronze/silver/gold staged architecture as
+# three CHAINED streaming queries, each reading the previous stage's
+# parquet sink as its file-stream source: bronze = raw append (schema'd
+# landing zone), silver = cleaned/typed (drop error events and null
+# users, money to integer cents), gold = per-type aggregate. Every hop
+# is checkpointed exactly-once, so the pipeline is restartable at any
+# stage — the reason the pattern exists. The stages drain sequentially
+# here (file-stream sources pick up whatever upstream committed);
+# in production all three run continuously and the chain is identical.
+# The oracle states the composition relationally in one query — a
+# hash match proves three checkpointed hops lose/duplicate nothing.
+# ---------------------------------------------------------------------------
+
+_MEDALLION_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+WHERE event_type <> 'error' AND user_id IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register("q_stream_medallion", oracle=_MEDALLION_ORACLE)
+def q_stream_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
+    kind = _events_ts_kind(spark, sf_dir)
+    schema = _events_raw_schema(kind)
+    work = tempfile.mkdtemp(prefix="ingest_medal_")
+
+    def drain(df: DataFrame, path: str, ckpt: str) -> None:
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # bronze: raw landing zone (append-only, source schema preserved)
+    raw = spark.readStream.schema(schema).option(
+        "pathGlobFilter", "events.parquet"
+    ).parquet(sf_dir)
+    drain(raw, f"{work}/bronze", f"{work}/ckpt_bronze")
+
+    # silver: cleaned + typed, streamed FROM bronze
+    bronze = spark.readStream.schema(schema).parquet(f"{work}/bronze")
+    silver_df = (
+        _normalize_ts(bronze, kind)
+        .filter((F.col("event_type") != "error") & F.col("user_id").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+    )
+    drain(silver_df, f"{work}/silver", f"{work}/ckpt_silver")
+
+    # gold: serving aggregate, streamed FROM silver (foreachBatch MERGE
+    # shape is q_stream_ivm_merge; a complete-mode rollup suffices here)
+    gold_src = spark.readStream.schema(
+        "event_id bigint, event_type string, user_id bigint, value_cents bigint"
+    ).parquet(f"{work}/silver")
+    gold = gold_src.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value_cents").cast("long").alias("value_cents"),
+    )
+    name = f"gold_{uuid.uuid4().hex[:12]}"
+    q = (
+        gold.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{work}/ckpt_gold")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
