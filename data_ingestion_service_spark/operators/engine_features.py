@@ -104,11 +104,16 @@ def _write_bucketed_inputs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     li_tbl, ord_tbl = f"li_bucketed_{tag}", f"orders_bucketed_{tag}"
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     warehouse = warehouse.removeprefix("file:")
-    # GC: any bucketed-table dir whose _p<pid> owner is dead is stale.
+    # GC: any bucketed-table dir whose _p<pid> owner is dead is stale;
+    # dirs WITHOUT a pid suffix are leaks from the pre-r5 naming schemes
+    # (uuid-tagged, then per-tier) — no live process can own them.
     if os.path.isdir(warehouse):
         for d in os.listdir(warehouse):
             m = re.fullmatch(r"(?:li|orders)_bucketed_.*_p(\d+)", d)
-            if m and not _pid_alive(int(m.group(1))):
+            if m:
+                if not _pid_alive(int(m.group(1))):
+                    shutil.rmtree(os.path.join(warehouse, d), ignore_errors=True)
+            elif re.fullmatch(r"(?:li|orders)_bucketed_.*", d):
                 shutil.rmtree(os.path.join(warehouse, d), ignore_errors=True)
     for tbl in (li_tbl, ord_tbl):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
