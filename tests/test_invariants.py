@@ -692,3 +692,55 @@ def test_bpe_pairs_are_char_bigrams(spark, sf_dir, run):
                     c[t[i : i + 2]] += 1
     top_pair, top_n = max(c.items(), key=lambda kv: (kv[1], tuple(-ord(x) for x in kv[0])))
     assert rows[0].n == top_n
+
+
+def test_decontaminate_bounds(spark, sf_dir, run):
+    """n_contaminated can never exceed n_train, and overlap instances
+    can never be fewer than contaminated docs (each flagged doc has >=1
+    overlapping gram)."""
+    rows = run("q_ngram_decontaminate")
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_contaminated <= r.n_train
+        assert r.overlap_instances >= r.n_contaminated
+
+
+def test_dup_paragraph_fraction_bounds(spark, sf_dir, run):
+    """Fractions live in [0, 1e6] and half-dup docs cannot exceed the
+    source's doc count."""
+    rows = run("q_dup_paragraph_fraction")
+    assert rows
+    for r in rows:
+        assert 0 <= r.mean_dup_frac_e6 <= 1_000_000
+        assert 0 <= r.n_docs_half_dup <= r.n_docs
+
+
+def test_k_anonymity_reconciles(spark, sf_dir, run):
+    """Violating classes are a subset of classes; a nation whose min
+    class size >= k must report zero violations (and vice versa)."""
+    rows = run("q_k_anonymity")
+    assert rows
+    from data_ingestion_service_spark.operators.corpus_ops import _K_ANON_K
+
+    for r in rows:
+        assert r.n_violating_classes <= r.n_classes
+        if r.min_class_size >= _K_ANON_K:
+            assert r.n_violating_classes == 0
+        else:
+            assert r.n_violating_classes >= 1
+
+
+def test_stream_consistency_flags_all_true(spark, sf_dir, run):
+    """The cross-sink/cross-mode consistency bits the fan-out and
+    parity keys emit must be TRUE on every row — a FALSE would mean the
+    two sinks (or the two execution modes) diverged."""
+    assert all(r.sinks_consistent for r in run("q_stream_fanout"))
+    assert all(r.batch_stream_match for r in run("q_pipeline_stream_parity"))
+
+
+def test_dim_refresh_split_is_clean(spark, sf_dir, run):
+    """Every segment label carries exactly one version suffix and both
+    versions appear: the dimension really changed mid-stream."""
+    rows = run("q_stream_dim_refresh")
+    suffixes = {r.segment.rsplit("_", 1)[1] for r in rows}
+    assert suffixes == {"v1", "v2"}, suffixes
