@@ -2290,3 +2290,80 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_rows_at_risk"),
         F.min("class_size").cast("long").alias("min_class_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_source_divergence — per-source token-distribution drift vs the rest
+# of the corpus: the common-vocabulary KL contribution
+# Σ_t c_t · log2((c_t · M) / (d_t · N)) in e6 fixed-point, where
+# (c_t, N) are the source's term count/total and (d_t, M) the
+# complement's — the mixing diagnostic that tells you WHICH source's
+# language diverges from the blend (q_entropy says how diverse each is;
+# this says how far apart they are). Restricting to the shared vocab
+# keeps the quantity smoothing-free and well-defined; vocabulary
+# coverage is reported alongside so a low-overlap source can't hide.
+# Per-term log ratios are floored to e6 BEFORE the weighted integer sum
+# (the q_lm_score/q_entropy idiom) so distributed accumulation order
+# cannot flip parity. Two shuffles: term counts by (source, term), then
+# the per-source rollup.
+# ---------------------------------------------------------------------------
+
+_SOURCE_DIVERGENCE_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+),
+per_source AS (
+  SELECT source, t, count(*) AS c FROM tok GROUP BY source, t
+),
+totals AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM per_source GROUP BY source
+),
+global_t AS (
+  SELECT t, CAST(sum(c) AS BIGINT) AS g FROM per_source GROUP BY t
+),
+grand AS (SELECT CAST(sum(c) AS BIGINT) AS gt FROM per_source),
+terms AS (
+  SELECT p.source, p.t, p.c,
+         (g.g - p.c)  AS d,
+         tt.n         AS n,
+         (gr.gt - tt.n) AS m
+  FROM per_source p
+  JOIN global_t g ON g.t = p.t
+  JOIN totals tt ON tt.source = p.source
+  CROSS JOIN grand gr
+  WHERE g.g - p.c > 0
+)
+SELECT source,
+       CAST(max(n) AS BIGINT) AS n_tokens,
+       count(*) AS n_common_terms,
+       CAST(sum(c * CAST(floor(log2((c * 1.0 * m) / (d * 1.0 * n)) * 1000000)
+                         AS BIGINT)) AS BIGINT) AS kl_weighted_e6
+FROM terms
+GROUP BY source
+"""
+
+
+@register("q_source_divergence", oracle=_SOURCE_DIVERGENCE_ORACLE)
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens("text")).alias("t"))
+    per_source = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    totals = per_source.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    global_t = per_source.groupBy("t").agg(F.sum("c").cast("long").alias("g"))
+    grand = totals.agg(F.sum("n").cast("long").alias("gt"))
+    terms = (
+        per_source.join(global_t, "t")
+        .join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(grand))
+        .withColumn("d", F.col("g") - F.col("c"))
+        .withColumn("m", F.col("gt") - F.col("n"))
+        .filter(F.col("d") > 0)
+    )
+    llr_e6 = F.floor(
+        F.log2((F.col("c") * F.col("m")) / (F.col("d") * F.col("n"))) * 1e6
+    ).cast("long")
+    return terms.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_common_terms"),
+        F.sum(F.col("c") * llr_e6).cast("long").alias("kl_weighted_e6"),
+    )
