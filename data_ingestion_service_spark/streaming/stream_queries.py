@@ -1842,3 +1842,86 @@ def q_stream_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# q_stream_idempotent_batchid — MANUAL exactly-once for sinks without a
+# commit log (JDBC, external indexes — anything foreachBatch feeds):
+# the batchId is the idempotency key. Each batch writes its rows into a
+# partition directory keyed by batch_id with OVERWRITE semantics, so a
+# RETRIED batch replaces itself instead of appending a duplicate. The
+# key exercises the full failure script: drain half the data (batch 0),
+# stop; deliberately RE-RUN batch 0's write with identical data (the
+# retry a driver failure after-commit-before-ack produces); add the
+# second half and restart the same checkpoint (batch 1). The re-read
+# sink must equal one batch pass over all data — the oracle proves the
+# retry added nothing. This is the pattern q_stream_restart_exactly_once's
+# file-sink commit log gives for free, reconstructed for sinks that
+# have no log.
+# ---------------------------------------------------------------------------
+
+_IDEMPOTENT_ORACLE = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("q_stream_idempotent_batchid", oracle=_IDEMPOTENT_ORACLE)
+def q_stream_idempotent_batchid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
+    kind = _events_ts_kind(spark, sf_dir)
+    schema = _events_raw_schema(kind)
+    work = tempfile.mkdtemp(prefix="ingest_idem_")
+    raw = spark.read.schema(schema).parquet(table_path(sf_dir, "events"))
+    raw.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{work}/h1")
+    raw.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{work}/h2")
+    os.makedirs(f"{work}/replay")
+    [p1] = glob.glob(f"{work}/h1/part-*.parquet")
+    shutil.copy(p1, f"{work}/replay/a_half.parquet")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # batch_id IS the idempotency key: overwrite-into-own-partition
+        # makes re-delivery a no-op-shaped replace, never an append.
+        (
+            batch_df.select(
+                "event_id",
+                "event_type",
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{work}/sink/batch_id={batch_id}")
+        )
+
+    def run_pass() -> None:
+        ev = _normalize_ts(
+            spark.readStream.schema(schema).parquet(f"{work}/replay"), kind
+        )
+        q = (
+            ev.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", f"{work}/checkpoint")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_pass()  # batch 0 lands
+    # The RETRY: re-deliver batch 0's exact payload (post-commit crash →
+    # the batch runs again on restart). Overwrite semantics must absorb it.
+    write_batch(
+        _normalize_ts(
+            spark.read.schema(schema).parquet(f"{work}/replay"), kind
+        ),
+        0,
+    )
+    [p2] = glob.glob(f"{work}/h2/part-*.parquet")
+    shutil.copy(p2, f"{work}/replay/b_half.parquet")
+    run_pass()  # same checkpoint: resumes at batch 1
+    sink = spark.read.parquet(f"{work}/sink")
+    return sink.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("value_cents"),
+    )
