@@ -2367,3 +2367,104 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_common_terms"),
         F.sum(F.col("c") * llr_e6).cast("long").alias("kl_weighted_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_embedding_drift — centroid shift between the train and test splits,
+# per label: the embedding-pipeline drift monitor (a label whose two
+# split centroids diverge signals leakage, skewed sampling, or an
+# upstream featurization change). Every element is quantized to e6
+# fixed-point BEFORE the per-position integer sum, so the centroid is
+# exact under any distributed accumulation order; the cosine between
+# the two integer centroids is then a single deterministic expression
+# per label. Scale shape: posexplode → (label, split, pos) integer agg
+# (one shuffle, 64·|labels|·2 output rows), centroid pairing is a tiny
+# self-join — the corpus-sized work is one pass.
+# ---------------------------------------------------------------------------
+
+_EMBED_DRIFT_ORACLE = """
+WITH tagged AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < 'c'
+              THEN 'train' ELSE 'test' END AS split
+  FROM embeddings
+),
+elems AS (
+  SELECT label, split, i AS pos,
+         CAST(floor(v[CAST(i AS INT)] * 1000000) AS BIGINT) AS q
+  FROM tagged CROSS JOIN unnest(range(1, len(v) + 1)) AS u(i)
+),
+cent AS (
+  SELECT label, split, pos,
+         CAST(sum(q) AS BIGINT) AS s, count(*) AS n
+  FROM elems GROUP BY label, split, pos
+),
+paired AS (
+  SELECT tr.label, tr.pos,
+         tr.s * 1.0 / tr.n AS a,
+         te.s * 1.0 / te.n AS b
+  FROM cent tr JOIN cent te
+    ON te.label = tr.label AND te.pos = tr.pos
+  WHERE tr.split = 'train' AND te.split = 'test'
+)
+SELECT label,
+       count(*) AS n_dims,
+       CAST(floor(
+         list_aggregate(list_transform(list_zip(list(a ORDER BY pos),
+                                                list(b ORDER BY pos)),
+                        p -> p[1] * p[2]), 'sum')
+         / (sqrt(list_aggregate(list_transform(list(a ORDER BY pos),
+                                x -> x * x), 'sum'))
+            * sqrt(list_aggregate(list_transform(list(b ORDER BY pos),
+                                  x -> x * x), 'sum')))
+         * 1000000) AS BIGINT) AS centroid_cos_e6
+FROM paired
+GROUP BY label
+"""
+
+
+@register("q_embedding_drift", oracle=_EMBED_DRIFT_ORACLE)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    split = F.when(
+        F.substring(F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 1)
+        < "c",
+        "train",
+    ).otherwise("test")
+    elems = emb.select(
+        "label",
+        split.alias("split"),
+        F.posexplode(as_double("embedding")).alias("p0", "x"),
+    ).select(
+        "label",
+        "split",
+        (F.col("p0") + 1).alias("pos"),
+        F.floor(F.col("x") * 1e6).cast("long").alias("q"),
+    )
+    cent = elems.groupBy("label", "split", "pos").agg(
+        F.sum("q").cast("long").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    tr = cent.filter(F.col("split") == "train").select(
+        "label", "pos", (F.col("s") / F.col("n")).alias("a")
+    )
+    te = cent.filter(F.col("split") == "test").select(
+        "label", "pos", (F.col("s") / F.col("n")).alias("b")
+    )
+    paired = tr.join(te, ["label", "pos"])
+    # Assemble per-label ordered vectors, then one deterministic cosine.
+    vecs = paired.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "a"))), lambda s: s["a"]
+        ).alias("va"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "b"))), lambda s: s["b"]
+        ).alias("vb"),
+    )
+    return vecs.select(
+        "label",
+        "n_dims",
+        F.floor(cosine(F.col("va"), F.col("vb")) * 1e6)
+        .cast("long")
+        .alias("centroid_cos_e6"),
+    )
