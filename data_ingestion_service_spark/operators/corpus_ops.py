@@ -2468,3 +2468,141 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("centroid_cos_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_label_balance — split-balance audit, the companion to
+# q_embedding_drift: for each label, are its examples distributed
+# between train and test at the corpus-wide ratio? Reports per label
+# the observed counts, the expected train count at the global ratio
+# (e6 fixed-point), and the imbalance |observed − expected|/expected —
+# the check that catches a hash-split interacting badly with how ids
+# were assigned (e.g. label correlated with id range). All ratios are
+# integer arithmetic over counts; nothing floats.
+# ---------------------------------------------------------------------------
+
+_LABEL_BALANCE_ORACLE = """
+WITH tagged AS (
+  SELECT label,
+         CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < 'c'
+              THEN 1 ELSE 0 END AS is_train
+  FROM embeddings
+),
+per_label AS (
+  SELECT label,
+         CAST(sum(is_train) AS BIGINT) AS n_train,
+         CAST(count(*) - sum(is_train) AS BIGINT) AS n_test,
+         count(*) AS n_total
+  FROM tagged GROUP BY label
+),
+globals AS (
+  SELECT CAST(sum(n_train) AS BIGINT) AS g_train,
+         CAST(sum(n_total) AS BIGINT) AS g_total
+  FROM per_label
+)
+SELECT p.label, p.n_train, p.n_test,
+       CAST(p.n_total * g.g_train * 1000000 // g.g_total AS BIGINT)
+         AS expected_train_e6,
+       CAST(abs(p.n_train * 1000000 -
+                p.n_total * g.g_train * 1000000 // g.g_total)
+            * 1000000 // (p.n_total * g.g_train * 1000000 // g.g_total)
+         AS BIGINT) AS imbalance_e6
+FROM per_label p CROSS JOIN globals g
+"""
+
+
+@register("q_label_balance", oracle=_LABEL_BALANCE_ORACLE)
+def q_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_train = (
+        F.substring(F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 1)
+        < "c"
+    ).cast("long")
+    per_label = emb.select("label", is_train.alias("it")).groupBy("label").agg(
+        F.sum("it").cast("long").alias("n_train"),
+        (F.count(F.lit(1)) - F.sum("it")).cast("long").alias("n_test"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    g = per_label.agg(
+        F.sum("n_train").cast("long").alias("g_train"),
+        F.sum("n_total").cast("long").alias("g_total"),
+    )
+    expected = F.expr("n_total * g_train * 1000000 div g_total")
+    return per_label.crossJoin(F.broadcast(g)).select(
+        "label",
+        "n_train",
+        "n_test",
+        expected.cast("long").alias("expected_train_e6"),
+        F.expr(
+            "abs(n_train * 1000000 - n_total * g_train * 1000000 div g_total)"
+            " * 1000000 div (n_total * g_train * 1000000 div g_total)"
+        )
+        .cast("long")
+        .alias("imbalance_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_canary_diff — shadow-deployment diff: run quality-gate version A
+# (current: length>=20 AND repetition via distinct-token ratio>=0.3)
+# and version B (candidate: length>=25 AND ratio>=0.35) over the SAME
+# corpus in ONE pass, and report per source how many docs flip
+# keep→drop, drop→keep, or agree — the release gate for any filter
+# change in a production pipeline (you ship B only after inspecting
+# what it would do differently). Both versions are pure column
+# predicates over one scan: the canary costs a projection, not a
+# second pipeline.
+# ---------------------------------------------------------------------------
+
+_CANARY_ORACLE = """
+WITH scored AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq
+  FROM documents
+),
+decided AS (
+  SELECT source,
+         (n_tok >= 20 AND n_uniq * 10 >= n_tok * 3) AS keep_a,
+         (n_tok >= 25 AND n_uniq * 20 >= n_tok * 7) AS keep_b
+  FROM scored
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN keep_a AND NOT keep_b THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_keep_to_drop,
+       CAST(sum(CASE WHEN NOT keep_a AND keep_b THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_drop_to_keep,
+       CAST(sum(CASE WHEN keep_a = keep_b THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_agree
+FROM decided
+GROUP BY source
+"""
+
+
+@register("q_canary_diff", oracle=_CANARY_ORACLE)
+def q_canary_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    scored = docs.select(
+        "source",
+        F.size(t).alias("n_tok"),
+        F.size(F.array_distinct(t)).alias("n_uniq"),
+    )
+    keep_a = (F.col("n_tok") >= 20) & (F.col("n_uniq") * 10 >= F.col("n_tok") * 3)
+    keep_b = (F.col("n_tok") >= 25) & (F.col("n_uniq") * 20 >= F.col("n_tok") * 7)
+    decided = scored.select(
+        "source", keep_a.alias("keep_a"), keep_b.alias("keep_b")
+    )
+    return decided.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("keep_a") & ~F.col("keep_b")).cast("long"))
+        .cast("long")
+        .alias("n_keep_to_drop"),
+        F.sum((~F.col("keep_a") & F.col("keep_b")).cast("long"))
+        .cast("long")
+        .alias("n_drop_to_keep"),
+        F.sum((F.col("keep_a") == F.col("keep_b")).cast("long"))
+        .cast("long")
+        .alias("n_agree"),
+    )
