@@ -549,3 +549,47 @@ def q_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("bigint").alias("price_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_freshness_sla — per-feed data-freshness audit: how far behind the
+# corpus high-water mark is each event type's latest arrival, and does
+# it breach the 30-minute SLA? The first page of every ingestion
+# service's ops dashboard. Integer-second lags from epoch timestamps —
+# no float anywhere; one aggregation plus a 1-row broadcast of the
+# global high-water mark.
+# ---------------------------------------------------------------------------
+
+_FRESHNESS_ORACLE = """
+WITH per_type AS (
+  SELECT event_type,
+         CAST(floor(epoch(max(ts))) AS BIGINT) AS latest_epoch,
+         count(*) AS n_events
+  FROM events GROUP BY event_type
+),
+hwm AS (SELECT CAST(max(latest_epoch) AS BIGINT) AS global_epoch FROM per_type)
+SELECT p.event_type,
+       p.n_events,
+       CAST(h.global_epoch - p.latest_epoch AS BIGINT) AS lag_seconds,
+       (h.global_epoch - p.latest_epoch) > 1800 AS sla_breached
+FROM per_type p CROSS JOIN hwm h
+"""
+
+
+@register("q_freshness_sla", oracle=_FRESHNESS_ORACLE)
+def q_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.unix_timestamp(F.max("ts")).cast("long").alias("latest_epoch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    hwm = per_type.agg(
+        F.max("latest_epoch").cast("long").alias("global_epoch")
+    )
+    lag = F.col("global_epoch") - F.col("latest_epoch")
+    return per_type.crossJoin(F.broadcast(hwm)).select(
+        "event_type",
+        "n_events",
+        lag.cast("long").alias("lag_seconds"),
+        (lag > 1800).alias("sla_breached"),
+    )

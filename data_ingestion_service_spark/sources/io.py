@@ -717,3 +717,86 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not os.path.exists(p):
             raise AssertionError(f"manifest names missing part {p}")
     return back.select("o_orderpriority", "n_orders", "total_cents")
+
+
+# ---------------------------------------------------------------------------
+# q_dead_letter_replay — the quarantine is not a graveyard: rows that
+# failed the first parse (src_csv_corrupt's scenario — every 7th order
+# line truncated with a dangling quote) are captured via
+# _corrupt_record, REPAIRED with a parser that understands the failure
+# mode (strip the dangling fragment, recover the key), re-joined to the
+# authoritative source for their lost fields, and merged back with the
+# clean rows. The final accounting must equal a clean pass over ALL
+# rows — recovery is complete and duplicate-free, which is exactly what
+# the oracle (a plain aggregate over the original table) proves. This
+# is the operational loop every production feed needs: quarantine →
+# diagnose → repair → replay → reconcile.
+# ---------------------------------------------------------------------------
+
+_DEAD_LETTER_ORACLE = """
+SELECT o_orderstatus,
+       count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents,
+       CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_recovered
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("q_dead_letter_replay", oracle=_DEAD_LETTER_ORACLE)
+def q_dead_letter_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    line = F.when(
+        F.col("o_orderkey") % 7 == 0,
+        F.concat(F.col("o_orderkey").cast("string"), F.lit(',"x')),
+    ).otherwise(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            F.col("o_orderstatus"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="ingest_dlq_")
+    orders.select(line.alias("value")).write.mode("overwrite").text(out)
+    schema = (
+        "o_orderkey BIGINT, price_cents BIGINT, o_orderstatus STRING, "
+        "_corrupt_record STRING"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+        # Spark refuses filters that reference ONLY the internal corrupt
+        # column on the lazy reader (the raw record would have to be
+        # re-parsed per predicate); caching materializes the parse once,
+        # which is also what the replay loop wants — quarantine triage
+        # reads the same parsed batch repeatedly.
+        .cache()
+    )
+    clean = back.filter(F.col("_corrupt_record").isNull()).select(
+        "o_orderkey", "price_cents", "o_orderstatus", F.lit(0).alias("recovered")
+    )
+    # Repair: the failure mode is known (truncation after the key with a
+    # dangling quote) — recover the key from the quarantined raw line,
+    # then re-fetch the lost fields from the authoritative source.
+    dead = back.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.split(F.col("_corrupt_record"), ",").getItem(0).cast("bigint").alias(
+            "o_orderkey"
+        )
+    )
+    repaired = dead.join(orders, "o_orderkey").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        "o_orderstatus",
+        F.lit(1).alias("recovered"),
+    )
+    merged = clean.unionByName(repaired)
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price_cents").cast("long").alias("price_cents"),
+        F.sum("recovered").cast("long").alias("n_recovered"),
+    )
