@@ -2606,3 +2606,100 @@ def q_canary_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_agree"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_lsh_recall — the approximation MEASURED, not assumed: how many of
+# the exact Jaccard>=threshold near-dup pairs does the 16-minhash /
+# 8-band LSH candidate set actually contain (recall), and how much of
+# the candidate set is noise (precision)? This is the tuning loop for
+# band/row counts on a new corpus — run q_lsh_recall, adjust, re-run —
+# promoted from a pytest invariant to a first-class audited metric.
+# Both pair sets come from the session-cached indexes the dedup family
+# already builds; the comparison is two tiny joins over pair keys. All
+# ratios integer e6 (floor), single summary row.
+# ---------------------------------------------------------------------------
+
+_LSH_RECALL_ORACLE = f"""
+{{shingles}},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact_pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE c.n_common * 1.0 / (sa.sz + sb.sz - c.n_common) >= {{threshold}}
+),
+hashes AS (
+  SELECT doc_id, ii.i, min(md5(ii.i::VARCHAR || '|' || shingle)) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS i) ii
+  GROUP BY doc_id, ii.i
+),
+bands AS (
+  SELECT doc_id, i // 2 AS band, md5(string_agg(mh, '' ORDER BY i)) AS band_hash
+  FROM hashes GROUP BY doc_id, i // 2
+),
+lsh_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+),
+common AS (
+  SELECT e.doc_a, e.doc_b FROM exact_pairs e
+  JOIN lsh_pairs l ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b
+)
+SELECT (SELECT count(*) FROM exact_pairs) AS n_exact,
+       (SELECT count(*) FROM lsh_pairs)   AS n_candidates,
+       (SELECT count(*) FROM common)      AS n_common,
+       CAST((SELECT count(*) FROM common) * 1000000
+            // greatest((SELECT count(*) FROM exact_pairs), 1) AS BIGINT)
+         AS recall_e6,
+       CAST((SELECT count(*) FROM common) * 1000000
+            // greatest((SELECT count(*) FROM lsh_pairs), 1) AS BIGINT)
+         AS precision_e6
+"""
+
+
+def _lsh_recall_oracle() -> str:
+    from data_ingestion_service_spark.operators.llm import (
+        _NEAR_DEDUP_THRESHOLD,
+    )
+    from data_ingestion_service_spark.operators.llm_extended import _SHINGLE_SQL
+
+    return _LSH_RECALL_ORACLE.format(
+        shingles=_SHINGLE_SQL.strip().rstrip(), threshold=_NEAR_DEDUP_THRESHOLD
+    )
+
+
+@register("q_lsh_recall", oracle=_lsh_recall_oracle())
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_service_spark.operators.llm_extended import (
+        q_minhash_pairs,
+    )
+
+    exact = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = q_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    common = exact.join(lsh, ["doc_a", "doc_b"], "left_semi")
+    n_exact = exact.count()
+    n_lsh = lsh.count()
+    n_common = common.count()
+    row = [
+        (
+            n_exact,
+            n_lsh,
+            n_common,
+            n_common * 1_000_000 // max(n_exact, 1),
+            n_common * 1_000_000 // max(n_lsh, 1),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_exact bigint, n_candidates bigint, n_common bigint, "
+        "recall_e6 bigint, precision_e6 bigint",
+    )

@@ -593,3 +593,80 @@ def q_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag.cast("long").alias("lag_seconds"),
         (lag > 1800).alias("sla_breached"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_conversion_latency — signup→purchase time-to-convert distribution:
+# per user, the integer-second gap between the FIRST signup and the
+# first purchase AT OR AFTER it, bucketed into the funnel-latency
+# histogram product analytics reads (≤1h, ≤1d, >1d, never). min/filter
+# composition keeps it one shuffle per side plus a user-keyed join; all
+# arithmetic is integer seconds (floored epochs — the q_freshness_sla
+# lesson: DuckDB's double→BIGINT cast rounds, Spark truncates).
+# ---------------------------------------------------------------------------
+
+_CONVERSION_ORACLE = """
+WITH first_signup AS (
+  SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS s_epoch
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+first_purchase AS (
+  SELECT f.user_id,
+         CAST(floor(epoch(min(e.ts))) AS BIGINT) AS p_epoch
+  FROM first_signup f
+  JOIN events e ON e.user_id = f.user_id
+   AND e.event_type = 'purchase'
+   AND CAST(floor(epoch(e.ts)) AS BIGINT) >= f.s_epoch
+  GROUP BY f.user_id
+),
+lat AS (
+  SELECT f.user_id,
+         p.p_epoch - f.s_epoch AS lag_s
+  FROM first_signup f LEFT JOIN first_purchase p ON p.user_id = f.user_id
+)
+SELECT CASE
+         WHEN lag_s IS NULL THEN 'never'
+         WHEN lag_s <= 3600 THEN 'within_1h'
+         WHEN lag_s <= 86400 THEN 'within_1d'
+         ELSE 'over_1d'
+       END AS bucket,
+       count(*) AS n_users,
+       CAST(coalesce(sum(lag_s), 0) AS BIGINT) AS total_lag_seconds
+FROM lat
+GROUP BY 1
+"""
+
+
+@register("q_conversion_latency", oracle=_CONVERSION_ORACLE)
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp(F.col("ts")).cast("long")
+    first_signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(epoch).alias("s_epoch"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", epoch.alias("p_epoch")
+    )
+    first_purchase = (
+        first_signup.join(purchases, "user_id")
+        .filter(F.col("p_epoch") >= F.col("s_epoch"))
+        .groupBy("user_id")
+        .agg(F.min("p_epoch").alias("p_epoch"))
+    )
+    lat = first_signup.join(first_purchase, "user_id", "left").select(
+        "user_id", (F.col("p_epoch") - F.col("s_epoch")).alias("lag_s")
+    )
+    bucket = (
+        F.when(F.col("lag_s").isNull(), "never")
+        .when(F.col("lag_s") <= 3600, "within_1h")
+        .when(F.col("lag_s") <= 86400, "within_1d")
+        .otherwise("over_1d")
+    )
+    return lat.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.coalesce(F.sum("lag_s"), F.lit(0))
+        .cast("long")
+        .alias("total_lag_seconds"),
+    )
