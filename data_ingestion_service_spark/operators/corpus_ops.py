@@ -2703,3 +2703,73 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact bigint, n_candidates bigint, n_common bigint, "
         "recall_e6 bigint, precision_e6 bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_best_survivor — quality-ranked survivor selection: real
+# pipelines keep each duplicate cluster's BEST copy, not its first —
+# the min-id rule (q_near_dedup_survivors) silently prefers whatever
+# crawled earliest, which for boilerplate-heavy families is often the
+# worst copy. Survivor = argmax (distinct-token count, total tokens,
+# -doc_id) per cluster — a quality proxy computable in the same scan.
+# One window over rep_id (cluster sizes are bounded by construction);
+# reports per source how many survivors CHANGED versus the min-id rule
+# — the decision-diff a pipeline owner reviews before switching rules.
+# ---------------------------------------------------------------------------
+
+_BEST_SURVIVOR_ORACLE = (
+    "WITH comp_full AS MATERIALIZED ("
+    + _DUP_CLUSTERS_ORACLE
+    + """),
+feat AS (
+  SELECT c.doc_id, c.rep_id, d.source,
+         len(list_distinct(string_split(d.text, ' '))) AS n_uniq,
+         len(string_split(d.text, ' ')) AS n_tok
+  FROM comp_full c JOIN documents d ON d.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY rep_id
+           ORDER BY n_uniq DESC, n_tok DESC, doc_id) AS rn
+  FROM feat
+)
+SELECT source,
+       count(*) AS n_clusters_won,
+       CAST(sum(n_tok) AS BIGINT) AS surviving_tokens,
+       CAST(sum(CASE WHEN doc_id <> rep_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed_vs_min_id
+FROM ranked
+WHERE rn = 1
+GROUP BY source
+"""
+)
+
+
+@register("q_dedup_best_survivor", oracle=_BEST_SURVIVOR_ORACLE)
+def q_dedup_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from data_ingestion_service_spark.registry import QUERIES
+
+    comp = QUERIES["q_dup_clusters"](spark, sf_dir).select("doc_id", "rep_id")
+    t = F.split("text", " ")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.array_distinct(t)).alias("n_uniq"),
+        F.size(t).alias("n_tok"),
+    )
+    feat = comp.join(docs, "doc_id")
+    w = Window.partitionBy("rep_id").orderBy(
+        F.desc("n_uniq"), F.desc("n_tok"), F.asc("doc_id")
+    )
+    best = feat.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return best.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_clusters_won"),
+        F.sum("n_tok").cast("long").alias("surviving_tokens"),
+        F.sum((F.col("doc_id") != F.col("rep_id")).cast("long"))
+        .cast("long")
+        .alias("n_changed_vs_min_id"),
+    )
