@@ -2773,3 +2773,111 @@ def q_dedup_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_changed_vs_min_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_waterfall — the pipeline waterfall every data team tracks:
+# one row showing corpus size shrinking through the cleaning stages —
+# raw docs → exact-unique texts → near-dup cluster survivors (min-id) →
+# survivors that are also free of test-set 8-gram contamination — with
+# integer e6 retention ratios stage-over-stage. Every stage reuses an
+# already-verified operator's semantics (exact dedup, connected-
+# component survivors, n-gram decontamination), so this key certifies
+# their COMPOSITION: the numbers a run report would publish.
+# ---------------------------------------------------------------------------
+
+_WATERFALL_ORACLE = (
+    "WITH comp_full AS MATERIALIZED ("
+    + _DUP_CLUSTERS_ORACLE
+    + f"""),
+survivors AS (
+  SELECT c.doc_id FROM comp_full c WHERE c.rep_id = c.doc_id
+),
+tok2 AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' AS is_train
+  FROM documents
+),
+grams2 AS (
+  SELECT doc_id, is_train,
+         unnest(list_transform(range(1, len(t) - {_NGRAM_DECON_K} + 2),
+                i -> list_aggregate(t[i : i + {_NGRAM_DECON_K} - 1],
+                                    'string_agg', ' '))) AS g
+  FROM tok2 WHERE len(t) >= {_NGRAM_DECON_K}
+),
+test_g AS (SELECT DISTINCT g FROM grams2 WHERE NOT is_train),
+contaminated AS (
+  SELECT DISTINCT gr.doc_id
+  FROM grams2 gr JOIN test_g te ON te.g = gr.g
+  WHERE gr.is_train
+),
+counts AS (
+  SELECT
+    (SELECT count(*) FROM documents) AS n_raw,
+    (SELECT count(DISTINCT md5(text)) FROM documents) AS n_exact_unique,
+    (SELECT count(*) FROM survivors) AS n_near_survivors,
+    (SELECT count(*) FROM survivors s
+       JOIN tok2 t ON t.doc_id = s.doc_id
+      WHERE NOT t.is_train
+         OR s.doc_id NOT IN (SELECT doc_id FROM contaminated))
+      AS n_clean
+)
+SELECT n_raw, n_exact_unique, n_near_survivors, n_clean,
+       CAST(n_exact_unique * 1000000 // n_raw AS BIGINT) AS exact_keep_e6,
+       CAST(n_near_survivors * 1000000 // n_exact_unique AS BIGINT)
+         AS near_keep_e6,
+       CAST(n_clean * 1000000 // n_near_survivors AS BIGINT) AS clean_keep_e6
+FROM counts
+"""
+)
+
+
+@register("q_dedup_waterfall", oracle=_WATERFALL_ORACLE)
+def q_dedup_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_service_spark.registry import QUERIES
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_raw = docs.count()
+    n_exact = docs.select(F.md5(F.col("text").cast("binary"))).distinct().count()
+    comp = QUERIES["q_dup_clusters"](spark, sf_dir).select("doc_id", "rep_id")
+    survivors = comp.filter(F.col("rep_id") == F.col("doc_id")).select("doc_id")
+    n_surv = survivors.count()
+    is_train = (
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+        < "c"
+    )
+    tagged = docs.select("doc_id", is_train.alias("is_train"))
+    grams = shingle_rows(docs, _NGRAM_DECON_K).join(tagged, "doc_id")
+    test_g = (
+        grams.filter(~F.col("is_train")).select(F.col("shingle").alias("g")).distinct()
+    )
+    contaminated = (
+        grams.filter(F.col("is_train"))
+        .select("doc_id", F.col("shingle").alias("g"))
+        .join(test_g, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = (
+        survivors.join(tagged, "doc_id")
+        .join(contaminated.withColumn("bad", F.lit(1)), "doc_id", "left")
+        .filter(~F.col("is_train") | F.col("bad").isNull())
+    )
+    n_clean = clean.count()
+    row = [
+        (
+            n_raw,
+            n_exact,
+            n_surv,
+            n_clean,
+            n_exact * 1_000_000 // n_raw,
+            n_surv * 1_000_000 // n_exact,
+            n_clean * 1_000_000 // n_surv,
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_raw bigint, n_exact_unique bigint, n_near_survivors bigint, "
+        "n_clean bigint, exact_keep_e6 bigint, near_keep_e6 bigint, "
+        "clean_keep_e6 bigint",
+    )
