@@ -670,3 +670,47 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_lag_seconds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_error_rate_alert — per-hour error-share monitoring with alert
+# flags: the health signal paged on first in any ingestion service.
+# Error share is integer basis points (errors·10000 div total — no
+# float ratio), alert = share above 250bp (2.5%). One aggregation per
+# hour bucket; at 100 TB this runs windowed over the stream (same
+# expression, q_events_tumbling's shape) — the batch form here is the
+# backfill/audit variant.
+# ---------------------------------------------------------------------------
+
+_ERROR_RATE_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour_start,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS error_bp,
+       (sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 10000
+        // count(*)) > 250 AS alert
+FROM events
+GROUP BY 1
+"""
+
+
+@register("q_error_rate_alert", oracle=_ERROR_RATE_ORACLE)
+def q_error_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    is_err = (F.col("event_type") == "error").cast("long")
+    agg = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hour_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(is_err).cast("long").alias("n_errors"),
+    )
+    bp = F.expr("n_errors * 10000 div n_events")
+    return agg.select(
+        "hour_start",
+        "n_events",
+        "n_errors",
+        bp.cast("long").alias("error_bp"),
+        (bp > 250).alias("alert"),
+    )
