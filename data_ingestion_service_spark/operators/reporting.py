@@ -714,3 +714,52 @@ def q_error_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         bp.cast("long").alias("error_bp"),
         (bp > 250).alias("alert"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_weekly_active_users — rolling 7-day distinct users per day (WAU):
+# the headline engagement metric. The scalable shape is NOT a sliding
+# DISTINCT window (per-row distinct state explodes); each (user, day)
+# first collapses to one row, then contributes itself to the 7 window
+# days it belongs to via explode(sequence) — shuffle volume is
+# 7·|user-days|, and the per-day COUNT(DISTINCT) is an ordinary
+# aggregation. Same rewrite family as q_cumulative_distinct (running
+# total); this is the bounded-window variant.
+# ---------------------------------------------------------------------------
+
+_WAU_ORACLE = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events
+),
+contrib AS (
+  SELECT user_id, d + CAST(k AS INT) AS wday
+  FROM user_days CROSS JOIN unnest(range(0, 7)) AS u(k)
+),
+days AS (SELECT DISTINCT d FROM user_days)
+SELECT c.wday::TIMESTAMP AS day,
+       count(DISTINCT c.user_id) AS wau
+FROM contrib c
+JOIN days dd ON dd.d = c.wday
+GROUP BY c.wday
+"""
+
+
+@register("q_weekly_active_users", oracle=_WAU_ORACLE)
+def q_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    contrib = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("wday"),
+    )
+    days = user_days.select(F.col("d").alias("wday")).distinct()
+    return (
+        contrib.join(days, "wday", "left_semi")
+        .groupBy(F.col("wday").cast("timestamp_ntz").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
