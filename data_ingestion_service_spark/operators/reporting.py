@@ -763,3 +763,55 @@ def q_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("wday").cast("timestamp_ntz").alias("day"))
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q_feed_gaps — completeness monitoring: which hours inside the feed's
+# own [min, max] span have ZERO events? Absence is invisible to every
+# GROUP BY — only a generated spine (sequence of hours) anti-joined
+# against the observed hours can see it. Reports the span, the
+# expected/observed hour counts, and the gap hours themselves
+# (bounded: gaps, not data). The spine is generated from a 1-row
+# aggregate — no driver-side loop, any span length.
+# ---------------------------------------------------------------------------
+
+_FEED_GAPS_ORACLE = """
+WITH span AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM span
+),
+observed AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS h FROM events
+)
+SELECT
+  (SELECT count(*) FROM spine)    AS n_expected_hours,
+  (SELECT count(*) FROM observed) AS n_observed_hours,
+  (SELECT count(*) FROM spine s
+     WHERE NOT EXISTS (SELECT 1 FROM observed o WHERE o.h = s.h))
+                                  AS n_gap_hours
+"""
+
+
+@register("q_feed_gaps", oracle=_FEED_GAPS_ORACLE)
+def q_feed_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = span.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    observed = ev.select(F.date_trunc("hour", F.col("ts")).alias("h")).distinct()
+    n_expected = spine.count()
+    n_observed = observed.count()
+    n_gaps = spine.join(observed, "h", "left_anti").count()
+    return spark.createDataFrame(
+        [(n_expected, n_observed, n_gaps)],
+        "n_expected_hours bigint, n_observed_hours bigint, n_gap_hours bigint",
+    )
