@@ -2881,3 +2881,67 @@ def q_dedup_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_clean bigint, exact_keep_e6 bigint, near_keep_e6 bigint, "
         "clean_keep_e6 bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# q_split_leakage — EXACT cross-split leakage: identical document texts
+# appearing in BOTH train and test — the bluntest and most common
+# evaluation leak (a duplicated page whose copies hashed to different
+# splits). Complements q_ngram_decontaminate (partial overlap) and
+# q_contamination_check (near-dup overlap): this is the exact-match
+# tier of the same audit. One md5-digest aggregation — text never
+# shuffles — then a conditional rollup.
+# ---------------------------------------------------------------------------
+
+_SPLIT_LEAK_ORACLE = """
+WITH tagged AS (
+  SELECT md5(text) AS h,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' AS is_train
+  FROM documents
+),
+per_text AS (
+  SELECT h,
+         CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_tr,
+         CAST(sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT) AS n_te
+  FROM tagged GROUP BY h
+)
+SELECT count(*) AS n_distinct_texts,
+       CAST(sum(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaked_texts,
+       CAST(sum(CASE WHEN n_tr > 0 AND n_te > 0 THEN n_tr ELSE 0 END)
+         AS BIGINT) AS n_train_docs_leaking,
+       CAST(sum(CASE WHEN n_tr > 0 AND n_te > 0 THEN n_te ELSE 0 END)
+         AS BIGINT) AS n_test_docs_exposed
+FROM per_text
+"""
+
+
+@register("q_split_leakage", oracle=_SPLIT_LEAK_ORACLE)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_train = (
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+        < "c"
+    )
+    per_text = (
+        docs.select(
+            F.md5(F.col("text").cast("binary")).alias("h"),
+            is_train.cast("long").alias("it"),
+        )
+        .groupBy("h")
+        .agg(
+            F.sum("it").cast("long").alias("n_tr"),
+            (F.count(F.lit(1)) - F.sum("it")).cast("long").alias("n_te"),
+        )
+    )
+    leaked = (F.col("n_tr") > 0) & (F.col("n_te") > 0)
+    return per_text.agg(
+        F.count(F.lit(1)).alias("n_distinct_texts"),
+        F.sum(leaked.cast("long")).cast("long").alias("n_leaked_texts"),
+        F.sum(F.when(leaked, F.col("n_tr")).otherwise(0))
+        .cast("long")
+        .alias("n_train_docs_leaking"),
+        F.sum(F.when(leaked, F.col("n_te")).otherwise(0))
+        .cast("long")
+        .alias("n_test_docs_exposed"),
+    )
