@@ -1925,3 +1925,40 @@ def q_stream_idempotent_batchid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").cast("long").alias("value_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_error_rate — the error-share health monitor actually run AS
+# A STREAM (q_error_rate_alert is the batch/backfill form): tumbling
+# 1-hour windows, integer-basis-point error share, 250bp alert flag,
+# complete-mode drain. The pair demonstrates the same alert definition
+# served both ways — the batch form audits history, this one pages.
+# ---------------------------------------------------------------------------
+
+_STREAM_ERROR_RATE_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour_start,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS error_bp,
+       (sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 10000
+        // count(*)) > 250 AS alert
+FROM events
+GROUP BY 1
+"""
+
+
+@register("q_stream_error_rate", oracle=_STREAM_ERROR_RATE_ORACLE)
+def q_stream_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_err"),
+    )
+    final = run_to_memory(agg, "complete")
+    bp = F.expr("n_err * 10000 div n_events")
+    return final.select(
+        F.col("window.start").cast("timestamp_ntz").alias("hour_start"),
+        "n_events",
+        bp.cast("long").alias("error_bp"),
+        (bp > 250).alias("alert"),
+    )
