@@ -815,3 +815,61 @@ def q_feed_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_expected, n_observed, n_gaps)],
         "n_expected_hours bigint, n_observed_hours bigint, n_gap_hours bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# q_fk_integrity — referential-integrity audit across the star schema:
+# orphan counts for every foreign-key edge (lineitem→orders,
+# lineitem→part, lineitem→supplier, orders→customer, events→customer,
+# customer→nation) — the ingest-boundary contract check that catches a
+# feed delivering children before parents. Each edge is one left-anti
+# probe against the (smaller) parent key set — broadcast-friendly at
+# any scale; the whole audit is one row.
+# ---------------------------------------------------------------------------
+
+_FK_INTEGRITY_ORACLE = """
+SELECT
+  (SELECT count(*) FROM lineitem l
+     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    AS li_orphan_orders,
+  (SELECT count(*) FROM lineitem l
+     WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+    AS li_orphan_parts,
+  (SELECT count(*) FROM lineitem l
+     WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+    AS li_orphan_suppliers,
+  (SELECT count(*) FROM orders o
+     WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    AS o_orphan_customers,
+  (SELECT count(*) FROM events e
+     WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+    AS ev_orphan_users,
+  (SELECT count(*) FROM customer c
+     WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+    AS c_orphan_nations
+"""
+
+
+@register("q_fk_integrity", oracle=_FK_INTEGRITY_ORACLE)
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def orphans(child, ck, parent, pk) -> int:
+        c = load_table(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        return c.join(p, "k", "left_anti").count()
+
+    row = [
+        (
+            orphans("lineitem", "l_orderkey", "orders", "o_orderkey"),
+            orphans("lineitem", "l_partkey", "part", "p_partkey"),
+            orphans("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+            orphans("orders", "o_custkey", "customer", "c_custkey"),
+            orphans("events", "user_id", "customer", "c_custkey"),
+            orphans("customer", "c_nationkey", "nation", "n_nationkey"),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "li_orphan_orders bigint, li_orphan_parts bigint, "
+        "li_orphan_suppliers bigint, o_orphan_customers bigint, "
+        "ev_orphan_users bigint, c_orphan_nations bigint",
+    )
