@@ -1842,8 +1842,12 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     nfc_lower_collapse = pandas_udf("string")(_nfc_lower_collapse)
 
     docs = load_table(spark, sf_dir, "documents")
+    # Explicit combining-mark escapes (U+0301, U+0308), never raw
+    # decomposed characters: an editor/formatter that NFC-normalizes this
+    # source file must not silently change pre_chars semantics (r5 advisor
+    # finding). Mirrors the oracle's chr(769)/chr(776) construction.
     raw = F.concat(
-        F.lit("Café  NAÏVE  "), F.col("text")
+        F.lit("Cafe\u0301  NAI\u0308VE  "), F.col("text")
     )
     norm = docs.select(
         "source",
@@ -2036,6 +2040,11 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             key = (r - ms, -v)
             if best is None or key > best[0]:
                 best = (key, v, r, ms)
+        if best is None:
+            # Shortlist exhausted (< k+1 candidate vectors, e.g. a tiny
+            # embeddings table): emit only the picks actually made — the
+            # oracle's LIMIT-1 steps likewise produce no row.
+            break
         picked.append((rank, best[1], best[2], best[3]))
         chosen.append(best[1])
     return spark.createDataFrame(
@@ -2336,8 +2345,14 @@ terms AS (
 SELECT source,
        CAST(max(n) AS BIGINT) AS n_tokens,
        count(*) AS n_common_terms,
-       CAST(sum(c * CAST(floor(log2((c * 1.0 * m) / (d * 1.0 * n)) * 1000000)
-                         AS BIGINT)) AS BIGINT) AS kl_weighted_e6
+       -- log-SPACE ratio (log2 c + log2 m - log2 d - log2 n), never the
+       -- BIGINT products c*m / d*n: at 100 TB those exceed 2^63, where
+       -- Spark (ANSI off) wraps silently while DuckDB errors (r5 advisor
+       -- finding). Each log2 input is an exact integer-valued double and
+       -- the 4-term fold order is pinned left-to-right on both engines.
+       CAST(sum(c * CAST(floor((log2(c) + log2(m) - log2(d) - log2(n))
+                               * 1000000) AS BIGINT)) AS BIGINT)
+         AS kl_weighted_e6
 FROM terms
 GROUP BY source
 """
@@ -2359,8 +2374,11 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("m", F.col("gt") - F.col("n"))
         .filter(F.col("d") > 0)
     )
+    # Log-space ratio, never the BIGINT products c*m / d*n: at 100 TB those
+    # overflow 2^63 where Spark (ANSI off) wraps silently (r5 advisor
+    # finding). The 4-term fold order is left-to-right, matching the oracle.
     llr_e6 = F.floor(
-        F.log2((F.col("c") * F.col("m")) / (F.col("d") * F.col("n"))) * 1e6
+        (F.log2("c") + F.log2("m") - F.log2("d") - F.log2("n")) * 1e6
     ).cast("long")
     return terms.groupBy("source").agg(
         F.max("n").cast("long").alias("n_tokens"),

@@ -1452,7 +1452,10 @@ GROUP BY source, shard, CAST(prev_tok // {_PACK_BUDGET} AS BIGINT)
 @register("q_pack_sequences", oracle=_PACK_ORACLE)
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    shard = (F.col("doc_id") / _PACK_SHARD_DOCS).cast("long")
+    # Integer division, NOT double division + cast: `/ then cast` is only
+    # exact while doc_id stays well under 2^53 — `div` matches the oracle's
+    # `//` at any id magnitude (r5 advisor finding).
+    shard = F.expr(f"doc_id div {_PACK_SHARD_DOCS}")
     w = (
         Window.partitionBy("source", "shard")
         .orderBy("doc_id")

@@ -1235,9 +1235,15 @@ def q_stream_state_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilt = run_agg(
         evolved, f"{work}/ckpt_v2", f"evo_{uuid.uuid4().hex[:12]}"
     )
-    return phase1.join(rebuilt, "event_type").select(
+    # Right join on the rebuilt (full-history) side: an event_type whose
+    # events all carry odd event_ids has NO phase-1 row but the oracle
+    # still emits it with n_first_half = 0 — an inner join would drop it
+    # on such a data shape (r5 advisor finding).
+    return phase1.join(rebuilt, "event_type", "right").select(
         "event_type",
-        F.col("n_first_half").cast("long"),
+        F.coalesce(F.col("n_first_half"), F.lit(0)).cast("long").alias(
+            "n_first_half"
+        ),
         F.lit(refused).alias("evolution_refused"),
         F.col("n").alias("n_total"),
         F.col("cents").cast("long").alias("value_cents_total"),
