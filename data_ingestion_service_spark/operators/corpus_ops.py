@@ -842,21 +842,14 @@ GROUP BY c.doc_a, c.doc_b
 
 @register("q_minhash_estimate", oracle=_MINHASH_EST_ORACLE)
 def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_service_spark.operators.llm_extended import (
+        minhash_signatures,
+    )
     from data_ingestion_service_spark.registry import QUERIES
 
-    sh = doc_shingles(spark, sf_dir)
-    sigs = session_persisted(
-        spark,
-        ("minhash_sigs", sf_dir),
-        lambda: sh.groupBy("doc_id").agg(
-            *[
-                F.min(
-                    F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))
-                ).alias(f"mh{i}")
-                for i in range(16)
-            ]
-        ),
-    )
+    # Shared session-persisted signature store (r5 verdict item 4) — the
+    # same 16-minhash table q_minhash_pairs' band index derives from.
+    sigs = minhash_signatures(spark, sf_dir)
     cand = QUERIES["q_minhash_pairs"](spark, sf_dir).select("doc_a", "doc_b")
     a = sigs.select(
         F.col("doc_id").alias("doc_a"),
@@ -1921,6 +1914,167 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
 
+
+
+# ---------------------------------------------------------------------------
+# q_bpe_tokenize — BPE merge training UNROLLED (4 rounds) plus the
+# APPLY half (r5 verdict item 2): learn the first 4 byte-pair merges on
+# the word-type vocabulary, apply them, and report per-source corpus
+# token counts under the learned merges — the step every training
+# pipeline runs after q_bpe_pairs picks merge 0. Each word becomes a
+# space-separated symbol sequence (' h e l l o '); a merge round is
+# (1) count adjacent symbol pairs weighted by word frequency,
+# (2) argmax on (count DESC, pair ASC) — deterministic across engines,
+# (3) one left-to-right non-overlapping replace of ' a b ' -> ' ab '
+#     per word (Spark `replace` and DuckDB `replace` share exactly this
+#     single-pass scan semantic, so both engines produce byte-identical
+#     sequences; within-round overlap re-scanning — ' a a a a ' ->
+#     ' aa aa ' — is deliberately NOT done, matching neither engine's
+#     single replace; real trainers get the second 'aa' on the next
+#     round that picks the pair again).
+#
+# Scale shape: the corpus-sized work is ONE reduce (word -> frequency,
+# session-persisted so the 4 rounds and final apply never rescan the
+# corpus) and one final broadcast-join of the learned vocab back onto
+# the exploded corpus for per-source counts. The merge rounds operate
+# on the VOCABULARY (thousands of rows where the corpus has billions);
+# merge selection collects exactly ONE row per round to the driver —
+# bounded state, exactly how production BPE trainers checkpoint their
+# merge table; at real scale you would run thousands of rounds with the
+# same loop shape, writing the merge table as it grows. The `merges`
+# output column pins the learned merge SEQUENCE cross-engine, not just
+# the final counts.
+# ---------------------------------------------------------------------------
+
+_BPE_TOKENIZE_ROUNDS = 4
+
+# One CTE chain per round: p_i counts pairs over r_i, m_i is the argmax,
+# r_{i+1} applies it. The chain is the oracle-side mirror of the
+# driver-side loop; both argmax on (n DESC, pair ASC) over exact
+# integer counts.
+def _bpe_tokenize_oracle() -> str:
+    parts = [
+        """
+WITH r0 AS (
+  SELECT t AS w, count(*) AS freq,
+         ' ' || regexp_replace(t, '(.)', '\\1 ', 'g') AS seq
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  GROUP BY t
+)"""
+    ]
+    for i in range(_BPE_TOKENIZE_ROUNDS):
+        parts.append(
+            f""",
+p{i} AS (
+  SELECT s[CAST(i AS INT)] || ' ' || s[CAST(i AS INT) + 1] AS pair,
+         CAST(sum(freq) AS BIGINT) AS n
+  FROM (SELECT freq, string_split(trim(seq), ' ') AS s FROM r{i})
+  CROSS JOIN unnest(range(1, len(s))) AS u(i)
+  WHERE len(s) >= 2
+  GROUP BY 1
+),
+m{i} AS (SELECT pair FROM p{i} ORDER BY n DESC, pair LIMIT 1),
+r{i + 1} AS (
+  SELECT w, freq,
+         replace(seq, ' ' || m{i}.pair || ' ',
+                 ' ' || replace(m{i}.pair, ' ', '') || ' ') AS seq
+  FROM r{i} CROSS JOIN m{i}
+)"""
+        )
+    last = _BPE_TOKENIZE_ROUNDS
+    merge_cols = ", ".join(f"m{i}.pair" for i in range(_BPE_TOKENIZE_ROUNDS))
+    merge_joins = " ".join(f"CROSS JOIN m{i}" for i in range(_BPE_TOKENIZE_ROUNDS))
+    parts.append(
+        f""",
+vocab AS (
+  SELECT w, len(string_split(trim(seq), ' ')) AS n_syms FROM r{last}
+)
+SELECT d.source,
+       count(*) AS n_words,
+       CAST(sum(len(d.t)) AS BIGINT) AS n_chars,
+       CAST(sum(v.n_syms) AS BIGINT) AS n_bpe_tokens,
+       concat_ws('+', {merge_cols}) AS merges
+FROM (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents) d
+JOIN vocab v ON v.w = d.t
+{merge_joins}
+GROUP BY d.source, merges
+"""
+    )
+    return "".join(parts)
+
+
+@register("q_bpe_tokenize", oracle=_bpe_tokenize_oracle())
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    word_tf = session_persisted(
+        spark,
+        ("bpe_word_tf", sf_dir),
+        lambda: load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "w",
+            "freq",
+            F.concat(
+                F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")
+            ).alias("seq"),
+        ),
+    )
+
+    def pair_counts(r: DataFrame) -> DataFrame:
+        syms = r.select("freq", F.split(F.trim(F.col("seq")), " ").alias("s"))
+        return (
+            syms.filter(F.size("s") >= 2)
+            .select(
+                "freq",
+                "s",
+                F.explode(
+                    F.sequence(F.lit(1), F.size("s") - 1)
+                ).alias("i"),
+            )
+            .select(
+                "freq",
+                F.concat(
+                    F.element_at("s", F.col("i")),
+                    F.lit(" "),
+                    F.element_at("s", F.col("i") + 1),
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("n"))
+        )
+
+    r = word_tf
+    merges: list[str] = []
+    for _ in range(_BPE_TOKENIZE_ROUNDS):
+        # ONE row to the driver per round — the merge-table checkpoint.
+        top = pair_counts(r).orderBy(F.desc("n"), F.asc("pair")).first()
+        pair = top["pair"]
+        merges.append(pair)
+        merged = pair.replace(" ", "")
+        r = r.withColumn(
+            "seq",
+            F.replace(
+                F.col("seq"), F.lit(f" {pair} "), F.lit(f" {merged} ")
+            ),
+        )
+
+    vocab = r.select(
+        "w", F.size(F.split(F.trim(F.col("seq")), " ")).alias("n_syms")
+    )
+    corpus = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    return (
+        corpus.join(F.broadcast(vocab), "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+        )
+        .withColumn("merges", F.lit("+".join(merges)))
+    )
 
 # ---------------------------------------------------------------------------
 # q_mmr_diversify — Maximal Marginal Relevance re-ranking: greedily pick

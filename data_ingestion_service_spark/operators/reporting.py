@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_service_spark.catalog import load_table
+from data_ingestion_service_spark.functions import alerts
 from data_ingestion_service_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -682,15 +683,16 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # backfill/audit variant.
 # ---------------------------------------------------------------------------
 
-_ERROR_RATE_ORACLE = """
+# Threshold, bp expression, and alert predicate all come from
+# functions/alerts.py — the single definition this batch audit shares
+# with the live monitor `q_stream_error_rate` (r5 verdict item 7).
+_ERROR_RATE_ORACLE = f"""
 SELECT date_trunc('hour', ts) AS hour_start,
        count(*) AS n_events,
        CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
          AS n_errors,
-       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 10000
-            // count(*) AS BIGINT) AS error_bp,
-       (sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 10000
-        // count(*)) > 250 AS alert
+       {alerts.ORACLE_ERROR_BP_EXPR},
+       {alerts.ORACLE_ERROR_ALERT_EXPR}
 FROM events
 GROUP BY 1
 """
@@ -699,20 +701,19 @@ GROUP BY 1
 @register("q_error_rate_alert", oracle=_ERROR_RATE_ORACLE)
 def q_error_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    is_err = (F.col("event_type") == "error").cast("long")
     agg = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hour_start")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(is_err).cast("long").alias("n_errors"),
+        F.sum(alerts.is_error()).cast("long").alias("n_errors"),
     )
-    bp = F.expr("n_errors * 10000 div n_events")
+    bp = alerts.error_bp()
     return agg.select(
         "hour_start",
         "n_events",
         "n_errors",
         bp.cast("long").alias("error_bp"),
-        (bp > 250).alias("alert"),
+        alerts.error_alert(bp).alias("alert"),
     )
 
 

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestion_service_spark.catalog import load_table, table_path
+from data_ingestion_service_spark.functions import alerts
 from data_ingestion_service_spark.registry import register
 from data_ingestion_service_spark.session import ensure_session_confs
 
@@ -1941,13 +1942,14 @@ def q_stream_idempotent_batchid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # served both ways — the batch form audits history, this one pages.
 # ---------------------------------------------------------------------------
 
-_STREAM_ERROR_RATE_ORACLE = """
+# Threshold, bp expression, and alert predicate come from
+# functions/alerts.py — the single definition this live monitor shares
+# with the batch audit `q_error_rate_alert` (r5 verdict item 7).
+_STREAM_ERROR_RATE_ORACLE = f"""
 SELECT date_trunc('hour', ts) AS hour_start,
        count(*) AS n_events,
-       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 10000
-            // count(*) AS BIGINT) AS error_bp,
-       (sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 10000
-        // count(*)) > 250 AS alert
+       {alerts.ORACLE_ERROR_BP_EXPR},
+       {alerts.ORACLE_ERROR_ALERT_EXPR}
 FROM events
 GROUP BY 1
 """
@@ -1958,13 +1960,13 @@ def q_stream_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_stream(spark, sf_dir)
     agg = ev.groupBy(F.window("ts", "1 hour")).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum((F.col("event_type") == "error").cast("long")).alias("n_err"),
+        F.sum(alerts.is_error()).alias("n_errors"),
     )
     final = run_to_memory(agg, "complete")
-    bp = F.expr("n_err * 10000 div n_events")
+    bp = alerts.error_bp()
     return final.select(
         F.col("window.start").cast("timestamp_ntz").alias("hour_start"),
         "n_events",
         bp.cast("long").alias("error_bp"),
-        (bp > 250).alias("alert"),
+        alerts.error_alert(bp).alias("alert"),
     )

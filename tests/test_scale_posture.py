@@ -544,3 +544,46 @@ def test_null_skew_join_bypasses_shuffle(spark, sf_dir):
     assert join_lines, tree
     # the probe-side scan below the join filters out nulls
     assert "isnotnull(k" in plan or "isnotnull(o_custkey" in plan, tree
+
+
+def test_edit_distance_is_content_blocked(spark, sf_dir):
+    """q_edit_distance candidates MUST come from the LSH band index, not
+    a length-only band (r5 verdict item 1): within-length pair count
+    grows quadratically with corpus size (12.6M DP evals at sf1 for the
+    old +-2 length band), while band-bucket candidates track true
+    near-dup density. The plan must (a) equi-join on the band signature,
+    (b) never fall back to a cartesian/nested-loop pairing, and (c)
+    never equi-join on a length arithmetic key (the old delta joins)."""
+    plan = formatted_plan(QUERIES["q_edit_distance"](spark, sf_dir))
+    assert "band_hash" in plan, "LSH band key missing from the plan"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the old shape's delta equi-join keys (a_len + 1/2 = b_len); the
+    # residual abs(a_len - b_len) FILTER over banded candidates is fine.
+    assert "a_len + 1" not in plan and "a_len + 2" not in plan, (
+        "length-delta equi-join resurfaced"
+    )
+    assert "levenshtein" in plan
+
+
+def test_edit_distance_reuses_shared_band_index(spark, sf_dir):
+    """The band index is the SHARED session-persisted store (r5 verdict
+    item 4): after q_minhash_pairs runs, q_edit_distance's plan probes
+    the same InMemoryRelation instead of rebuilding shingles->signatures
+    (and both keys resolve identical band tables)."""
+    QUERIES["q_minhash_pairs"](spark, sf_dir).collect()
+    plan = formatted_plan(QUERIES["q_edit_distance"](spark, sf_dir))
+    assert "InMemoryTableScan" in plan, "band index not probed from cache"
+
+
+def test_minhash_estimate_reuses_signature_store(spark, sf_dir):
+    """q_minhash_estimate probes the shared 16-minhash signature table
+    (minhash_sigs) rather than re-running the shingle aggregation: with
+    the store warm its plan reads from cache."""
+    from data_ingestion_service_spark.operators.llm_extended import (
+        minhash_signatures,
+    )
+
+    minhash_signatures(spark, sf_dir).count()
+    plan = formatted_plan(QUERIES["q_minhash_estimate"](spark, sf_dir))
+    assert "InMemoryTableScan" in plan
