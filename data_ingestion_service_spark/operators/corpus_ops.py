@@ -1444,6 +1444,38 @@ _RH_M = 1 << 20  # token-hash modulus (keeps the polynomial in 48 bits)
 _RH_P = 1 << 40  # window-hash modulus
 _RH_B = 131  # polynomial base
 
+
+def window_hash_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, wh) — one row per 4-token Karp-Rabin window.
+
+    The shared fingerprint construction behind q_rolling_hash (per-doc
+    winnowing summary) and q_substring_dup (cross-doc fingerprint join):
+    token hashes from md5 mod 2^20, polynomial fold base 131 mod 2^40,
+    so the arithmetic never leaves 48 bits. The per-token hash array is
+    computed ONCE per doc (one interpreted HOF pass); window expansion
+    is explode(sequence)+getItem arithmetic that stays in whole-stage
+    codegen. Map-only — callers choose the shuffle key.
+    """
+    toked = docs.select("doc_id", tokens("text").alias("t")).filter(
+        F.size("t") >= _RH_K
+    )
+    ha = F.transform(
+        F.col("t"),
+        lambda tok: F.conv(F.substring(F.md5(tok.cast("binary")), 1, 15), 16, 10)
+        .cast("bigint")
+        % _RH_M,
+    )
+    hashed = toked.select("doc_id", ha.alias("ha"))
+    exploded = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.size("ha") - _RH_K)).alias("i"),
+        "ha",
+    )
+    wh = F.col("ha")[F.col("i")]
+    for j in range(1, _RH_K):
+        wh = (wh * _RH_B + F.col("ha")[F.col("i") + j]) % _RH_P
+    return exploded.select("doc_id", wh.alias("wh"))
+
 _ROLLING_HASH_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -1485,32 +1517,137 @@ def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     imperative engine would slide the window incrementally; the
     declarative form computes each window independently, same values."""
     docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", tokens("text").alias("t")).filter(
-        F.size("t") >= _RH_K
-    )
-    ha = F.transform(
-        F.col("t"),
-        lambda tok: F.conv(F.substring(F.md5(tok.cast("binary")), 1, 15), 16, 10)
-        .cast("bigint")
-        % _RH_M,
-    )
-    hashed = toked.select("doc_id", ha.alias("ha"))
-    exploded = hashed.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.size("ha") - _RH_K)).alias("i"),
-        "ha",
-    )
-    wh = F.col("ha")[F.col("i")]
-    for j in range(1, _RH_K):
-        wh = (wh * _RH_B + F.col("ha")[F.col("i") + j]) % _RH_P
     return (
-        exploded.select("doc_id", wh.alias("wh"))
+        window_hash_rows(docs)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
             F.min("wh").alias("fp_min"),
             F.countDistinct("wh").alias("fp_distinct"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_substring_dup — cross-document EXACT-SUBSTRING duplication (the Lee
+# et al. "Deduplicating Training Data Makes Language Models Better"
+# tier): document pairs sharing >= 3 distinct 4-token Karp-Rabin window
+# fingerprints, i.e. pairs containing verbatim copied spans. This is the
+# dedup waterfall's missing rung between q_dedup_docs (whole-text exact)
+# and q_near_dedup (shingle Jaccard): it catches a paragraph pasted into
+# an otherwise-different page, which whole-text hashing misses and
+# symmetric Jaccard under-scores. Scale shape: the fingerprint table
+# shuffles keyed by window hash (never text), posting lists are capped
+# at _HOT_SHINGLE_CAP docs (boilerplate windows — cap applied in BOTH
+# engines so the key stays exact if it fires), pair expansion is
+# bounded by cap^2 per window, and the result-sized pair list is
+# broadcast through the size joins. Nothing is all-pairs.
+# ---------------------------------------------------------------------------
+
+_SUBDUP_MIN_SHARED = 3  # distinct shared windows to call it a dup pair
+
+# Shared CTE fragments (no leading WITH): the window-fingerprint base and
+# the qualifying-pair derivation, spliced into this key's oracle AND the
+# waterfall's so both engines and both keys share one pair definition.
+_WINDOW_HASH_CTE = f"""
+toks_rh AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+h_rh AS (
+  SELECT doc_id,
+         list_transform(t, tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT
+                                  % {_RH_M}) AS ha,
+         len(t) AS n
+  FROM toks_rh WHERE len(t) >= {_RH_K}
+),
+w_rh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, n - {_RH_K - 2}),
+           i -> ((((ha[i] * {_RH_B} + ha[i+1]) % {_RH_P}) * {_RH_B} + ha[i+2])
+                 % {_RH_P} * {_RH_B} + ha[i+3]) % {_RH_P})) AS wh
+  FROM h_rh
+),
+dw_rh AS (SELECT DISTINCT doc_id, wh FROM w_rh)
+"""
+
+_SUBDUP_PAIRS_CTE = f"""
+ok_rh AS (
+  SELECT wh FROM dw_rh
+  GROUP BY wh HAVING count(*) BETWEEN 2 AND {_HOT_SHINGLE_CAP}
+),
+dwf_rh AS (SELECT dw_rh.* FROM dw_rh JOIN ok_rh USING (wh)),
+sub_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM dwf_rh a JOIN dwf_rh b ON a.wh = b.wh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {_SUBDUP_MIN_SHARED}
+)
+"""
+
+_SUBDUP_ORACLE = f"""
+WITH {_WINDOW_HASH_CTE.strip()},
+{_SUBDUP_PAIRS_CTE.strip()},
+sz_rh AS (SELECT doc_id, count(*) AS nw FROM dw_rh GROUP BY doc_id)
+SELECT doc_a, doc_b, n_shared,
+       CAST(n_shared * 1000000 // (sa.nw + sb.nw - n_shared) AS BIGINT)
+         AS overlap_e6
+FROM sub_pairs
+JOIN sz_rh sa ON sa.doc_id = doc_a
+JOIN sz_rh sb ON sb.doc_id = doc_b
+"""
+
+
+def substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, n_shared) — qualifying substring-dup pairs.
+
+    Session-persisted per (sf_dir): q_substring_dup and the waterfall's
+    substring rung both probe the same materialized pair list instead of
+    re-running the fingerprint shuffle.
+    """
+
+    def _build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        dw = window_hash_rows(docs).distinct()
+        grouped = (
+            dw.groupBy("wh")
+            .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+            .filter((F.size("ds") >= 2) & (F.size("ds") <= _HOT_SHINGLE_CAP))
+        )
+        e1 = grouped.select("ds", F.posexplode("ds").alias("i", "doc_a"))
+        return (
+            e1.select(
+                "doc_a",
+                F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias(
+                    "doc_b"
+                ),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= _SUBDUP_MIN_SHARED)
+        )
+
+    return session_persisted(spark, ("substring_dup_pairs", sf_dir), _build)
+
+
+@register("q_substring_dup", oracle=_SUBDUP_ORACLE)
+def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = substring_dup_pairs(spark, sf_dir)
+    sizes = (
+        window_hash_rows(docs)
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nw"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nw").alias("nw_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nw").alias("nw_b"))
+    # Broadcast the result-sized PAIR list, never the corpus-sized
+    # fingerprint-count table (q_minhash_estimate's join shape).
+    with_a = sa.join(F.broadcast(pairs), "doc_a")
+    return sb.join(F.broadcast(with_a), "doc_b").select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        F.expr("n_shared * 1000000 div (nw_a + nw_b - n_shared)").alias(
+            "overlap_e6"
+        ),
     )
 
 
@@ -2950,18 +3087,32 @@ def q_dedup_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q_dedup_waterfall — the pipeline waterfall every data team tracks:
 # one row showing corpus size shrinking through the cleaning stages —
-# raw docs → exact-unique texts → near-dup cluster survivors (min-id) →
-# survivors that are also free of test-set 8-gram contamination — with
-# integer e6 retention ratios stage-over-stage. Every stage reuses an
-# already-verified operator's semantics (exact dedup, connected-
-# component survivors, n-gram decontamination), so this key certifies
-# their COMPOSITION: the numbers a run report would publish.
+# raw docs → exact-unique texts → substring-clean exact reps (the Lee et
+# al. exact-substring tier via q_substring_dup's fingerprint pairs) →
+# near-dup cluster survivors (min-id) → survivors that are also free of
+# test-set 8-gram contamination — with integer e6 retention ratios.
+# substring_keep_e6 and near_keep_e6 are both measured against the
+# exact-unique stage (the substring and shingle tiers audit the same
+# base from two angles; neither is a subset of the other). Every stage
+# reuses an already-verified operator's semantics (exact dedup,
+# substring fingerprint pairs, connected-component survivors, n-gram
+# decontamination), so this key certifies their COMPOSITION: the
+# numbers a run report would publish.
 # ---------------------------------------------------------------------------
 
 _WATERFALL_ORACLE = (
     "WITH comp_full AS MATERIALIZED ("
     + _DUP_CLUSTERS_ORACLE
     + f"""),
+{_WINDOW_HASH_CTE.strip()},
+{_SUBDUP_PAIRS_CTE.strip()},
+exact_reps AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+sub_kept AS (
+  SELECT doc_id FROM exact_reps
+  WHERE doc_id NOT IN (SELECT doc_b FROM sub_pairs)
+),
 survivors AS (
   SELECT c.doc_id FROM comp_full c WHERE c.rep_id = c.doc_id
 ),
@@ -2987,6 +3138,7 @@ counts AS (
   SELECT
     (SELECT count(*) FROM documents) AS n_raw,
     (SELECT count(DISTINCT md5(text)) FROM documents) AS n_exact_unique,
+    (SELECT count(*) FROM sub_kept) AS n_substring_kept,
     (SELECT count(*) FROM survivors) AS n_near_survivors,
     (SELECT count(*) FROM survivors s
        JOIN tok2 t ON t.doc_id = s.doc_id
@@ -2994,8 +3146,10 @@ counts AS (
          OR s.doc_id NOT IN (SELECT doc_id FROM contaminated))
       AS n_clean
 )
-SELECT n_raw, n_exact_unique, n_near_survivors, n_clean,
+SELECT n_raw, n_exact_unique, n_substring_kept, n_near_survivors, n_clean,
        CAST(n_exact_unique * 1000000 // n_raw AS BIGINT) AS exact_keep_e6,
+       CAST(n_substring_kept * 1000000 // n_exact_unique AS BIGINT)
+         AS substring_keep_e6,
        CAST(n_near_survivors * 1000000 // n_exact_unique AS BIGINT)
          AS near_keep_e6,
        CAST(n_clean * 1000000 // n_near_survivors AS BIGINT) AS clean_keep_e6
@@ -3011,6 +3165,18 @@ def q_dedup_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_raw = docs.count()
     n_exact = docs.select(F.md5(F.col("text").cast("binary"))).distinct().count()
+    # Substring rung (Lee et al. exact-substring tier): exact-dedup
+    # representatives that do NOT contain a span already seen in an
+    # earlier doc (= never the doc_b of a qualifying fingerprint pair).
+    exact_reps = (
+        docs.groupBy(F.md5(F.col("text").cast("binary")))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    sub_dropped = substring_dup_pairs(spark, sf_dir).select(
+        F.col("doc_b").alias("doc_id")
+    )
+    n_sub_kept = exact_reps.join(sub_dropped, "doc_id", "left_anti").count()
     comp = QUERIES["q_dup_clusters"](spark, sf_dir).select("doc_id", "rep_id")
     survivors = comp.filter(F.col("rep_id") == F.col("doc_id")).select("doc_id")
     n_surv = survivors.count()
@@ -3040,18 +3206,20 @@ def q_dedup_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             n_raw,
             n_exact,
+            n_sub_kept,
             n_surv,
             n_clean,
             n_exact * 1_000_000 // n_raw,
+            n_sub_kept * 1_000_000 // n_exact,
             n_surv * 1_000_000 // n_exact,
             n_clean * 1_000_000 // n_surv,
         )
     ]
     return spark.createDataFrame(
         row,
-        "n_raw bigint, n_exact_unique bigint, n_near_survivors bigint, "
-        "n_clean bigint, exact_keep_e6 bigint, near_keep_e6 bigint, "
-        "clean_keep_e6 bigint",
+        "n_raw bigint, n_exact_unique bigint, n_substring_kept bigint, "
+        "n_near_survivors bigint, n_clean bigint, exact_keep_e6 bigint, "
+        "substring_keep_e6 bigint, near_keep_e6 bigint, clean_keep_e6 bigint",
     )
 
 

@@ -1970,3 +1970,110 @@ def q_stream_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bp.cast("long").alias("error_bp"),
         alerts.error_alert(bp).alias("alert"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_listener — per-batch progress observability via the
+# StreamingQueryListener API (r5 verdict item 6): the third leg of the
+# streaming audit surface beside state introspection
+# (q_stream_state_inspect) and in-job metrics (q_observed_metrics). The
+# events table is split into four replay files by event_id % 4 (ordered
+# mtimes; the file source consumes oldest-first with
+# maxFilesPerTrigger=1), a listener registered on the SparkSession bus
+# captures every onQueryProgress for THIS query id, and the captured
+# (batchId, numInputRows) telemetry is returned AS DATA — so the oracle
+# can check it exactly: batch i ingested precisely the residue-i file.
+# This is the hook a production monitor exports to metrics backends;
+# here the export target is the correctness harness itself.
+# ---------------------------------------------------------------------------
+
+_LISTENER_CHUNKS = 4
+
+_STREAM_LISTENER_ORACLE = f"""
+SELECT event_id % {_LISTENER_CHUNKS} AS batch_id,
+       count(*) AS num_input_rows
+FROM events
+GROUP BY 1
+"""
+
+
+@register("q_stream_listener", oracle=_STREAM_LISTENER_ORACLE)
+def q_stream_listener(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.listener import StreamingQueryListener
+
+    ensure_session_confs(spark)
+    kind = _events_ts_kind(spark, sf_dir)
+    schema = _events_raw_schema(kind)
+    work = tempfile.mkdtemp(prefix="ingest_listener_")
+    raw = spark.read.schema(schema).parquet(table_path(sf_dir, "events"))
+    os.makedirs(f"{work}/replay")
+    now = time.time()
+    for i in range(_LISTENER_CHUNKS):
+        raw.filter(F.col("event_id") % _LISTENER_CHUNKS == i).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{work}/c{i}")
+        [part] = glob.glob(f"{work}/c{i}/part-*.parquet")
+        dst = f"{work}/replay/chunk_{i}.parquet"
+        shutil.copy(part, dst)
+        # Explicit increasing mtimes pin replay order = residue order.
+        os.utime(dst, (now - 60 + i, now - 60 + i))
+
+    progress: list[tuple[int, int]] = []
+
+    class _CaptureListener(StreamingQueryListener):
+        """Appends (batchId, numInputRows) for the watched query id."""
+
+        watched_id: str | None = None
+
+        def onQueryStarted(self, event) -> None:
+            pass
+
+        def onQueryProgress(self, event) -> None:
+            p = event.progress
+            if str(p.id) == self.watched_id:
+                progress.append((int(p.batchId), int(p.numInputRows)))
+
+        def onQueryIdle(self, event) -> None:
+            pass
+
+        def onQueryTerminated(self, event) -> None:
+            pass
+
+    listener = _CaptureListener()
+    spark.streams.addListener(listener)
+    try:
+        ev = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(f"{work}/replay")
+        name = f"sink_{uuid.uuid4().hex[:12]}"
+        q = (
+            ev.select("event_id")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        _CaptureListener.watched_id = str(q.id)
+        try:
+            q.processAllAvailable()
+            # The listener bus is asynchronous: progress events can trail
+            # processAllAvailable(). Convergence-poll (bounded) until all
+            # non-empty batches have been delivered to the Python side.
+            deadline = time.monotonic() + 60
+            while (
+                sum(1 for _, n in progress if n > 0) < _LISTENER_CHUNKS
+            ):
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        "listener progress events did not arrive: "
+                        f"{progress!r}"
+                    )
+                time.sleep(0.2)
+        finally:
+            q.stop()
+    finally:
+        spark.streams.removeListener(listener)
+    rows = [(b, n) for b, n in progress if n > 0]
+    return spark.createDataFrame(
+        rows, "batch_id bigint, num_input_rows bigint"
+    )
