@@ -50,7 +50,10 @@ from data_ingestion_service_spark.operators.llm import (
     doc_shingles,
     near_dup_pairs,
 )
-from data_ingestion_service_spark.operators.llm_extended import _DUP_CLUSTERS_ORACLE
+from data_ingestion_service_spark.operators.llm_extended import (
+    _DUP_CLUSTERS_ORACLE,
+    _EMBED_NEAR_DUP_ORACLE,
+)
 from data_ingestion_service_spark.registry import register
 from data_ingestion_service_spark.session import session_persisted
 
@@ -3284,4 +3287,310 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(leaked, F.col("n_te")).otherwise(0))
         .cast("long")
         .alias("n_test_docs_exposed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_rrf_fusion — hybrid retrieval via reciprocal-rank fusion (Cormack et
+# al.): the BM25 keyword top-20 (q_bm25's exact construction) and the
+# embedding-cosine top-20 against probe vector 0 (q_knn_self's) are
+# fused by RRF(d) = Σ_lists 1/(60 + rank_list(d)), the standard way a
+# production retrieval stack combines sparse and dense scores without
+# tuning. The per-list term is integer fixed-point (1e6 div (60+rank)),
+# so the fused score is an exact BIGINT in both engines; ranks are
+# computed over the 4dp-ROUNDED scores with id tiebreak, so last-ulp
+# float noise cannot flip a rank. Scale shape: both candidate lists are
+# top-k results (TakeOrderedAndProject over the corpus — no global
+# sort); everything after is a 40-row driver-sized fusion.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TOP = 20
+
+_RRF_ORACLE = f"""
+WITH bm AS ({_BM25_ORACLE}),
+bmr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm
+  FROM bm
+),
+probe AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0),
+cos20 AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], probe.p), 4) AS cs
+  FROM embeddings e CROSS JOIN probe
+  WHERE e.vec_id <> 0
+  ORDER BY cs DESC, e.vec_id
+  LIMIT {_RRF_TOP}
+),
+cr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id) AS r_cos
+  FROM cos20
+),
+fused AS (
+  SELECT coalesce(bmr.doc_id, cr.doc_id) AS doc_id, bmr.r_bm, cr.r_cos,
+         coalesce(1000000 // (60 + bmr.r_bm), 0)
+           + coalesce(1000000 // (60 + cr.r_cos), 0) AS rrf_e6
+  FROM bmr FULL OUTER JOIN cr ON cr.doc_id = bmr.doc_id
+)
+SELECT doc_id,
+       CAST(coalesce(r_bm, 0) AS BIGINT) AS bm25_rank,
+       CAST(coalesce(r_cos, 0) AS BIGINT) AS cos_rank,
+       CAST(rrf_e6 AS BIGINT) AS rrf_e6
+FROM fused
+ORDER BY rrf_e6 DESC, doc_id
+LIMIT 10
+"""
+
+
+@register("q_rrf_fusion", oracle=_RRF_ORACLE)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from data_ingestion_service_spark.registry import QUERIES
+
+    bm = QUERIES["q_bm25"](spark, sf_dir)
+    # 20-row ranked lists: single-partition windows are driver-sized by
+    # construction (top-k already ran distributed upstream).
+    bmr = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("r_bm"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        as_double("embedding").alias("p")
+    )
+    cos20 = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(as_double("embedding"), F.col("p")), 4).alias("cs"),
+        )
+        .orderBy(F.desc("cs"), F.asc("doc_id"))
+        .limit(_RRF_TOP)
+    )
+    cr = cos20.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cs"), F.asc("doc_id")))
+        .alias("r_cos"),
+    )
+    fused = bmr.join(cr, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce(F.col("r_bm"), F.lit(0)).cast("bigint").alias("bm25_rank"),
+        F.coalesce(F.col("r_cos"), F.lit(0)).cast("bigint").alias("cos_rank"),
+        (
+            F.coalesce(F.expr(f"1000000 div ({_RRF_K} + r_bm)"), F.lit(0))
+            + F.coalesce(F.expr(f"1000000 div ({_RRF_K} + r_cos)"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("rrf_e6"),
+    )
+    return fused.orderBy(F.desc("rrf_e6"), F.asc("doc_id")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# q_dsir_weights — DSIR importance-resampling weights (Xie et al., "Data
+# Selection for Language Models via Importance Resampling"): hashed
+# bigram features (8192 buckets, the paper's hashed n-gram model), a
+# target distribution estimated from the held-out split and a raw
+# distribution from the train split (q_train_test_split's hash split),
+# and per-raw-doc log importance weight Σ_features log(p_target/p_raw)
+# with add-1 smoothing. The per-bucket log-ratio is floored to e6
+# fixed-point BEFORE the per-doc sum (q_lm_score's discipline), so the
+# weight is an associative BIGINT sum — immune to distributed
+# accumulation order. Scale shape: the model is ≤8192 rows regardless
+# of corpus size (broadcast by construction); two shuffles — bucket
+# counts and the per-doc sum. At petabyte counts the smoothed ratio
+# should be computed in log space (log2 of each factor) to keep the
+# intermediate products under 2^53; at any realizable fixture tier the
+# single-log2 exact-integer-ratio form used here is bit-identical
+# across engines.
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 8192
+
+_DSIR_ORACLE = f"""
+WITH tagged AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' AS is_raw
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, is_raw,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+           AS bg
+  FROM tagged WHERE len(t) >= 2
+),
+bb AS (
+  SELECT doc_id, is_raw,
+         ('0x' || substr(md5(bg), 1, 15))::BIGINT % {_DSIR_BUCKETS} AS b
+  FROM bi
+),
+cnt AS (
+  SELECT b,
+         CAST(sum(CASE WHEN is_raw THEN 1 ELSE 0 END) AS BIGINT) AS rc,
+         CAST(sum(CASE WHEN is_raw THEN 0 ELSE 1 END) AS BIGINT) AS tc
+  FROM bb GROUP BY b
+),
+tot AS (
+  SELECT CAST(sum(rc) AS BIGINT) AS r_tot, CAST(sum(tc) AS BIGINT) AS t_tot
+  FROM cnt
+),
+terms AS (
+  SELECT b,
+         CAST(floor(log2(
+           ((tc + 1.0) * (r_tot + {_DSIR_BUCKETS}.0))
+           / ((rc + 1.0) * (t_tot + {_DSIR_BUCKETS}.0))
+         ) * 1000000) AS BIGINT) AS term_e6
+  FROM cnt CROSS JOIN tot
+)
+SELECT doc_id,
+       count(*) AS n_feats,
+       CAST(sum(term_e6) AS BIGINT) AS weight_e6
+FROM bb JOIN terms USING (b)
+WHERE is_raw
+GROUP BY doc_id
+"""
+
+
+@register("q_dsir_weights", oracle=_DSIR_ORACLE)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_raw = (
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+        < "c"
+    )
+    tagged = docs.select("doc_id", is_raw.alias("is_raw"))
+    bb = (
+        shingle_rows(docs, 2)
+        .join(tagged, "doc_id")
+        .select(
+            "doc_id",
+            "is_raw",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("shingle").cast("binary")), 1, 15),
+                    16,
+                    10,
+                ).cast("bigint")
+                % _DSIR_BUCKETS
+            ).alias("b"),
+        )
+    )
+    cnt = bb.groupBy("b").agg(
+        F.sum(F.col("is_raw").cast("long")).cast("bigint").alias("rc"),
+        F.sum((~F.col("is_raw")).cast("long")).cast("bigint").alias("tc"),
+    )
+    tot = cnt.agg(
+        F.sum("rc").cast("bigint").alias("r_tot"),
+        F.sum("tc").cast("bigint").alias("t_tot"),
+    )
+    ratio = ((F.col("tc") + 1.0) * (F.col("r_tot") + float(_DSIR_BUCKETS))) / (
+        (F.col("rc") + 1.0) * (F.col("t_tot") + float(_DSIR_BUCKETS))
+    )
+    terms = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.floor(F.log2(ratio) * 1000000).cast("bigint").alias("term_e6"),
+    )
+    # The model table is bounded by the bucket count (<= 8192 rows) no
+    # matter the corpus size — broadcast it into the feature stream.
+    return (
+        bb.filter(F.col("is_raw"))
+        .join(F.broadcast(terms), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("term_e6").cast("bigint").alias("weight_e6"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_semdedup — SemDeDup (Abbas et al.): semantic deduplication by
+# clustering the embedding space and removing near-duplicates WITHIN
+# each cluster — the cross-cluster blindness is the technique's own
+# documented approximation (clusters scale with corpus size, so
+# within-cluster work stays constant per cluster). Cells here are the
+# deterministic 4-plane sign-LSH buckets (q_knn_lsh's construction);
+# the qualifying cosine pairs come from q_embed_near_dup's verified
+# pruned-block-matmul engine (exact, threshold 0.45), so this key adds
+# the SemDeDup decision layer: within a cell, every vector with a
+# lower-id partner above threshold is dropped (keep-first). Reports
+# per-cell corpus reduction. Scale shape: the pair list is result-sized
+# and broadcasts through the two bucket joins; the bucket signature is
+# a map-only pass. At production scale cells come from k-means with
+# k ∝ N (q_knn_ivf_kmeans shows the assignment pass).
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_ORACLE = f"""
+WITH ep AS ({_EMBED_NEAR_DUP_ORACLE}),
+sigs AS (
+  SELECT vec_id,
+         {" + ".join(f"(CASE WHEN {_sql_proj(p)} >= 0 THEN {1 << p} ELSE 0 END)" for p in range(_LSH_PLANES))}
+           AS bucket
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+),
+dropped AS (
+  SELECT DISTINCT ep.vec_b AS vec_id
+  FROM ep
+  JOIN sigs sa ON sa.vec_id = ep.vec_a
+  JOIN sigs sb ON sb.vec_id = ep.vec_b
+  WHERE sa.bucket = sb.bucket
+)
+SELECT s.bucket,
+       count(*) AS n_vecs,
+       CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM sigs s LEFT JOIN dropped d ON d.vec_id = s.vec_id
+GROUP BY s.bucket
+"""
+
+
+@register("q_semdedup", oracle=_SEMDEDUP_ORACLE)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_service_spark.registry import QUERIES
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = as_double("embedding")
+
+    def proj(p: int):
+        w = F.array(*[F.lit(v) for v in _LSH_SIGNS[p]])
+        return F.aggregate(
+            F.zip_with(e, w, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = None
+    for p in range(_LSH_PLANES):
+        bit = F.when(proj(p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    sigs = emb.select("vec_id", bucket.alias("bucket"))
+    pairs = QUERIES["q_embed_near_dup"](spark, sf_dir).select("vec_a", "vec_b")
+    sa = sigs.select(F.col("vec_id").alias("vec_a"), F.col("bucket").alias("b_a"))
+    sb = sigs.select(F.col("vec_id").alias("vec_b"), F.col("bucket").alias("b_b"))
+    # Result-sized pair list broadcasts through both bucket lookups; the
+    # corpus-sized signature table never moves.
+    pa = sa.join(F.broadcast(pairs), "vec_a")
+    dropped = (
+        sb.join(F.broadcast(pa), "vec_b")
+        .filter(F.col("b_a") == F.col("b_b"))
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    flagged = sigs.join(
+        dropped.withColumn("is_dropped", F.lit(1)), "vec_id", "left"
+    )
+    return flagged.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.when(F.col("is_dropped").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.sum(F.when(F.col("is_dropped").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
     )
