@@ -1457,7 +1457,9 @@ def window_hash_rows(docs: DataFrame) -> DataFrame:
     so the arithmetic never leaves 48 bits. The per-token hash array is
     computed ONCE per doc (one interpreted HOF pass); window expansion
     is explode(sequence)+getItem arithmetic that stays in whole-stage
-    codegen. Map-only — callers choose the shuffle key.
+    codegen. Map-only — callers choose the shuffle key. Also carries the
+    0-based window position ``i`` (q_winnowing_select needs it; position
+    -agnostic consumers drop it before any distinct).
     """
     toked = docs.select("doc_id", tokens("text").alias("t")).filter(
         F.size("t") >= _RH_K
@@ -1477,7 +1479,7 @@ def window_hash_rows(docs: DataFrame) -> DataFrame:
     wh = F.col("ha")[F.col("i")]
     for j in range(1, _RH_K):
         wh = (wh * _RH_B + F.col("ha")[F.col("i") + j]) % _RH_P
-    return exploded.select("doc_id", wh.alias("wh"))
+    return exploded.select("doc_id", "i", wh.alias("wh"))
 
 _ROLLING_HASH_ORACLE = f"""
 WITH toks AS (
@@ -1607,7 +1609,7 @@ def substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
-        dw = window_hash_rows(docs).distinct()
+        dw = window_hash_rows(docs).select("doc_id", "wh").distinct()
         grouped = (
             dw.groupBy("wh")
             .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
@@ -1635,6 +1637,7 @@ def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = substring_dup_pairs(spark, sf_dir)
     sizes = (
         window_hash_rows(docs)
+        .select("doc_id", "wh")
         .distinct()
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("nw"))
@@ -3593,4 +3596,197 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_dropped").isNull(), 1).otherwise(0))
         .cast("bigint")
         .alias("n_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_winnowing_select — actual winnowing fingerprint SELECTION (Schleimer
+# et al., MOSS): q_rolling_hash computes every window's Karp-Rabin hash;
+# winnowing then keeps only the MINIMUM hash of each sliding window of
+# w=4 consecutive window positions, guaranteeing at least one shared
+# fingerprint for any match of length >= w+k-1 tokens while storing a
+# ~2/(w+1) fraction of hashes — the standard way a 100 TB substring
+# index stays sub-corpus-sized. Per-doc windowed min (window partitioned
+# by doc_id — embarrassingly parallel across docs, no cross-doc
+# shuffle), then the distinct selected set per doc. Both engines run the
+# identical ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING frame over the
+# identical integer hashes.
+# ---------------------------------------------------------------------------
+
+_WINNOW_W = 4  # window positions per winnowing frame
+
+_WINNOWING_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+h AS (
+  SELECT doc_id,
+         list_transform(t, tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT
+                                  % {_RH_M}) AS ha,
+         len(t) AS n
+  FROM toks WHERE len(t) >= {_RH_K}
+),
+w AS (
+  SELECT doc_id, s.i AS i, s.wh AS wh
+  FROM h, unnest(list_transform(range(1, n - {_RH_K - 2}),
+    i -> {{'i': i,
+          'wh': ((((ha[i] * {_RH_B} + ha[i+1]) % {_RH_P}) * {_RH_B} + ha[i+2])
+                 % {_RH_P} * {_RH_B} + ha[i+3]) % {_RH_P}}})) AS u(s)
+),
+framed AS (
+  SELECT doc_id, i,
+         min(wh) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+           AS wmin,
+         count(*) OVER (PARTITION BY doc_id) AS n_windows
+  FROM w
+),
+full_frames AS (
+  -- 1-based i: frame [i, i+3] fits iff i + 3 <= n_windows
+  SELECT doc_id, wmin FROM framed WHERE i <= n_windows - {_WINNOW_W - 1}
+)
+SELECT doc_id,
+       count(*) AS n_frames,
+       count(DISTINCT wmin) AS n_fingerprints,
+       min(wmin) AS fp_min
+FROM full_frames
+GROUP BY doc_id
+"""
+
+
+@register("q_winnowing_select", oracle=_WINNOWING_ORACLE)
+def q_winnowing_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = window_hash_rows(docs)
+    # Spark positions are 0-based (oracle's 1-based): the frame content
+    # is shift-invariant, so both engines select identical hash sets.
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, _WINNOW_W - 1)
+    )
+    per_doc = Window.partitionBy("doc_id")
+    framed = rows.select(
+        "doc_id",
+        "i",
+        F.min("wh").over(frame).alias("wmin"),
+        F.count(F.lit(1)).over(per_doc).alias("n_windows"),
+    )
+    full = framed.filter(F.col("i") <= F.col("n_windows") - _WINNOW_W)
+    return full.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct("wmin").alias("n_fingerprints"),
+        F.min("wmin").alias("fp_min"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_doc_chunking — fixed-size overlapping token chunking (the RAG /
+# embedding-pipeline primitive): each document becomes ceil-strided
+# chunks of 32 tokens with stride 24 (8-token overlap), each chunk
+# carrying its token count and an md5 checksum of its joined text so
+# the chunk CONTENT is verified cross-engine, not just the counts.
+# Map-only explode(sequence)+slice — no shuffle at all, the ideal
+# 100 TB shape; downstream embedding/indexing stages consume the chunk
+# stream partition-parallel.
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+
+_CHUNKING_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+c AS (
+  SELECT doc_id,
+         unnest(range(0, (len(t) - 1) // {_CHUNK_STRIDE} + 1)) AS chunk_id,
+         t
+  FROM toks
+)
+SELECT doc_id, chunk_id,
+       CAST(len(t[chunk_id * {_CHUNK_STRIDE} + 1 :
+                  chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE}]) AS BIGINT)
+         AS n_tokens,
+       md5(list_aggregate(t[chunk_id * {_CHUNK_STRIDE} + 1 :
+                            chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE}],
+                          'string_agg', ' ')) AS chunk_md5
+FROM c
+"""
+
+
+@register("q_doc_chunking", oracle=_CHUNKING_ORACLE)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens("text").alias("t"))
+    c = toked.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(0, (size(t) - 1) div {_CHUNK_STRIDE})")
+        ).alias("chunk_id"),
+        "t",
+    )
+    chunk = F.slice(
+        F.col("t"), F.col("chunk_id") * _CHUNK_STRIDE + 1, _CHUNK_SIZE
+    )
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ").cast("binary")).alias("chunk_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_data_card — the one-row corpus datasheet a training-data release
+# ships (Datasheets for Datasets, Gebru et al.): volume (docs, tokens,
+# chars), provenance spread (sources, languages), and integrity
+# (exact-duplicate rate) in exact integers. Two corpus scans — one
+# map-side aggregate over everything, one md5-digest distinct — and a
+# 1-row result; every number is an associative integer aggregate, so
+# the card is reproducible at any cluster size.
+# ---------------------------------------------------------------------------
+
+_DATA_CARD_ORACLE = """
+WITH base AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         count(DISTINCT source) AS n_sources,
+         count(DISTINCT lang) AS n_langs
+  FROM documents
+),
+uniq AS (SELECT count(DISTINCT md5(text)) AS n_exact_unique FROM documents)
+SELECT n_docs, n_tokens, n_chars, n_sources, n_langs, n_exact_unique,
+       CAST((n_docs - n_exact_unique) * 1000000 // n_docs AS BIGINT)
+         AS exact_dup_rate_e6,
+       CAST(n_tokens * 100 // n_docs AS BIGINT) AS avg_tokens_e2
+FROM base CROSS JOIN uniq
+"""
+
+
+@register("q_data_card", oracle=_DATA_CARD_ORACLE)
+def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    uniq = docs.agg(
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias(
+            "n_exact_unique"
+        )
+    )
+    return base.crossJoin(F.broadcast(uniq)).select(
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_sources",
+        "n_langs",
+        "n_exact_unique",
+        F.expr("(n_docs - n_exact_unique) * 1000000 div n_docs").alias(
+            "exact_dup_rate_e6"
+        ),
+        F.expr("n_tokens * 100 div n_docs").alias("avg_tokens_e2"),
     )

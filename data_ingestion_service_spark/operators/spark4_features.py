@@ -370,3 +370,41 @@ def q_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 100000, "status": "F"},
     )
+
+
+# ---------------------------------------------------------------------------
+# q_lateral_topk — LATERAL correlated subquery (SQL:1999 lateral derived
+# table, supported by Spark's analyzer via DecorrelateInnerQuery): for
+# each BUILDING-segment customer, the top-2 orders by price straight
+# from a correlated ORDER BY ... LIMIT subquery — the form an analyst
+# writes, vs the window-function rewrite q_window_rank demonstrates.
+# Catalyst decorrelates the lateral into a join + per-key limit (no
+# per-row re-execution), so the plan scales like the window form: one
+# shuffle keyed by custkey, segment filter pushed to the customer scan.
+# Both engines run the same SQL text modulo view names.
+# ---------------------------------------------------------------------------
+
+
+def _lateral_sql(customer: str, orders: str) -> str:
+    return f"""
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM {customer} c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM {orders}
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) o
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+_LATERAL_ORACLE = _lateral_sql("customer", "orders")
+
+
+@register("q_lateral_topk", oracle=_LATERAL_ORACLE)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_cust_lat")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_ord_lat")
+    return spark.sql(_lateral_sql("v_cust_lat", "v_ord_lat"))
