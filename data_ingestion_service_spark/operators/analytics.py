@@ -370,3 +370,168 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("last_ewma_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_sessionize_gap — BATCH sessionization by inactivity gap (the classic
+# lag + cumulative-flag rewrite): a user's events start a new session
+# whenever more than 30 minutes pass since their previous event; each
+# session reports its span and size. This is the batch twin of the
+# streaming session_window keys (q_events_session/q_stream_session_window)
+# — same 30-minute gap rule, expressed as two per-user window passes
+# (lag to flag boundaries, running sum to number sessions) plus one
+# aggregation. All three shuffles are keyed by user_id and the total
+# order (ts, event_id) is deterministic, so both engines see identical
+# session ids. Integer epoch seconds throughout.
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_SEC = 1800
+
+_SESSIONIZE_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, es,
+         CASE WHEN es - lag(es) OVER (PARTITION BY user_id
+                                      ORDER BY es, event_id)
+                   > {_SESSION_GAP_SEC}
+              OR lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id)
+                   IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+),
+numbered AS (
+  SELECT user_id, es,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY es, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       count(*) AS n_events,
+       min(es) AS start_epoch,
+       max(es) - min(es) AS duration_sec
+FROM numbered
+GROUP BY user_id, session_no
+"""
+
+
+@register("q_sessionize_gap", oracle=_SESSIONIZE_ORACLE)
+def q_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("es"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    prev = F.lag("es").over(w)
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "es",
+        F.when(
+            prev.isNull() | ((F.col("es") - prev) > _SESSION_GAP_SEC), 1
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "es",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("session_no"),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("es").alias("start_epoch"),
+        (F.max("es") - F.min("es")).alias("duration_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_regression_trend — per-event-type linear trend of hourly volume via
+# EXACT integer sufficient statistics: x = hour index since the first
+# hour, y = events in that hour; slope/intercept come from (n, Σx, Σy,
+# Σxy, Σx²) accumulated as BIGINTs — associative and order-independent,
+# where the builtin regr_slope's internal double accumulation would be
+# at the mercy of partition order. One shuffle for the hourly rollup,
+# one 1-row-per-type aggregate; the final division is the only float
+# and both engines divide the same two integers. The production use is
+# drift/trend detection over ingest volume.
+# ---------------------------------------------------------------------------
+
+_REG_TREND_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600 AS h,
+         count(*) AS y
+  FROM events
+  GROUP BY 1, 2
+),
+based AS (
+  SELECT event_type, h - min(h) OVER () AS x, y FROM hourly
+),
+stats AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM based GROUP BY event_type
+)
+SELECT event_type, n,
+       round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6)
+         AS slope_per_hour,
+       round((sy * sxx - sx * sxy) * 1.0 / (n * sxx - sx * sx), 4)
+         AS intercept
+FROM stats
+"""
+
+
+@register("q_regression_trend", oracle=_REG_TREND_ORACLE)
+def q_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        (
+            F.unix_timestamp(F.date_trunc("hour", "ts")).cast("bigint")
+            / F.lit(3600)
+        )
+        .cast("bigint")
+        .alias("h"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    based = hourly.select(
+        "event_type",
+        (F.col("h") - F.min("h").over(Window.partitionBy())).alias("x"),
+        "y",
+    )
+    stats = based.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return stats.select(
+        "event_type",
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0 / det,
+            6,
+        ).alias("slope_per_hour"),
+        F.round(
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
+            * 1.0
+            / det,
+            4,
+        ).alias("intercept"),
+    )

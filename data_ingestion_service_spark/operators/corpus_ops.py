@@ -3790,3 +3790,186 @@ def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("n_tokens * 100 div n_docs").alias("avg_tokens_e2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_cross_source_leak — provenance audit: duplicated content FLOWING
+# BETWEEN sources (syndicated/boilerplate material a per-source dedup
+# would miss, and double-counted provenance in the data card's source
+# mix). Per unordered source pair, two tiers of the same audit: exact —
+# md5-identical texts present in both sources — and near — Jaccard
+# near-dup pairs (the shared pair index) whose endpoints live in
+# different sources. One digest aggregation plus a pair-index join;
+# text never shuffles, and the near tier broadcasts the result-sized
+# pair list into the (doc_id, source) projection.
+# ---------------------------------------------------------------------------
+
+_CROSS_SOURCE_ORACLE = (
+    "WITH nd AS MATERIALIZED ("
+    + _NEAR_DEDUP_ORACLE
+    + """),
+np AS (
+  SELECT least(da.source, db.source) AS source_lo,
+         greatest(da.source, db.source) AS source_hi,
+         count(*) AS n_near_pairs
+  FROM nd
+  JOIN documents da ON da.doc_id = nd.doc_a
+  JOIN documents db ON db.doc_id = nd.doc_b
+  WHERE da.source <> db.source
+  GROUP BY 1, 2
+),
+ds AS (SELECT DISTINCT md5(text) AS h, source FROM documents),
+ep AS (
+  SELECT a.source AS source_lo, b.source AS source_hi,
+         count(*) AS n_exact_texts
+  FROM ds a JOIN ds b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT coalesce(np.source_lo, ep.source_lo) AS source_lo,
+       coalesce(np.source_hi, ep.source_hi) AS source_hi,
+       CAST(coalesce(n_near_pairs, 0) AS BIGINT) AS n_near_pairs,
+       CAST(coalesce(n_exact_texts, 0) AS BIGINT) AS n_exact_texts
+FROM np
+FULL OUTER JOIN ep
+  ON ep.source_lo = np.source_lo AND ep.source_hi = np.source_hi
+"""
+)
+
+
+@register("q_cross_source_leak", oracle=_CROSS_SOURCE_ORACLE)
+def q_cross_source_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    src = docs.select("doc_id", "source")
+    pairs = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sa = src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+        "source", "src_a"
+    )
+    sb = src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+        "source", "src_b"
+    )
+    with_a = sa.join(F.broadcast(pairs), "doc_a")
+    np_df = (
+        sb.join(F.broadcast(with_a), "doc_b")
+        .filter(F.col("src_a") != F.col("src_b"))
+        .select(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(F.count(F.lit(1)).alias("n_near_pairs"))
+    )
+    ds = docs.select(
+        F.md5(F.col("text").cast("binary")).alias("h"), "source"
+    ).distinct()
+    ep_df = (
+        ds.alias("a")
+        .join(
+            ds.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .select(
+            F.col("a.source").alias("source_lo"),
+            F.col("b.source").alias("source_hi"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(F.count(F.lit(1)).alias("n_exact_texts"))
+    )
+    joined = np_df.alias("np").join(
+        ep_df.alias("ep"),
+        (F.col("np.source_lo") == F.col("ep.source_lo"))
+        & (F.col("np.source_hi") == F.col("ep.source_hi")),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce(F.col("np.source_lo"), F.col("ep.source_lo")).alias(
+            "source_lo"
+        ),
+        F.coalesce(F.col("np.source_hi"), F.col("ep.source_hi")).alias(
+            "source_hi"
+        ),
+        F.coalesce(F.col("n_near_pairs"), F.lit(0))
+        .cast("bigint")
+        .alias("n_near_pairs"),
+        F.coalesce(F.col("n_exact_texts"), F.lit(0))
+        .cast("bigint")
+        .alias("n_exact_texts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_contrastive_triplets — training-pair mining for embedding models
+# (SimCSE/E5-style): each near-dup anchor yields one (anchor, positive,
+# negative) triplet — positive = its lowest-id near-duplicate, negative
+# = the lowest-id SAME-SOURCE document that is neither the anchor nor
+# any of the anchor's near-dup partners (an in-domain hard-ish negative
+# rather than a trivially-unrelated one). Deterministic by construction
+# (min-id choices), so both engines emit identical triplets. Scale
+# shape: anchors are pair-index-sized (small) and broadcast into the
+# corpus scan; the exclusion is a result-sized anti-join; nothing
+# corpus×corpus.
+# ---------------------------------------------------------------------------
+
+_CONTRASTIVE_ORACLE = (
+    "WITH nd AS MATERIALIZED ("
+    + _NEAR_DEDUP_ORACLE
+    + """),
+anchors AS (
+  SELECT doc_a AS anchor, min(doc_b) AS positive FROM nd GROUP BY doc_a
+),
+partners AS (
+  SELECT doc_a AS anchor, doc_b AS partner FROM nd
+  UNION ALL
+  SELECT doc_b, doc_a FROM nd
+),
+asrc AS (
+  SELECT a.anchor, a.positive, d.source
+  FROM anchors a JOIN documents d ON d.doc_id = a.anchor
+),
+cands AS (
+  SELECT s.anchor, s.positive, d.doc_id AS cand
+  FROM asrc s JOIN documents d ON d.source = s.source
+  WHERE d.doc_id <> s.anchor
+    AND NOT EXISTS (SELECT 1 FROM partners p
+                    WHERE p.anchor = s.anchor AND p.partner = d.doc_id)
+)
+SELECT anchor, positive, min(cand) AS negative
+FROM cands
+GROUP BY anchor, positive
+"""
+)
+
+
+@register("q_contrastive_triplets", oracle=_CONTRASTIVE_ORACLE)
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    anchors = (
+        pairs.groupBy("doc_a")
+        .agg(F.min("doc_b").alias("positive"))
+        .withColumnRenamed("doc_a", "anchor")
+    )
+    partners = pairs.select(
+        F.col("doc_a").alias("anchor"), F.col("doc_b").alias("partner")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("anchor"), F.col("doc_a").alias("partner"))
+    )
+    asrc = anchors.join(
+        docs.withColumnRenamed("doc_id", "anchor"), "anchor"
+    )
+    # Pair-index-sized anchor table broadcasts into the corpus scan; each
+    # corpus row meets only its source's anchors.
+    cands = docs.join(F.broadcast(asrc), "source").filter(
+        F.col("doc_id") != F.col("anchor")
+    )
+    cands = cands.join(
+        F.broadcast(partners),
+        (cands["anchor"] == partners["anchor"])
+        & (cands["doc_id"] == partners["partner"]),
+        "left_anti",
+    )
+    return cands.groupBy("anchor", "positive").agg(
+        F.min("doc_id").alias("negative")
+    )
