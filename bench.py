@@ -74,6 +74,24 @@ VARIANT_OPS = [
     "q_dup_clusters_pj",
 ]
 
+# Round-6 additions: NEW capabilities (not variants of counted ones),
+# reported as their own JSON group so llm_ops_total stays comparable
+# round-over-round. Substring-tier dedup, winnowing selection, DSIR
+# weights, SemDeDup, tokenizer application, chunking, sessionization,
+# triplet mining, RRF retrieval, the datasheet.
+CORPUS_OPS_R6 = [
+    "q_substring_dup",
+    "q_winnowing_select",
+    "q_doc_chunking",
+    "q_dsir_weights",
+    "q_semdedup",
+    "q_bpe_tokenize",
+    "q_sessionize_gap",
+    "q_contrastive_triplets",
+    "q_rrf_fusion",
+    "q_data_card",
+]
+
 
 def _median(vals: list[float]) -> float:
     s = sorted(vals)
@@ -172,6 +190,15 @@ def main() -> None:
             vals.append(time.monotonic() - t0)
         variant_timings[key] = round(_median(vals), 4)
 
+    r6_timings: dict[str, float] = {}
+    for key in [k for k in CORPUS_OPS_R6 if k in QUERIES]:
+        vals = []
+        for _ in range(N_SAMPLES):
+            t0 = time.monotonic()
+            QUERIES[key](spark, sf_dir).collect()
+            vals.append(time.monotonic() - t0)
+        r6_timings[key] = round(_median(vals), 4)
+
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -189,6 +216,8 @@ def main() -> None:
                 "llm_ops": llm_timings,
                 "llm_ops_total": round(sum(llm_timings.values()), 4),
                 "variants": variant_timings,
+                "corpus_ops_r6": r6_timings,
+                "corpus_ops_r6_total": round(sum(r6_timings.values()), 4),
                 "n_registered_queries": len(QUERIES),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

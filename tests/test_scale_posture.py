@@ -626,3 +626,41 @@ def test_stream_listener_batches_match_files(spark, sf_dir):
     from data_ingestion_service_spark.catalog import load_table
 
     assert sum(got.values()) == load_table(spark, sf_dir, "events").count()
+
+
+def test_doc_chunking_is_map_only(spark, sf_dir):
+    """q_doc_chunking must be a pure map: no exchange anywhere in the
+    plan — chunking a 100 TB corpus must not shuffle it."""
+    plan = formatted_plan(QUERIES["q_doc_chunking"](spark, sf_dir))
+    assert "Exchange" not in plan, "chunking introduced a shuffle"
+
+
+def test_dsir_model_is_broadcast(spark, sf_dir):
+    """q_dsir_weights' per-bucket model (<= 8192 rows by construction)
+    must broadcast into the feature stream — never a corpus-side
+    shuffle join against the model."""
+    plan = formatted_plan(QUERIES["q_dsir_weights"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_winnowing_frames_stay_per_doc(spark, sf_dir):
+    """q_winnowing_select's windowed min is partitioned by doc_id (frame
+    work parallel across docs); a global window here would serialize
+    the corpus through one partition."""
+    plan = formatted_plan(QUERIES["q_winnowing_select"](spark, sf_dir))
+    import re
+
+    # every Window operator in the plan must carry a doc_id partition key
+    for m in re.finditer(r"Arguments: \[[^\]]*windowspecdefinition\(([^,]+),", plan):
+        assert "doc_id" in m.group(1), f"global window found: {m.group(0)[:120]}"
+
+
+def test_contrastive_anchors_broadcast(spark, sf_dir):
+    """q_contrastive_triplets joins the pair-index-sized anchor table
+    into the corpus via broadcast; no nested-loop or corpus x corpus
+    shape."""
+    plan = formatted_plan(QUERIES["q_contrastive_triplets"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
