@@ -3973,3 +3973,70 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.groupBy("anchor", "positive").agg(
         F.min("doc_id").alias("negative")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_l_diversity — the audit k-anonymity misses: an equivalence class can
+# satisfy k >= 5 yet expose its members' SENSITIVE attribute if every
+# member shares one value (homogeneity attack, Machanavajjhala et al.).
+# Per quasi-identifier class (nation x market segment), count distinct
+# sensitive values (the account-balance sign+band here) and flag
+# classes below l=2 — a class of any size where all members share one
+# band leaks that band for anyone re-identified INTO the class. Same
+# one-shuffle GROUP BY cost as q_k_anonymity; the two keys together
+# form the release gate.
+# ---------------------------------------------------------------------------
+
+_L_DIVERSITY_L = 2
+
+_L_DIVERSITY_ORACLE = f"""
+WITH tagged AS (
+  SELECT c_nationkey, c_mktsegment,
+         CASE WHEN c_acctbal < 0 THEN 'neg'
+              WHEN c_acctbal < 5000 THEN 'low'
+              ELSE 'high' END AS bal_band
+  FROM customer
+),
+classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         count(*) AS class_size,
+         count(DISTINCT bal_band) AS l_distinct
+  FROM tagged GROUP BY 1, 2
+)
+SELECT c_nationkey,
+       count(*) AS n_classes,
+       CAST(sum(CASE WHEN l_distinct < {_L_DIVERSITY_L} THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_homogeneous_classes,
+       CAST(sum(CASE WHEN l_distinct < {_L_DIVERSITY_L} THEN class_size
+                ELSE 0 END) AS BIGINT) AS n_rows_exposed,
+       CAST(min(l_distinct) AS BIGINT) AS min_l
+FROM classes
+GROUP BY c_nationkey
+"""
+
+
+@register("q_l_diversity", oracle=_L_DIVERSITY_ORACLE)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    classes = (
+        cust.select("c_nationkey", "c_mktsegment", band.alias("bal_band"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct("bal_band").alias("l_distinct"),
+        )
+    )
+    low = F.col("l_distinct") < _L_DIVERSITY_L
+    return classes.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(low.cast("long")).cast("long").alias("n_homogeneous_classes"),
+        F.sum(F.when(low, F.col("class_size")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_exposed"),
+        F.min("l_distinct").cast("long").alias("min_l"),
+    )

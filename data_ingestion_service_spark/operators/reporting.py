@@ -874,3 +874,112 @@ def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "li_orphan_suppliers bigint, o_orphan_customers bigint, "
         "ev_orphan_users bigint, c_orphan_nations bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# q_benford_audit — Benford's-law first-digit screen over order totals:
+# the classic forensic-accounting test for fabricated or truncated
+# monetary data. The observed first-digit shares of o_totalprice (as
+# integer CENTS — first digit taken from the exact integer's decimal
+# string, never from float formatting) are compared against the Benford
+# expectation log10(1 + 1/d), both in e6 fixed point; the expectation
+# constants are Python-computed literals inlined into BOTH engines, so
+# the comparison is pure integer arithmetic. One map-side digit extract
+# + one 9-group aggregate — audit cost is a GROUP BY at any scale.
+# ---------------------------------------------------------------------------
+
+_BENFORD_E6 = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {v}" for d, v in _BENFORD_E6.items()
+)
+
+_BENFORD_ORACLE = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+),
+tot AS (SELECT count(*) AS n_total FROM digits)
+SELECT digit,
+       count(*) AS n,
+       CAST(count(*) * 1000000 // n_total AS BIGINT) AS observed_e6,
+       CAST(CASE digit {_BENFORD_CASE} END AS BIGINT) AS benford_e6,
+       CAST(count(*) * 1000000 // n_total
+            - CASE digit {_BENFORD_CASE} END AS BIGINT) AS delta_e6
+FROM digits CROSS JOIN tot
+GROUP BY digit, n_total
+"""
+
+
+@register("q_benford_audit", oracle=_BENFORD_ORACLE)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    digits = orders.select(
+        F.substring(cents.cast("string"), 1, 1).cast("bigint").alias("digit")
+    )
+    tot = digits.agg(F.count(F.lit(1)).alias("n_total"))
+    benford = F.expr(f"CASE digit {_BENFORD_CASE} END").cast("bigint")
+    observed = F.expr("n * 1000000 div n_total")
+    return (
+        digits.crossJoin(F.broadcast(tot))
+        .groupBy("digit", "n_total")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "digit",
+            "n",
+            observed.alias("observed_e6"),
+            benford.alias("benford_e6"),
+            (observed - benford).cast("bigint").alias("delta_e6"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_gdpr_erasure — right-to-be-forgotten simulation: erase one user's
+# events (the per-user anti-join a DSR pipeline runs against every
+# table keyed by the subject) and emit the tombstone audit a compliance
+# log requires: rows removed, rows remaining, distinct users remaining,
+# and an integrity checksum (BIGINT sum of remaining event_ids — an
+# associative, order-independent digest both engines compute
+# identically) proving exactly the subject's rows and nothing else were
+# dropped. Erasure itself is a pushed-down filter (row-group skipping
+# on user_id at scale); the audit is one aggregate over the survivor
+# scan.
+# ---------------------------------------------------------------------------
+
+_GDPR_SUBJECT = 7
+
+_GDPR_ORACLE = f"""
+WITH survivors AS (
+  SELECT * FROM events WHERE user_id <> {_GDPR_SUBJECT}
+)
+SELECT
+  (SELECT count(*) FROM events WHERE user_id = {_GDPR_SUBJECT})
+    AS n_erased,
+  (SELECT count(*) FROM survivors) AS n_remaining,
+  (SELECT count(DISTINCT user_id) FROM survivors) AS n_users_remaining,
+  (SELECT CAST(sum(event_id) AS BIGINT) FROM survivors)
+    AS remaining_id_checksum
+"""
+
+
+@register("q_gdpr_erasure", oracle=_GDPR_ORACLE)
+def q_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    erased = ev.filter(F.col("user_id") == _GDPR_SUBJECT).count()
+    audit = ev.filter(F.col("user_id") != _GDPR_SUBJECT).agg(
+        F.count(F.lit(1)).alias("n_remaining"),
+        F.countDistinct("user_id").alias("n_users_remaining"),
+        F.sum("event_id").cast("bigint").alias("remaining_id_checksum"),
+    )
+    return audit.select(
+        F.lit(erased).cast("bigint").alias("n_erased"),
+        "n_remaining",
+        "n_users_remaining",
+        "remaining_id_checksum",
+    )
