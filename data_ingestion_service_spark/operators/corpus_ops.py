@@ -4040,3 +4040,218 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_rows_exposed"),
         F.min("l_distinct").cast("long").alias("min_l"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_incremental — INCREMENTAL admission dedup: the production
+# shape at 100 TB is never "re-dedup the whole corpus", it is "admit
+# today's batch against the historical index". Incoming docs (hash
+# split, ~19%) are checked against the historical majority in two
+# tiers: exact (md5 digest membership — a semi-join against the digest
+# index) and near (the shared Jaccard pair index, filtered to
+# historical↔incoming pairs). Per source: incoming volume, drops per
+# tier (exact wins when both fire), admissions. Every structure probed
+# here is the one the batch pipeline already maintains — the marginal
+# cost of admission is two result-sized joins, not a corpus re-scan.
+# ---------------------------------------------------------------------------
+
+_INCR_ORACLE = (
+    "WITH nd AS MATERIALIZED ("
+    + _NEAR_DEDUP_ORACLE
+    + """),
+tagged AS (
+  SELECT doc_id, source, md5(text) AS h,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'd' AS is_incoming
+  FROM documents
+),
+hist_digests AS (SELECT DISTINCT h FROM tagged WHERE NOT is_incoming),
+near_dropped AS (
+  SELECT DISTINCT t.doc_id
+  FROM tagged t
+  JOIN (SELECT doc_a AS x, doc_b AS y FROM nd
+        UNION ALL SELECT doc_b, doc_a FROM nd) p ON p.x = t.doc_id
+  JOIN tagged o ON o.doc_id = p.y
+  WHERE t.is_incoming AND NOT o.is_incoming
+),
+verdicts AS (
+  SELECT t.source,
+         CASE WHEN t.h IN (SELECT h FROM hist_digests) THEN 'exact'
+              WHEN t.doc_id IN (SELECT doc_id FROM near_dropped) THEN 'near'
+              ELSE 'admit' END AS verdict
+  FROM tagged t WHERE t.is_incoming
+)
+SELECT source,
+       count(*) AS n_incoming,
+       CAST(sum(CASE WHEN verdict = 'exact' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped_exact,
+       CAST(sum(CASE WHEN verdict = 'near' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped_near,
+       CAST(sum(CASE WHEN verdict = 'admit' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_admitted
+FROM verdicts
+GROUP BY source
+"""
+)
+
+
+@register("q_dedup_incremental", oracle=_INCR_ORACLE)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_incoming = (
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+        >= "d"
+    )
+    tagged = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        is_incoming.alias("is_incoming"),
+    )
+    hist_digests = (
+        tagged.filter(~F.col("is_incoming")).select("h").distinct()
+    )
+    pairs = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    directed = pairs.select(
+        F.col("doc_a").alias("x"), F.col("doc_b").alias("y")
+    ).unionAll(pairs.select(F.col("doc_b").alias("x"), F.col("doc_a").alias("y")))
+    flags = tagged.select("doc_id", "is_incoming")
+    near_dropped = (
+        directed.join(
+            flags.withColumnRenamed("doc_id", "x").withColumnRenamed(
+                "is_incoming", "in_x"
+            ),
+            "x",
+        )
+        .join(
+            flags.withColumnRenamed("doc_id", "y").withColumnRenamed(
+                "is_incoming", "in_y"
+            ),
+            "y",
+        )
+        .filter(F.col("in_x") & ~F.col("in_y"))
+        .select(F.col("x").alias("doc_id"))
+        .distinct()
+    )
+    incoming = tagged.filter(F.col("is_incoming"))
+    # Digest semi-join carries only (h); the near-drop list is result-
+    # sized and broadcast.
+    exact_hit = incoming.join(
+        hist_digests.withColumn("exact_hit", F.lit(1)), "h", "left"
+    )
+    both = exact_hit.join(
+        F.broadcast(near_dropped.withColumn("near_hit", F.lit(1))),
+        "doc_id",
+        "left",
+    )
+    verdict = (
+        F.when(F.col("exact_hit").isNotNull(), "exact")
+        .when(F.col("near_hit").isNotNull(), "near")
+        .otherwise("admit")
+    )
+    return (
+        both.select("source", verdict.alias("verdict"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_incoming"),
+            F.sum((F.col("verdict") == "exact").cast("long"))
+            .cast("long")
+            .alias("n_dropped_exact"),
+            F.sum((F.col("verdict") == "near").cast("long"))
+            .cast("long")
+            .alias("n_dropped_near"),
+            F.sum((F.col("verdict") == "admit").cast("long"))
+            .cast("long")
+            .alias("n_admitted"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_quality_ensemble — the multi-signal quality GATE in one scan: three
+# per-doc signals (token volume, vocabulary diversity = distinct/total
+# token ratio, duplicated-bigram fraction) computed entirely with array
+# HOFs inside the document scan — no explode, no per-signal shuffle, no
+# join between signal pipelines — then one rollup of per-source pass
+# rates. This is the composed filter a curation pipeline runs before
+# the expensive dedup stages; at 100 TB it is one map pass + one tiny
+# shuffle. Ratios are integer e6 (counts divided as BIGINTs), so the
+# gate decision is bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+_QE_MIN_TOKENS = 10
+_QE_MIN_DISTINCT_E6 = 300_000  # >= 30% distinct tokens
+_QE_MAX_DUP_BIGRAM_E6 = 600_000  # <= 60% duplicated bigrams
+
+_QUALITY_ENSEMBLE_ORACLE = f"""
+WITH sig AS (
+  SELECT source,
+         len(t) AS n_tokens,
+         len(list_distinct(t)) * 1000000 // len(t) AS distinct_e6,
+         CASE WHEN len(t) >= 2 THEN
+           (len(bg) - len(list_distinct(bg))) * 1000000 // len(bg)
+         ELSE 0 END AS dup_bigram_e6
+  FROM (
+    SELECT source, t,
+           list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg
+    FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+  )
+),
+gated AS (
+  SELECT source,
+         n_tokens >= {_QE_MIN_TOKENS}
+           AND distinct_e6 >= {_QE_MIN_DISTINCT_E6}
+           AND dup_bigram_e6 <= {_QE_MAX_DUP_BIGRAM_E6} AS pass
+  FROM sig
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) * 1000000 // count(*)
+         AS BIGINT) AS pass_rate_e6
+FROM gated
+GROUP BY source
+"""
+
+
+@register("q_quality_ensemble", oracle=_QUALITY_ENSEMBLE_ORACLE)
+def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    bg = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i]))"
+    )
+    n_tokens = F.size(t).cast("bigint")
+    distinct_e6 = F.expr(
+        "size(array_distinct(split(text, ' '))) * 1000000"
+        " div size(split(text, ' '))"
+    )
+    dup_bigram_e6 = F.when(
+        n_tokens >= 2,
+        (F.size(bg) - F.size(F.array_distinct(bg))).cast("bigint")
+        * 1000000
+        / F.size(bg),
+    ).otherwise(0)
+    sig = docs.select(
+        "source",
+        n_tokens.alias("n_tokens"),
+        distinct_e6.alias("distinct_e6"),
+        dup_bigram_e6.cast("bigint").alias("dup_bigram_e6"),
+    )
+    gate = (
+        (F.col("n_tokens") >= _QE_MIN_TOKENS)
+        & (F.col("distinct_e6") >= _QE_MIN_DISTINCT_E6)
+        & (F.col("dup_bigram_e6") <= _QE_MAX_DUP_BIGRAM_E6)
+    )
+    return sig.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(gate.cast("long")).cast("long").alias("n_pass"),
+        F.expr(
+            f"sum(CASE WHEN n_tokens >= {_QE_MIN_TOKENS}"
+            f" AND distinct_e6 >= {_QE_MIN_DISTINCT_E6}"
+            f" AND dup_bigram_e6 <= {_QE_MAX_DUP_BIGRAM_E6}"
+            " THEN 1 ELSE 0 END) * 1000000 div count(*)"
+        )
+        .cast("bigint")
+        .alias("pass_rate_e6"),
+    )
