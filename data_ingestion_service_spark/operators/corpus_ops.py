@@ -4216,23 +4216,22 @@ GROUP BY source
 @register("q_quality_ensemble", oracle=_QUALITY_ENSEMBLE_ORACLE)
 def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    t = tokens("text")
-    bg = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1), "
-        "i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i]))"
-    )
-    n_tokens = F.size(t).cast("bigint")
+    # Tokenize ONCE into a projected column: a `split(text)` inside the
+    # HOF lambda is re-evaluated per ELEMENT on the interpreted HOF path
+    # (measured 41s -> ~4s at sf1 for this exact key).
+    toked = docs.select("source", tokens("text").alias("t"))
+    bg = F.expr("transform(sequence(1, size(t) - 1), i -> concat(t[i - 1], ' ', t[i]))")
+    n_tokens = F.size("t").cast("bigint")
     distinct_e6 = F.expr(
-        "size(array_distinct(split(text, ' '))) * 1000000"
-        " div size(split(text, ' '))"
+        "size(array_distinct(t)) * 1000000 div size(t)"
     )
     dup_bigram_e6 = F.when(
         n_tokens >= 2,
-        (F.size(bg) - F.size(F.array_distinct(bg))).cast("bigint")
-        * 1000000
-        / F.size(bg),
+        F.expr(
+            "(size(bg) - size(array_distinct(bg))) * 1000000 div size(bg)"
+        ),
     ).otherwise(0)
-    sig = docs.select(
+    sig = toked.withColumn("bg", bg).select(
         "source",
         n_tokens.alias("n_tokens"),
         distinct_e6.alias("distinct_e6"),
