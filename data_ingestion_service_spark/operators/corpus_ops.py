@@ -4254,3 +4254,173 @@ def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pass_rate_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_eval_metrics — distributed evaluation of a weak classifier: predict
+# each vector's label as the MAJORITY label of its 4-plane sign-LSH
+# bucket (deterministic tie-break: smallest label), then emit the
+# confusion matrix against the embeddings table's ground-truth labels.
+# This is the eval loop a model-quality pipeline runs at corpus scale:
+# one map pass for signatures, one bucket-majority aggregate (16 rows),
+# broadcast back, one (label, predicted) rollup. All counts exact
+# integers; the bucket construction is the same md5-literal hyperplane
+# spec both engines share.
+# ---------------------------------------------------------------------------
+
+_EVAL_ORACLE = f"""
+WITH sigs AS (
+  SELECT vec_id, label,
+         {" + ".join(f"(CASE WHEN {_sql_proj(p)} >= 0 THEN {1 << p} ELSE 0 END)" for p in range(_LSH_PLANES))}
+           AS bucket
+  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+),
+bucket_counts AS (
+  SELECT bucket, label, count(*) AS c FROM sigs GROUP BY 1, 2
+),
+majority AS (
+  SELECT bucket, label AS predicted
+  FROM (
+    SELECT bucket, label,
+           row_number() OVER (PARTITION BY bucket ORDER BY c DESC, label) AS rn
+    FROM bucket_counts
+  )
+  WHERE rn = 1
+)
+SELECT s.label, m.predicted, count(*) AS n
+FROM sigs s JOIN majority m ON m.bucket = s.bucket
+GROUP BY 1, 2
+"""
+
+
+@register("q_eval_metrics", oracle=_EVAL_ORACLE)
+def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = as_double("embedding")
+
+    def proj(p: int):
+        w = F.array(*[F.lit(v) for v in _LSH_SIGNS[p]])
+        return F.aggregate(
+            F.zip_with(e, w, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = None
+    for p in range(_LSH_PLANES):
+        bit = F.when(proj(p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    sigs = emb.select("vec_id", "label", bucket.alias("bucket"))
+    counts = sigs.groupBy("bucket", "label").agg(F.count(F.lit(1)).alias("c"))
+    rn = F.row_number().over(
+        Window.partitionBy("bucket").orderBy(F.desc("c"), F.asc("label"))
+    )
+    majority = (
+        counts.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("bucket", F.col("label").alias("predicted"))
+    )
+    # 16-row majority table broadcast back over the signature stream.
+    return (
+        sigs.join(F.broadcast(majority), "bucket")
+        .groupBy("label", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_ab_test — two-proportion A/B significance: users hash-split into
+# variants (md5 first hex < '8' → A, the reproducible-assignment idiom
+# every experiment framework needs), conversion = the user's FIRST
+# event is a purchase (a per-user binary with ~1/5 base rate at every
+# tier — "has any purchase" saturates to 100% as events-per-user grows,
+# a degenerate metric whose pooled variance is zero), and the pooled
+# two-proportion z-score decides significance.
+# Counts and the e6 rates are exact integers; the z-score's doubles are
+# built from those exact integers with one division chain and one IEEE
+# sqrt (correctly rounded — identical in both engines), rounded 4dp.
+# One user-keyed aggregate + a 2-row rollup: experiment readout costs a
+# GROUP BY at any scale.
+# ---------------------------------------------------------------------------
+
+_AB_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS is_a,
+         max(CASE WHEN rn = 1 AND event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM ordered
+  GROUP BY user_id
+),
+v AS (
+  SELECT
+    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+    CAST(sum(CASE WHEN is_a THEN converted ELSE 0 END) AS BIGINT) AS ca,
+    CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+    CAST(sum(CASE WHEN is_a THEN 0 ELSE converted END) AS BIGINT) AS cb
+  FROM per_user
+)
+SELECT na, ca, nb, cb,
+       CAST(ca * 1000000 // na AS BIGINT) AS rate_a_e6,
+       CAST(cb * 1000000 // nb AS BIGINT) AS rate_b_e6,
+       round((ca * 1.0 / na - cb * 1.0 / nb)
+             / sqrt(((ca + cb) * 1.0 / (na + nb))
+                    * (1 - (ca + cb) * 1.0 / (na + nb))
+                    * (1.0 / na + 1.0 / nb)), 4) AS z_score
+FROM v
+"""
+
+
+@register("q_ab_test", oracle=_AB_ORACLE)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    per_user = (
+        ev.select("user_id", "event_type", rn.alias("rn"))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("rn") == 1) & (F.col("event_type") == "purchase"), 1
+                ).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    is_a = (
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1)
+        < "8"
+    )
+    v = per_user.select(is_a.alias("is_a"), "converted").agg(
+        F.sum(F.col("is_a").cast("long")).cast("bigint").alias("na"),
+        F.sum(F.when(F.col("is_a"), F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum((~F.col("is_a")).cast("long")).cast("bigint").alias("nb"),
+        F.sum(F.when(~F.col("is_a"), F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    pool = (F.col("ca") + F.col("cb")) * 1.0 / (F.col("na") + F.col("nb"))
+    z = (
+        F.col("ca") * 1.0 / F.col("na") - F.col("cb") * 1.0 / F.col("nb")
+    ) / F.sqrt(pool * (1 - pool) * (1.0 / F.col("na") + 1.0 / F.col("nb")))
+    return v.select(
+        "na",
+        "ca",
+        "nb",
+        "cb",
+        F.expr("ca * 1000000 div na").alias("rate_a_e6"),
+        F.expr("cb * 1000000 div nb").alias("rate_b_e6"),
+        F.round(z, 4).alias("z_score"),
+    )
