@@ -486,10 +486,12 @@ stats AS (
   FROM based GROUP BY event_type
 )
 SELECT event_type, n,
-       round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6)
-         AS slope_per_hour,
-       round((sy * sxx - sx * sxy) * 1.0 / (n * sxx - sx * sx), 4)
-         AS intercept
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6)
+       END AS slope_per_hour,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE round((sy * sxx - sx * sxy) * 1.0 / (n * sxx - sx * sx), 4)
+       END AS intercept
 FROM stats
 """
 
@@ -521,17 +523,27 @@ def q_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
     )
     det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # det = 0 (a type seen in exactly one hour) must yield NULL in both
+    # engines — ANSI Spark raises on the division, DuckDB emits inf.
     return stats.select(
         "event_type",
         "n",
-        F.round(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0 / det,
-            6,
+        F.when(
+            det != 0,
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                * 1.0
+                / det,
+                6,
+            ),
         ).alias("slope_per_hour"),
-        F.round(
-            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
-            * 1.0
-            / det,
-            4,
+        F.when(
+            det != 0,
+            F.round(
+                (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
+                * 1.0
+                / det,
+                4,
+            ),
         ).alias("intercept"),
     )

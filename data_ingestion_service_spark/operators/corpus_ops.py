@@ -4370,10 +4370,12 @@ v AS (
 SELECT na, ca, nb, cb,
        CAST(ca * 1000000 // na AS BIGINT) AS rate_a_e6,
        CAST(cb * 1000000 // nb AS BIGINT) AS rate_b_e6,
-       round((ca * 1.0 / na - cb * 1.0 / nb)
-             / sqrt(((ca + cb) * 1.0 / (na + nb))
-                    * (1 - (ca + cb) * 1.0 / (na + nb))
-                    * (1.0 / na + 1.0 / nb)), 4) AS z_score
+       CASE WHEN ca + cb = 0 OR ca + cb = na + nb THEN NULL
+            ELSE round((ca * 1.0 / na - cb * 1.0 / nb)
+                       / sqrt(((ca + cb) * 1.0 / (na + nb))
+                              * (1 - (ca + cb) * 1.0 / (na + nb))
+                              * (1.0 / na + 1.0 / nb)), 4)
+       END AS z_score
 FROM v
 """
 
@@ -4415,6 +4417,11 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (
         F.col("ca") * 1.0 / F.col("na") - F.col("cb") * 1.0 / F.col("nb")
     ) / F.sqrt(pool * (1 - pool) * (1.0 / F.col("na") + 1.0 / F.col("nb")))
+    # A degenerate experiment (0% or 100% pooled conversion) has zero
+    # pooled variance: NULL z in both engines, never a division error.
+    degenerate = (F.col("ca") + F.col("cb") == 0) | (
+        F.col("ca") + F.col("cb") == F.col("na") + F.col("nb")
+    )
     return v.select(
         "na",
         "ca",
@@ -4422,5 +4429,5 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cb",
         F.expr("ca * 1000000 div na").alias("rate_a_e6"),
         F.expr("cb * 1000000 div nb").alias("rate_b_e6"),
-        F.round(z, 4).alias("z_score"),
+        F.when(~degenerate, F.round(z, 4)).alias("z_score"),
     )

@@ -2018,20 +2018,22 @@ def q_stream_listener(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Explicit increasing mtimes pin replay order = residue order.
         os.utime(dst, (now - 60 + i, now - 60 + i))
 
-    progress: list[tuple[int, int]] = []
+    progress: list[tuple[str, int, int]] = []
 
     class _CaptureListener(StreamingQueryListener):
-        """Appends (batchId, numInputRows) for the watched query id."""
-
-        watched_id: str | None = None
+        """Appends (query_id, batchId, numInputRows) for EVERY progress
+        event; the watched query is filtered at the end. Capturing
+        unconditionally avoids two races: a batch-0 progress event
+        arriving before the caller learns q.id, and progress from other
+        concurrent queries in the session (the bench thread pool) being
+        attributed to this one."""
 
         def onQueryStarted(self, event) -> None:
             pass
 
         def onQueryProgress(self, event) -> None:
             p = event.progress
-            if str(p.id) == self.watched_id:
-                progress.append((int(p.batchId), int(p.numInputRows)))
+            progress.append((str(p.id), int(p.batchId), int(p.numInputRows)))
 
         def onQueryIdle(self, event) -> None:
             pass
@@ -2053,7 +2055,7 @@ def q_stream_listener(spark: SparkSession, sf_dir: str) -> DataFrame:
             .outputMode("append")
             .start()
         )
-        _CaptureListener.watched_id = str(q.id)
+        watched = str(q.id)
         try:
             q.processAllAvailable()
             # The listener bus is asynchronous: progress events can trail
@@ -2061,7 +2063,8 @@ def q_stream_listener(spark: SparkSession, sf_dir: str) -> DataFrame:
             # non-empty batches have been delivered to the Python side.
             deadline = time.monotonic() + 60
             while (
-                sum(1 for _, n in progress if n > 0) < _LISTENER_CHUNKS
+                sum(1 for i, _, n in progress if i == watched and n > 0)
+                < _LISTENER_CHUNKS
             ):
                 if time.monotonic() > deadline:
                     raise TimeoutError(
@@ -2073,7 +2076,7 @@ def q_stream_listener(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     finally:
         spark.streams.removeListener(listener)
-    rows = [(b, n) for b, n in progress if n > 0]
+    rows = [(b, n) for i, b, n in progress if i == watched and n > 0]
     return spark.createDataFrame(
         rows, "batch_id bigint, num_input_rows bigint"
     )

@@ -664,3 +664,34 @@ def test_contrastive_anchors_broadcast(spark, sf_dir):
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_eval_majority_table_broadcast(spark, sf_dir):
+    """q_eval_metrics' 16-row bucket-majority table must broadcast back
+    over the signature stream — a corpus-side shuffle join against a
+    16-row table would be the wrong shape at any scale."""
+    plan = formatted_plan(QUERIES["q_eval_metrics"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_no_corpus_rescan_shapes(spark, sf_dir):
+    """q_dedup_incremental must stay result-sized on its joins: no
+    cartesian/nested-loop anywhere (admission is a digest semi-join plus
+    a broadcast of the near-drop list)."""
+    plan = formatted_plan(QUERIES["q_dedup_incremental"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_ensemble_single_scan(spark, sf_dir):
+    """q_quality_ensemble computes all three signals in ONE scan of
+    documents (no self-join, no second scan) and shuffles only the
+    per-source rollup."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_quality_ensemble"](spark, sf_dir))
+    # count detail-section scan nodes ("(n) Scan parquet"), not the tree
+    # echo of the same node
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, f"quality gate re-scanned the corpus ({n_scans} scans)"
