@@ -92,6 +92,21 @@ CORPUS_OPS_R6 = [
     "q_data_card",
 ]
 
+# Round-6 second wave: statistical mining + training-data-generation
+# operators (operators/mining.py) — again a NEW group so every prior
+# total stays comparable.
+MINING_OPS = [
+    "q_pmi_collocations",
+    "q_market_basket",
+    "q_gini",
+    "q_autocorr",
+    "q_anomaly_mad",
+    "q_weighted_sample",
+    "q_curriculum_order",
+    "q_span_corruption",
+    "q_embed_kmeans",
+]
+
 
 def _median(vals: list[float]) -> float:
     s = sorted(vals)
@@ -204,6 +219,15 @@ def main() -> None:
             vals.append(time.monotonic() - t0)
         r6_timings[key] = round(_median(vals), 4)
 
+    mining_timings: dict[str, float] = {}
+    for key in [k for k in MINING_OPS if k in QUERIES]:
+        vals = []
+        for _ in range(N_SAMPLES):
+            t0 = time.monotonic()
+            QUERIES[key](spark, sf_dir).collect()
+            vals.append(time.monotonic() - t0)
+        mining_timings[key] = round(_median(vals), 4)
+
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -225,6 +249,8 @@ def main() -> None:
                 "variants": variant_timings,
                 "corpus_ops_r6": r6_timings,
                 "corpus_ops_r6_total": round(sum(r6_timings.values()), 4),
+                "mining_ops": mining_timings,
+                "mining_ops_total": round(sum(mining_timings.values()), 4),
                 "n_registered_queries": len(QUERIES),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -1,0 +1,821 @@
+"""Statistical mining operators: collocation PMI, market-basket lift,
+concentration (Gini), autocorrelation, and robust (median/MAD) anomaly
+flags.
+
+All five follow the repo's cross-engine exactness discipline (SURVEY.md
+§5): counts and sufficient statistics accumulate as BIGINTs (associative,
+order-independent under distributed aggregation); the one floating-point
+step per key is a single division / log / sqrt of EXACT integers with
+identical expression structure in both engines, floored to e6 fixed-point
+so a last-ulp divergence cannot flip the hash.
+
+Scale shapes (100 TB): every key is one or two key-partitioned shuffles
+over the fact table plus a broadcast of a vocabulary-/calendar-bounded
+model table (unigram counts, brand totals, per-type medians). Nothing is
+all-pairs: the basket self-join fans out per-order (bounded by the brand
+count), and the PMI join probes a broadcast unigram table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_service_spark.catalog import load_table
+from data_ingestion_service_spark.functions.text import shingle_rows
+from data_ingestion_service_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# q_pmi_collocations — top bigram collocations by pointwise mutual
+# information: PMI(x,y) = log2( P(x,y) / (P(x)P(y)) ) with P(x,y) from
+# the bigram table and P(x) from the unigram table. The classic corpus-
+# statistics pass behind phrase detection and tokenizer pre-merging
+# (word2vec's phrase pass, Mikolov et al. use the same ratio).
+#
+# Exactness: all four counts are exact BIGINTs; the ratio is computed as
+# (n_xy/B) * (N/n_x) * (N/n_y) with identical parenthesization in both
+# engines — each factor is a correctly-rounded double quotient of exact
+# integers (all < 2^53), the product order is fixed, and the single log2
+# result is floored to e6.
+#
+# Scale: two count shuffles (bigrams, unigrams); the unigram model is
+# vocabulary-bounded and broadcast into the bigram stream twice (w1, w2);
+# top-100 is TakeOrderedAndProject. A 100 TB corpus changes the count
+# magnitudes, not the plan.
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+
+_PMI_ORACLE = f"""
+WITH uni AS (
+  SELECT t AS w, count(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  GROUP BY t
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_tokens,
+         CAST(sum(n) - count(*) AS BIGINT) AS n_bigrams_ub
+  FROM uni
+),
+bi AS (
+  SELECT bg, count(*) AS n_xy
+  FROM (
+    SELECT t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS bg
+    FROM (SELECT string_split(text, ' ') AS t FROM documents)
+    CROSS JOIN unnest(range(1, len(t))) AS u(i)
+    WHERE len(t) >= 2
+  )
+  GROUP BY bg
+),
+btot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS b_tot FROM bi)
+SELECT bg, n_xy,
+       CAST(floor(log2(
+         ((n_xy * 1.0 / b_tot))
+         * ((n_tokens * 1.0 / u1.n) * (n_tokens * 1.0 / u2.n))
+       ) * 1000000) AS BIGINT) AS pmi_e6
+FROM bi
+CROSS JOIN btot CROSS JOIN tot
+JOIN uni u1 ON u1.w = string_split(bg, ' ')[1]
+JOIN uni u2 ON u2.w = string_split(bg, ' ')[2]
+WHERE n_xy >= {_PMI_MIN_COUNT}
+ORDER BY pmi_e6 DESC, bg
+LIMIT 100
+"""
+
+
+@register("q_pmi_collocations", oracle=_PMI_ORACLE)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    uni = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = uni.agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        (F.sum("n") - F.count(F.lit(1))).cast("bigint").alias("n_bigrams_ub"),
+    )
+    bi = (
+        shingle_rows(docs, 2)
+        .groupBy(F.col("shingle").alias("bg"))
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    btot = bi.agg(F.sum("n_xy").cast("bigint").alias("b_tot"))
+    w1 = F.split(F.col("bg"), " ")[0]
+    w2 = F.split(F.col("bg"), " ")[1]
+    u1 = uni.select(F.col("w").alias("w1k"), F.col("n").alias("n_x"))
+    u2 = uni.select(F.col("w").alias("w2k"), F.col("n").alias("n_y"))
+    ratio = (F.col("n_xy") * 1.0 / F.col("b_tot")) * (
+        (F.col("n_tokens") * 1.0 / F.col("n_x"))
+        * (F.col("n_tokens") * 1.0 / F.col("n_y"))
+    )
+    return (
+        bi.filter(F.col("n_xy") >= _PMI_MIN_COUNT)
+        .crossJoin(F.broadcast(btot))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(u1), w1 == F.col("w1k"))
+        .join(F.broadcast(u2), w2 == F.col("w2k"))
+        .select(
+            "bg",
+            "n_xy",
+            F.floor(F.log2(ratio) * 1000000).cast("bigint").alias("pmi_e6"),
+        )
+        .orderBy(F.desc("pmi_e6"), F.asc("bg"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_market_basket — brand co-purchase association rules over orders:
+# support and lift for every brand pair appearing in the same order.
+# lift(a,b) = P(a,b) / (P(a)P(b)) over the order universe — the
+# Agrawal/Srikant frequent-itemset statistics at the pair level, the
+# shape recommendation candidates start from.
+#
+# Basket fanout is bounded by construction: an order holds at most 25
+# distinct brands, so the within-order pair join emits O(brands²) rows
+# per order — a constant — never a corpus-sized cross product. Brand
+# order-counts (≤25 rows) broadcast into the pair stream. Lift's two
+# quotients are doubles of exact BIGINTs with fixed structure, e6-floored.
+# ---------------------------------------------------------------------------
+
+_BASKET_ORACLE = """
+WITH baskets AS (
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+o AS (SELECT count(DISTINCT ok) AS n_orders FROM baskets),
+singles AS (SELECT b, count(*) AS n_b FROM baskets GROUP BY b),
+pairs AS (
+  SELECT a.b AS brand_a, c.b AS brand_b, count(*) AS n_ab
+  FROM baskets a JOIN baskets c ON a.ok = c.ok AND a.b < c.b
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, n_ab,
+       n_ab * 1000000 // n_orders AS support_e6,
+       CAST(floor(
+         ((n_ab * 1.0 / n_orders))
+         / ((sa.n_b * 1.0 / n_orders) * (sb.n_b * 1.0 / n_orders))
+         * 1000000
+       ) AS BIGINT) AS lift_e6
+FROM pairs
+CROSS JOIN o
+JOIN singles sa ON sa.b = brand_a
+JOIN singles sb ON sb.b = brand_b
+"""
+
+
+@register("q_market_basket", oracle=_BASKET_ORACLE)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    baskets = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    o = baskets.agg(F.countDistinct("ok").alias("n_orders"))
+    singles = baskets.groupBy("b").agg(F.count(F.lit(1)).alias("n_b"))
+    right = baskets.select(F.col("ok").alias("ok2"), F.col("b").alias("b2"))
+    pairs = (
+        baskets.join(
+            right, (F.col("ok") == F.col("ok2")) & (F.col("b") < F.col("b2"))
+        )
+        .groupBy(F.col("b").alias("brand_a"), F.col("b2").alias("brand_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sa = singles.select(F.col("b").alias("ka"), F.col("n_b").alias("na"))
+    sb = singles.select(F.col("b").alias("kb"), F.col("n_b").alias("nb"))
+    lift = (F.col("n_ab") * 1.0 / F.col("n_orders")) / (
+        (F.col("na") * 1.0 / F.col("n_orders"))
+        * (F.col("nb") * 1.0 / F.col("n_orders"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(o))
+        .join(F.broadcast(sa), F.col("brand_a") == F.col("ka"))
+        .join(F.broadcast(sb), F.col("brand_b") == F.col("kb"))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.expr("n_ab * 1000000L div n_orders").alias("support_e6"),
+            F.floor(lift * 1000000).cast("bigint").alias("lift_e6"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_gini — revenue-concentration Gini coefficient per region from the
+# rank formula G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) over per-customer
+# revenue sorted ascending (i = 1..n). Customer revenue is summed in
+# integer cents then floored to whole dollars so every product and sum
+# stays comfortably inside BIGINT at any realizable tier (i·xᵢ ≤ 3e4·1.5e6
+# at sf1); the single final division converts two exact BIGINTs to double
+# identically in both engines.
+#
+# Scale: the rank window partitions by region and sorts by (revenue,
+# custkey) — a per-region sort is inherent to any exact rank-based Gini;
+# at 100 TB the same statistic is computed per range-partitioned revenue
+# bucket with merged rank offsets (two passes), same formula.
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH rev AS (
+  SELECT c.c_custkey,
+         n.n_regionkey AS rk,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) // 100
+           AS x
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT rk, x,
+         row_number() OVER (PARTITION BY rk ORDER BY x, c_custkey) AS i
+  FROM rev
+),
+stats AS (
+  SELECT r.r_name AS region,
+         count(*) AS n_customers,
+         CAST(sum(x) AS BIGINT) AS total_rev,
+         CAST(sum(i * x) AS BIGINT) AS wsum
+  FROM ranked JOIN region r ON ranked.rk = r.r_regionkey
+  GROUP BY 1
+)
+SELECT region, n_customers, total_rev,
+       CAST(floor(
+         (2 * wsum - (n_customers + 1) * total_rev) * 1.0
+         / (n_customers * total_rev) * 1000000
+       ) AS BIGINT) AS gini_e6
+FROM stats
+"""
+
+
+@register("q_gini", oracle=_GINI_ORACLE)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", F.col("n_regionkey").alias("rk"))
+        .agg(
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast(
+                    "bigint"
+                )
+                / 100
+            )
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    w = Window.partitionBy("rk").orderBy("x", "c_custkey")
+    ranked = rev.select("rk", "x", F.row_number().over(w).alias("i"))
+    stats = (
+        ranked.join(F.broadcast(region), F.col("rk") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("x").cast("bigint").alias("total_rev"),
+            F.sum(F.col("i") * F.col("x")).cast("bigint").alias("wsum"),
+        )
+    )
+    gini = (
+        (2 * F.col("wsum") - (F.col("n_customers") + 1) * F.col("total_rev"))
+        * 1.0
+        / (F.col("n_customers") * F.col("total_rev"))
+    )
+    return stats.select(
+        "region",
+        "n_customers",
+        "total_rev",
+        F.floor(gini * 1000000).cast("bigint").alias("gini_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_autocorr — lag-1/2/3 autocorrelation of the daily revenue series:
+# the stationarity screen run before fitting any forecasting model on
+# ingest volume. Daily revenue is floored to thousands of dollars so the
+# per-lag sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) stay exact
+# BIGINTs at any tier (x ≈ 1e5 at sf1 → n·Σx² ≈ 5e16 « 2^63); Pearson r
+# is then one double expression over those exact integers — numerator
+# and the two variance factors convert identically, sqrt is IEEE-exact,
+# and the result floors to e6.
+#
+# Scale: one day-keyed rollup shuffle; the series itself is calendar-
+# bounded (thousands of rows regardless of corpus size), so the lag
+# window and the 3-row aggregate are model-sized.
+# ---------------------------------------------------------------------------
+
+_AUTOCORR_ORACLE = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           // 100000 AS x
+  FROM orders GROUP BY 1
+),
+lagged AS (
+  SELECT k.lag AS lag, d.x,
+         lead(d.x, CAST(k.lag AS INT)) OVER (PARTITION BY k.lag ORDER BY d.day)
+           AS y
+  FROM daily d CROSS JOIN (SELECT unnest([1, 2, 3]) AS lag) k
+),
+stats AS (
+  SELECT lag,
+         count(*) AS n_pairs,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM lagged WHERE y IS NOT NULL GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+       CAST(floor(
+         (n_pairs * sxy - sx * sy) * 1.0
+         / sqrt(((n_pairs * sxx - sx * sx) * 1.0) * ((n_pairs * syy - sy * sy) * 1.0))
+         * 1000000
+       ) AS BIGINT) AS r_e6
+FROM stats
+"""
+
+
+@register("q_autocorr", oracle=_AUTOCORR_ORACLE)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint")
+            / 100000
+        )
+        .cast("bigint")
+        .alias("x")
+    )
+    lags = spark.range(1, 4).select(F.col("id").alias("lag"))
+    w = Window.partitionBy("lag").orderBy("day")
+    lagged = (
+        daily.crossJoin(F.broadcast(lags))
+        .select(
+            "lag",
+            "x",
+            F.lead("x", 1).over(w).alias("y1"),
+            F.lead("x", 2).over(w).alias("y2"),
+            F.lead("x", 3).over(w).alias("y3"),
+        )
+        .select(
+            "lag",
+            "x",
+            F.when(F.col("lag") == 1, F.col("y1"))
+            .when(F.col("lag") == 2, F.col("y2"))
+            .otherwise(F.col("y3"))
+            .alias("y"),
+        )
+        .filter(F.col("y").isNotNull())
+    )
+    stats = lagged.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0
+    den = F.sqrt(
+        ((F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")) * 1.0)
+        * ((F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")) * 1.0)
+    )
+    return stats.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        "n_pairs",
+        F.floor(num / den * 1000000).cast("bigint").alias("r_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_anomaly_mad — robust anomaly detection on hourly event volume:
+# flag hours where |count − median| > 3·MAD per event type (the
+# median-absolute-deviation rule — unlike z-scores it doesn't let the
+# anomalies inflate their own threshold). Entirely integer-exact: both
+# engines' exact medians of BIGINT counts are integer multiples of 0.5,
+# so med2 = 2·median and mad4 = 2·median(2·|dev|) are exact BIGINTs and
+# the flag predicate |c−med| > 3·MAD rewrites as 2·dev2 > 3·mad4 with no
+# floats anywhere.
+#
+# Scale: one hour-keyed count shuffle; medians are per-type over a
+# calendar-bounded series (the model table is |types| rows, broadcast
+# back). At 100 TB the hourly rollup is the only corpus-sized pass.
+# ---------------------------------------------------------------------------
+
+_ANOMALY_MAD_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, CAST(2 * median(c) AS BIGINT) AS med2
+  FROM hourly GROUP BY event_type
+),
+dev AS (
+  SELECT hourly.event_type, c, med2, abs(2 * c - med2) AS dev2
+  FROM hourly JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, CAST(2 * median(dev2) AS BIGINT) AS mad4
+  FROM dev GROUP BY event_type
+)
+SELECT dev.event_type,
+       count(*) AS n_hours,
+       any_value(med2) AS med2,
+       any_value(mad4) AS mad4,
+       CAST(sum(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type
+"""
+
+
+@register("q_anomaly_mad", oracle=_ANOMALY_MAD_ORACLE)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    med = hourly.groupBy("event_type").agg(
+        (2 * F.median("c")).cast("bigint").alias("med2")
+    )
+    dev = hourly.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "c",
+        "med2",
+        F.abs(2 * F.col("c") - F.col("med2")).alias("dev2"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        (2 * F.median("dev2")).cast("bigint").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.any_value("med2").alias("med2"),
+            F.any_value("mad4").alias("mad4"),
+            F.sum(
+                F.when(2 * F.col("dev2") > 3 * F.col("mad4"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_anomalies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_weighted_sample — weighted sampling without replacement (Efraimidis-
+# Spirakis A-ES): each document draws a uniform u and survives with key
+# u^(1/w) (w = n_chars); the top-k keys ARE a weighted sample without
+# replacement. The corpus-mixing primitive when sources must be sampled
+# proportionally to length/quality weights.
+#
+# Determinism: u is derived from md5(doc_id) (13 hex nibbles → exact
+# 52-bit integer, +1 so ln never sees 0) — a pure function of the row,
+# reproducible on any engine and any cluster size. Ranking uses
+# ln(u)/w (monotone in u^(1/w)) floored to e12 fixed-point with doc_id
+# tiebreak, so the top-k cut is integer-exact — no float-order hazard at
+# the boundary. Scale: map-only key computation + TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_K = 100
+_U_DENOM = float(1 << 52)
+
+_WSAMPLE_ORACLE = f"""
+SELECT doc_id, source, n_chars,
+       CAST(floor(
+         ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1.0)
+            / {_U_DENOM!r})
+         / n_chars * 1000000000000
+       ) AS BIGINT) AS key_e12
+FROM documents
+ORDER BY key_e12 DESC, doc_id
+LIMIT {_WSAMPLE_K}
+"""
+
+
+@register("q_weighted_sample", oracle=_WSAMPLE_ORACLE)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u_num = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 13),
+        16,
+        10,
+    ).cast("bigint")
+    key = F.floor(
+        F.log((u_num + 1.0) / F.lit(_U_DENOM)) / F.col("n_chars") * 1000000000000
+    ).cast("bigint")
+    return (
+        docs.select("doc_id", "source", "n_chars", key.alias("key_e12"))
+        .orderBy(F.desc("key_e12"), F.asc("doc_id"))
+        .limit(_WSAMPLE_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_curriculum_order — curriculum construction: bucket documents into 4
+# fixed difficulty tiers (by length — the standard first-order difficulty
+# proxy), shuffle deterministically WITHIN each tier (md5 order — the
+# reproducible shuffle every training run needs for resumability), and
+# certify the resulting global order with a position-weighted checksum.
+#
+# The checksum pins the exact curriculum sequence cross-engine: any
+# reordering, not just membership change, flips it. Positions are
+# per-tier row_numbers; doc_id is folded mod 100003 so pos·fold sums
+# stay far inside BIGINT at any tier. Scale: the per-tier sort is the
+# one global-ish operation — at 100 TB this becomes a range-partitioned
+# sort by (tier, md5) with the same semantics (noted, as for
+# q_cumulative_distinct's day spine).
+# ---------------------------------------------------------------------------
+
+_CURRICULUM_ORACLE = """
+WITH tiers AS (
+  SELECT doc_id,
+         CASE WHEN n_chars < 150 THEN 0
+              WHEN n_chars < 300 THEN 1
+              WHEN n_chars < 450 THEN 2
+              ELSE 3 END AS tier,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+ordered AS (
+  SELECT tier, doc_id,
+         row_number() OVER (PARTITION BY tier ORDER BY h, doc_id) AS pos
+  FROM tiers
+)
+SELECT tier, count(*) AS n_docs,
+       min_by(doc_id, pos) AS first_doc,
+       CAST(sum(pos * (doc_id % 100003)) AS BIGINT) AS ord_checksum
+FROM ordered
+GROUP BY tier
+"""
+
+
+@register("q_curriculum_order", oracle=_CURRICULUM_ORACLE)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tier = (
+        F.when(F.col("n_chars") < 150, 0)
+        .when(F.col("n_chars") < 300, 1)
+        .when(F.col("n_chars") < 450, 2)
+        .otherwise(3)
+    )
+    tiers = docs.select(
+        "doc_id",
+        tier.alias("tier"),
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("h"),
+    )
+    w = Window.partitionBy("tier").orderBy("h", "doc_id")
+    ordered = tiers.select(
+        "tier", "doc_id", F.row_number().over(w).alias("pos")
+    )
+    return ordered.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min_by("doc_id", "pos").alias("first_doc"),
+        F.sum(F.col("pos") * (F.col("doc_id") % 100003))
+        .cast("bigint")
+        .alias("ord_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_span_corruption — T5-style span-corruption example generation: mask
+# a deterministic 3-token span per document with a sentinel, emit the
+# corrupted input (as a checksum — it is document-sized) and the target
+# (sentinel + the masked span — bounded, emitted verbatim). The map-only
+# denoising-objective data-gen pass every seq2seq pretraining pipeline
+# runs over the full corpus.
+#
+# The span start is a pure md5 function of doc_id (2 ≤ s ≤ n−4, so both
+# prefix and suffix stay non-empty); slices, concat and join are
+# built-in array ops in both engines — no UDF, whole-stage codegen'd.
+# ---------------------------------------------------------------------------
+
+_SPAN_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+  FROM documents
+),
+spanned AS (
+  SELECT doc_id, t, n,
+         2 + (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % (n - 5)) AS s
+  FROM tok WHERE n >= 8
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(s AS BIGINT) AS span_start,
+       '<extra_id_0> ' || array_to_string(t[CAST(s AS INT):CAST(s + 2 AS INT)], ' ')
+         AS target,
+       ('0x' || substr(md5(
+          array_to_string(
+            list_concat(list_concat(t[1:CAST(s - 1 AS INT)], ['<extra_id_0>']),
+                        t[CAST(s + 3 AS INT):CAST(n AS INT)]),
+            ' ')
+        ), 1, 15))::BIGINT % 1000000000 AS corrupted_cs
+FROM spanned
+"""
+
+
+@register("q_span_corruption", oracle=_SPAN_ORACLE)
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("t"),
+        F.size(F.split("text", " ")).alias("n"),
+    ).filter(F.col("n") >= 8)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    spanned = tok.select(
+        "doc_id", "t", "n", (F.lit(2) + h % (F.col("n") - 5)).alias("s")
+    )
+    s = F.col("s").cast("int")
+    corrupted = F.array_join(
+        F.concat(
+            F.slice(F.col("t"), F.lit(1), s - 1),
+            F.array(F.lit("<extra_id_0>")),
+            F.slice(F.col("t"), s + 3, F.col("n") - s - 2),
+        ),
+        " ",
+    )
+    return spanned.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("s").cast("bigint").alias("span_start"),
+        F.concat(
+            F.lit("<extra_id_0> "),
+            F.array_join(F.slice(F.col("t"), s, F.lit(3)), " "),
+        ).alias("target"),
+        (
+            F.conv(F.substring(F.md5(corrupted.cast("binary")), 1, 15), 16, 10)
+            .cast("bigint")
+            % 1000000000
+        ).alias("corrupted_cs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_embed_kmeans — k-means over the embedding table, 3 full Lloyd
+# iterations (assign → re-center → assign → re-center → assign), k = 4,
+# seeds = vec_id 0..3. Extends q_knn_ivf_kmeans's single exact-rounded
+# iteration to the ITERATED form an IVF/SemDeDup index trainer actually
+# runs, and reports the per-cluster convergence artifacts: size, inertia
+# (Σ squared distance to the final centroid) and a centroid checksum.
+#
+# Exactness: embeddings quantize once to e6 BIGINT components; squared
+# L2 distances are then pure BIGINT arithmetic (no float order hazard),
+# argmin ties break on cid; re-centering floors Σ/ n via one double
+# division of exact integers per dimension. Both engines replay the
+# identical algorithm, so the oracle is exact at every iteration.
+#
+# Scale: per iteration = one broadcast of k×64 centroids + a map-side
+# assignment pass + one (cid, dim)-keyed re-centering shuffle. Nothing
+# collects to the driver; iteration count is the only serial dimension —
+# exactly how MLlib's k-means distributes, minus its sampled init.
+# ---------------------------------------------------------------------------
+
+_KMEANS_ASSIGNS = 3  # assignment passes; re-centering runs between them
+
+
+def _kmeans_oracle() -> str:
+    dist = (
+        "CAST(list_sum(list_transform(range(1, 65), "
+        "p -> (x[CAST(p AS INT)] - c[CAST(p AS INT)])"
+        " * (x[CAST(p AS INT)] - c[CAST(p AS INT)]))) AS BIGINT)"
+    )
+    parts = [
+        """
+WITH vecs AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        v -> CAST(floor(v * 1000000) AS BIGINT)) AS x
+  FROM embeddings
+),
+cent0 AS (SELECT vec_id AS cid, x AS c FROM vecs WHERE vec_id < 4)"""
+    ]
+    for i in range(1, _KMEANS_ASSIGNS + 1):
+        parts.append(
+            f""",
+a{i} AS (
+  SELECT vec_id, cid, x, dist FROM (
+    SELECT vec_id, cid, x, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM (
+      SELECT v.vec_id, c.cid, v.x, {dist} AS dist
+      FROM vecs v CROSS JOIN cent{i - 1} c
+    )
+  ) WHERE rn = 1
+)"""
+        )
+        if i < _KMEANS_ASSIGNS:
+            parts.append(
+                f""",
+cent{i} AS (
+  SELECT cid, list(cv ORDER BY p) AS c FROM (
+    SELECT cid, p,
+           CAST(floor(sum(x[CAST(p AS INT)]) * 1.0 / count(*)) AS BIGINT) AS cv
+    FROM a{i} CROSS JOIN unnest(range(1, 65)) AS u(p)
+    GROUP BY cid, p
+  ) GROUP BY cid
+)"""
+            )
+    last = _KMEANS_ASSIGNS
+    parts.append(
+        f"""
+SELECT a.cid,
+       count(*) AS n_vecs,
+       CAST(sum(a.dist) AS BIGINT) AS inertia,
+       any_value(cs.centroid_sum) AS centroid_sum
+FROM a{last} a
+JOIN (SELECT cid, CAST(list_sum(c) AS BIGINT) AS centroid_sum
+      FROM cent{last - 1}) cs ON cs.cid = a.cid
+GROUP BY a.cid"""
+    )
+    return "".join(parts)
+
+
+def _kmeans_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment on exact BIGINT squared L2."""
+    dist = F.aggregate(
+        F.zip_with(F.col("x"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("dist", dist)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "x", "dist")
+    )
+
+
+def _kmeans_recenter(assigned: DataFrame) -> DataFrame:
+    """Floor-of-mean centroid per (cid, dim), reassembled in dim order."""
+    return (
+        assigned.select("cid", F.posexplode("x").alias("p0", "v"))
+        .groupBy("cid", (F.col("p0") + 1).alias("p"))
+        .agg(
+            F.floor(F.sum("v") * 1.0 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("cv")
+        )
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("p", "cv"))),
+                lambda s: s["cv"],
+            ).alias("c")
+        )
+    )
+
+
+@register("q_embed_kmeans", oracle=_kmeans_oracle())
+def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_service_spark.functions.vector import as_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.transform(
+            as_double("embedding"), lambda v: F.floor(v * 1000000).cast("bigint")
+        ).alias("x"),
+    )
+    cents = vecs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("x").alias("c")
+    )
+    assigned = _kmeans_assign(vecs, cents)
+    for _ in range(_KMEANS_ASSIGNS - 1):
+        cents = _kmeans_recenter(assigned)
+        assigned = _kmeans_assign(vecs, cents)
+    sums = cents.select(
+        "cid",
+        F.aggregate(
+            F.col("c"), F.lit(0).cast("bigint"), lambda acc, v: acc + v
+        ).alias("centroid_sum"),
+    )
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("dist").cast("bigint").alias("inertia"),
+        )
+        .join(F.broadcast(sums), "cid")
+        .select("cid", "n_vecs", "inertia", "centroid_sum")
+    )

@@ -59,6 +59,7 @@ def load_all_operators() -> None:
         joins,
         llm,
         llm_extended,
+        mining,
         relational,
         reporting,
         scalar_funcs,

@@ -695,3 +695,80 @@ def test_quality_ensemble_single_scan(spark, sf_dir):
     # echo of the same node
     n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
     assert n_scans == 1, f"quality gate re-scanned the corpus ({n_scans} scans)"
+
+
+def test_pmi_unigram_model_broadcast(spark, sf_dir):
+    """q_pmi_collocations probes the vocabulary-bounded unigram model by
+    broadcast (twice — w1 and w2) and takes top-k without a global sort;
+    the corpus-sized work is the two count shuffles only."""
+    plan = formatted_plan(QUERIES["q_pmi_collocations"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_market_basket_no_cartesian(spark, sf_dir):
+    """q_market_basket's pair expansion is an equi-join on the order key
+    (per-order fanout bounded by the brand count) with brand totals
+    broadcast — never a cartesian brand x brand x corpus shape."""
+    plan = formatted_plan(QUERIES["q_market_basket"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_gini_rank_window_partitioned_by_region(spark, sf_dir):
+    """q_gini's rank window must partition by region — a global rank
+    would serialize all customers through one partition."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_gini"](spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs, "no window in gini plan"
+    for s in specs:
+        assert "rk" in s, f"global rank window found: {s}"
+
+
+def test_anomaly_mad_model_broadcast(spark, sf_dir):
+    """q_anomaly_mad joins the per-type median/MAD model (|types| rows)
+    back onto the hourly series via broadcast."""
+    plan = formatted_plan(QUERIES["q_anomaly_mad"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_is_topk_over_map(spark, sf_dir):
+    """q_weighted_sample is a map-only key computation + top-k: no
+    shuffle beyond TakeOrderedAndProject's single-partition gather."""
+    plan = formatted_plan(QUERIES["q_weighted_sample"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree, "weighted sampling shuffled the corpus"
+
+
+def test_curriculum_window_partitioned_by_tier(spark, sf_dir):
+    """q_curriculum_order's position window partitions by tier (the
+    docstring notes the range-partitioned sort refinement for 100 TB);
+    membership in a tier never shuffles more than once."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_curriculum_order"](spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs, "no window in curriculum plan"
+    for s in specs:
+        assert "tier" in s, f"unpartitioned window found: {s}"
+
+
+def test_span_corruption_is_map_only(spark, sf_dir):
+    """q_span_corruption must be a pure map over documents — corrupting
+    a 100 TB corpus cannot shuffle it."""
+    plan = formatted_plan(QUERIES["q_span_corruption"](spark, sf_dir))
+    assert "Exchange" not in plan, "span corruption introduced a shuffle"
+
+
+def test_kmeans_centroids_broadcast(spark, sf_dir):
+    """q_embed_kmeans broadcasts the kx64 centroid table at every
+    assignment pass; the corpus-sized vector table never shuffles for
+    assignment (only the (cid, dim) re-centering rollup exchanges)."""
+    plan = formatted_plan(QUERIES["q_embed_kmeans"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
