@@ -105,6 +105,12 @@ MINING_OPS = [
     "q_curriculum_order",
     "q_span_corruption",
     "q_embed_kmeans",
+    "q_latency_percentiles",
+    "q_psi_drift",
+    "q_skyline",
+    "q_budget_allocation",
+    "q_time_weighted_avg",
+    "q_vocab_growth",
 ]
 
 

@@ -819,3 +819,442 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sums), "cid")
         .select("cid", "n_vecs", "inertia", "centroid_sum")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_latency_percentiles — exact discrete p50/p90/p99 of event value per
+# type via rank selection (the SLO-reporting primitive). Interpolating
+# percentile built-ins differ across engines in their float blending;
+# the DISCRETE definition — the element at rank ceil(q·n) under a total
+# order — is integer-exact and identical everywhere, so both engines
+# select the same physical row. Values quantize to cents once (they are
+# 2dp-positive by fixture construction).
+#
+# Scale: one window shuffle partitioned by event_type + a per-type
+# aggregate. (At 100 TB with few types the same statistic is computed
+# per salt shard and merged by a second exact selection over shard
+# boundaries, or approximated with KLL — this key is the exact tier.)
+# ---------------------------------------------------------------------------
+
+_PCTL_ORACLE = """
+WITH v AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id)
+           AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+)
+SELECT event_type,
+       any_value(n) AS n_events,
+       min(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN cents END)
+         AS p50_cents,
+       min(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN cents END)
+         AS p90_cents,
+       min(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN cents END)
+         AS p99_cents
+FROM ranked
+GROUP BY event_type
+"""
+
+
+@register("q_latency_percentiles", oracle=_PCTL_ORACLE)
+def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = v.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(q: float):
+        return F.min(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
+                F.col("cents"),
+            )
+        )
+
+    return ranked.groupBy("event_type").agg(
+        F.any_value("n").alias("n_events"),
+        pick(0.5).alias("p50_cents"),
+        pick(0.9).alias("p90_cents"),
+        pick(0.99).alias("p99_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_psi_drift — Population Stability Index between the first and second
+# half of the event stream, per event type over 10 fixed value buckets:
+# PSI = Σ_buckets (p−q)·ln(p/q) with add-1 smoothing — the standard
+# model-monitoring drift score (PSI > 0.2 = investigate). Complements
+# q_source_divergence (KL across sources) and q_embedding_drift
+# (centroid shift) with the time-sliced distribution screen.
+#
+# Exactness: bucket counts are exact BIGINTs; p and q are quotients of
+# exact integers, each bucket's term is one fixed-structure double
+# expression floored to e9 BEFORE the per-type sum, so the total is an
+# associative integer sum. Scale: one (type, half, bucket) count shuffle;
+# the model table is |types|·20 rows.
+# ---------------------------------------------------------------------------
+
+_PSI_SPLIT = "2024-01-16"
+_PSI_BUCKETS = 10
+
+_PSI_ORACLE = f"""
+WITH bucketed AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 0 ELSE 1 END AS half,
+         least(CAST(floor(value / 50) AS BIGINT), {_PSI_BUCKETS - 1}) AS bucket
+  FROM events
+),
+cnt AS (
+  SELECT event_type, bucket,
+         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM bucketed GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type,
+         CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+  FROM cnt GROUP BY event_type
+),
+terms AS (
+  SELECT cnt.event_type,
+         CAST(floor(
+           (((c1 + 1.0) / (n1 + {_PSI_BUCKETS})) - ((c2 + 1.0) / (n2 + {_PSI_BUCKETS})))
+           * ln(((c1 + 1.0) / (n1 + {_PSI_BUCKETS})) / ((c2 + 1.0) / (n2 + {_PSI_BUCKETS})))
+           * 1000000000
+         ) AS BIGINT) AS term_e9
+  FROM cnt JOIN tot ON cnt.event_type = tot.event_type
+)
+SELECT event_type, count(*) AS n_buckets,
+       CAST(sum(term_e9) AS BIGINT) AS psi_e9
+FROM terms GROUP BY event_type
+"""
+
+
+@register("q_psi_drift", oracle=_PSI_ORACLE)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucketed = ev.select(
+        "event_type",
+        F.when(F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("half"),
+        F.least(
+            F.floor(F.col("value") / 50).cast("bigint"),
+            F.lit(_PSI_BUCKETS - 1).cast("bigint"),
+        ).alias("bucket"),
+    )
+    cnt = bucketed.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    b = float(_PSI_BUCKETS)
+    p = (F.col("c1") + 1.0) / (F.col("n1") + b)
+    q = (F.col("c2") + 1.0) / (F.col("n2") + b)
+    terms = cnt.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        F.floor((p - q) * F.log(p / q) * 1000000000)
+        .cast("bigint")
+        .alias("term_e9"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("term_e9").cast("bigint").alias("psi_e9"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_skyline — 2-D Pareto frontier over parts (minimize retail price,
+# maximize size): a part is on the distinct skyline iff no part sorted
+# before it under (price ASC, size DESC) has size ≥ its own. The classic
+# window rewrite — sort once, one running-max comparison — instead of
+# the naive NOT EXISTS self-join (O(n²)). Prices quantize to exact cents.
+#
+# Scale: the sort is the operator (skylines are order statistics); at
+# 100 TB the same running max distributes by price-band range partitions
+# whose band-level maxima merge in a second tiny pass. The output is the
+# frontier — tiny by nature.
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+WITH priced AS (
+  SELECT p_partkey, p_name,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS p_size
+  FROM part
+),
+scanned AS (
+  SELECT p_partkey, p_name, price_cents, p_size,
+         max(p_size) OVER (
+           ORDER BY price_cents, p_size DESC, p_partkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS best_before
+  FROM priced
+)
+SELECT p_partkey, p_name, price_cents, p_size
+FROM scanned
+WHERE best_before IS NULL OR p_size > best_before
+"""
+
+
+@register("q_skyline", oracle=_SKYLINE_ORACLE)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    priced = part.select(
+        "p_partkey",
+        "p_name",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("p_size"),
+    )
+    w = (
+        Window.orderBy("price_cents", F.desc("p_size"), "p_partkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scanned = priced.withColumn("best_before", F.max("p_size").over(w))
+    return scanned.filter(
+        F.col("best_before").isNull() | (F.col("p_size") > F.col("best_before"))
+    ).select("p_partkey", "p_name", "price_cents", "p_size")
+
+
+# ---------------------------------------------------------------------------
+# q_budget_allocation — Hamilton (largest-remainder) apportionment of a
+# fixed 1M-token training budget across sources, proportional to each
+# source's token count: base = budget·cᵢ div C, then the budget−Σbase
+# leftover units go to the largest remainders (budget·cᵢ mod C, source
+# tiebreak). THE exact integer algorithm for corpus budgeting — float
+# shares never sum to the budget; largest-remainder does by
+# construction. Complements q_corpus_mix (cap-based) and
+# q_corpus_temperature (share^0.7) with the exact-quota allocator.
+#
+# Scale: one token-count reduce; allocation runs over |sources| rows.
+# ---------------------------------------------------------------------------
+
+_BUDGET = 1_000_000
+
+_BUDGET_ORACLE = f"""
+WITH counts AS (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS c FROM counts),
+quotas AS (
+  SELECT source, n_tokens,
+         {_BUDGET} * n_tokens // c AS base_quota,
+         {_BUDGET} * n_tokens % c AS remainder
+  FROM counts CROSS JOIN tot
+),
+leftover AS (
+  SELECT CAST({_BUDGET} - sum(base_quota) AS BIGINT) AS k FROM quotas
+),
+ranked AS (
+  SELECT source, n_tokens, base_quota, remainder,
+         row_number() OVER (ORDER BY remainder DESC, source) AS rk
+  FROM quotas
+)
+SELECT source, n_tokens, base_quota,
+       CASE WHEN rk <= k THEN 1 ELSE 0 END AS extra,
+       base_quota + (CASE WHEN rk <= k THEN 1 ELSE 0 END) AS final_quota
+FROM ranked CROSS JOIN leftover
+"""
+
+
+@register("q_budget_allocation", oracle=_BUDGET_ORACLE)
+def q_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Totals/leftover come from unpartitioned windows over the |sources|-row
+    # counts table (NOT separate aggregate branches: DataFrame lineage would
+    # re-scan the corpus once per branch — the posture test pins one scan).
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens")
+    )
+    w_all = Window.partitionBy()
+    quotas = counts.select(
+        "source",
+        "n_tokens",
+        F.sum("n_tokens").over(w_all).cast("bigint").alias("c"),
+    ).select(
+        "source",
+        "n_tokens",
+        F.expr(f"{_BUDGET}L * n_tokens div c").alias("base_quota"),
+        (F.lit(_BUDGET).cast("bigint") * F.col("n_tokens") % F.col("c")).alias(
+            "remainder"
+        ),
+    )
+    w_rank = Window.orderBy(F.desc("remainder"), F.asc("source"))
+    ranked = quotas.select(
+        "source",
+        "n_tokens",
+        "base_quota",
+        "remainder",
+        (F.lit(_BUDGET) - F.sum("base_quota").over(w_all)).cast("bigint").alias("k"),
+        F.row_number().over(w_rank).alias("rk"),
+    )
+    extra = F.when(F.col("rk") <= F.col("k"), 1).otherwise(0)
+    return ranked.select(
+        "source",
+        "n_tokens",
+        "base_quota",
+        extra.alias("extra"),
+        (F.col("base_quota") + extra).alias("final_quota"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_time_weighted_avg — time-weighted average event value per user via
+# trapezoidal integration over irregular samples (the TSDB `time_weight`
+# operator — a plain AVG over-weights bursts). Integral and span stay
+# exact BIGINTs (cents × epoch-seconds); the single final division
+# converts identically in both engines and floors to e4 of cents (= e6
+# of dollars).
+#
+# Scale: one lead() window partitioned by user — per-key state is one
+# row; a hot user costs one partition's sort, which AQE's skew handling
+# splits at the exchange level (salting is result-invariant here since
+# the integral is associative over time-contiguous chunks).
+# ---------------------------------------------------------------------------
+
+_TWA_ORACLE = """
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(round(value * 100) AS BIGINT) AS v,
+         event_id
+  FROM events
+),
+stepped AS (
+  SELECT user_id, t, v,
+         lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS t2,
+         lead(v) OVER (PARTITION BY user_id ORDER BY t, event_id) AS v2
+  FROM e
+),
+integ AS (
+  SELECT user_id,
+         count(*) + 1 AS n_events,
+         CAST(sum((v + v2) * (t2 - t)) AS BIGINT) AS num2,
+         CAST(max(t2) - min(t) AS BIGINT) AS span
+  FROM stepped WHERE t2 IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events, span,
+       CAST(floor(num2 * 1.0 / (2 * span) * 10000) AS BIGINT)
+         AS twa_cents_e4
+FROM integ WHERE span > 0
+"""
+
+
+@register("q_time_weighted_avg", oracle=_TWA_ORACLE)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("t"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    stepped = e.select(
+        "user_id",
+        "t",
+        "v",
+        F.lead("t").over(w).alias("t2"),
+        F.lead("v").over(w).alias("v2"),
+    ).filter(F.col("t2").isNotNull())
+    integ = stepped.groupBy("user_id").agg(
+        (F.count(F.lit(1)) + 1).cast("bigint").alias("n_events"),
+        F.sum((F.col("v") + F.col("v2")) * (F.col("t2") - F.col("t")))
+        .cast("bigint")
+        .alias("num2"),
+        (F.max("t2") - F.min("t")).cast("bigint").alias("span"),
+    )
+    return integ.filter(F.col("span") > 0).select(
+        "user_id",
+        "n_events",
+        "span",
+        F.floor(F.col("num2") * 1.0 / (2 * F.col("span")) * 10000)
+        .cast("bigint")
+        .alias("twa_cents_e4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_vocab_growth — Heaps'-law vocabulary-growth curve at the BIGRAM
+# level: scan the corpus in doc_id order split into 10 equal id-range
+# buckets and report how many NEVER-SEEN-BEFORE bigrams each bucket
+# contributes plus the running vocabulary size. The corpus-health curve
+# that distinguishes organic text (sub-linear growth) from boilerplate
+# floods (flat) and junk/noise (linear) — and the empirical basis for
+# shingle-index capacity planning. (Bigrams, not unigrams: the fixture's
+# word-soup unigram vocabulary saturates inside the first bucket, which
+# demonstrates nothing; the bigram space exhibits the real decay curve.)
+#
+# Shape: bigram first-seen bucket = one min-aggregate over the exploded
+# corpus (THE corpus-sized reduce), new-bigram counts per bucket, then a
+# ≤10-row running sum. No windows over data-sized inputs.
+# ---------------------------------------------------------------------------
+
+_VOCAB_GROWTH_ORACLE = """
+WITH mx AS (SELECT max(doc_id) + 1 AS n FROM documents),
+firsts AS (
+  SELECT bg, min(doc_id * 10 // n) AS first_bucket
+  FROM (
+    SELECT doc_id, s[CAST(i AS INT)] || ' ' || s[CAST(i AS INT) + 1] AS bg
+    FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+    CROSS JOIN unnest(range(1, len(s))) AS u(i)
+    WHERE len(s) >= 2
+  )
+  CROSS JOIN mx
+  GROUP BY bg
+),
+per_bucket AS (
+  SELECT first_bucket AS bucket, count(*) AS new_tokens
+  FROM firsts GROUP BY first_bucket
+)
+SELECT bucket, new_tokens,
+       CAST(sum(new_tokens) OVER (
+         ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_vocab
+FROM per_bucket
+"""
+
+
+@register("q_vocab_growth", oracle=_VOCAB_GROWTH_ORACLE)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg((F.max("doc_id") + 1).alias("n"))
+    firsts = (
+        shingle_rows(docs, 2)
+        .crossJoin(F.broadcast(mx))
+        .groupBy(F.col("shingle").alias("t"))
+        .agg(F.min(F.expr("doc_id * 10 div n")).alias("first_bucket"))
+    )
+    per_bucket = firsts.groupBy(F.col("first_bucket").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("new_tokens")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return per_bucket.withColumn(
+        "cum_vocab", F.sum("new_tokens").over(w).cast("bigint")
+    )

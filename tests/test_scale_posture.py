@@ -772,3 +772,62 @@ def test_kmeans_centroids_broadcast(spark, sf_dir):
     plan = formatted_plan(QUERIES["q_embed_kmeans"](spark, sf_dir))
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_latency_percentiles_window_per_type(spark, sf_dir):
+    """q_latency_percentiles' rank window must partition by event_type —
+    the discrete-quantile selection parallelizes across types."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_latency_percentiles"](spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs, "no window in percentile plan"
+    for s in specs:
+        assert "event_type" in s, f"global rank window found: {s}"
+
+
+def test_psi_model_broadcast(spark, sf_dir):
+    """q_psi_drift joins the per-type totals (|types| rows) back onto
+    bucket counts via broadcast; the corpus contributes one count
+    shuffle only."""
+    plan = formatted_plan(QUERIES["q_psi_drift"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skyline_avoids_self_join(spark, sf_dir):
+    """q_skyline must be the sort + running-max rewrite — the naive
+    NOT EXISTS dominance check would be a nested-loop self-join."""
+    plan = formatted_plan(QUERIES["q_skyline"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_budget_allocation_single_corpus_scan(spark, sf_dir):
+    """q_budget_allocation reduces the corpus once (token counts); the
+    apportionment itself runs over |sources| rows."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_budget_allocation"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, f"allocation re-scanned the corpus ({n_scans} scans)"
+
+
+def test_twa_window_per_user(spark, sf_dir):
+    """q_time_weighted_avg's lead() window partitions by user_id —
+    per-key state is one row, parallel across users."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_time_weighted_avg"](spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs, "no window in twa plan"
+    for s in specs:
+        assert "user_id" in s, f"global window found: {s}"
+
+
+def test_vocab_growth_no_cartesian(spark, sf_dir):
+    """q_vocab_growth's only corpus-sized op is the first-seen reduce;
+    the max-id scalar broadcasts (no cartesian against data)."""
+    plan = formatted_plan(QUERIES["q_vocab_growth"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
