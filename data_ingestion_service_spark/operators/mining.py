@@ -336,11 +336,15 @@ stats AS (
   FROM lagged WHERE y IS NOT NULL GROUP BY lag
 )
 SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
-       CAST(floor(
-         (n_pairs * sxy - sx * sy) * 1.0
-         / sqrt(((n_pairs * sxx - sx * sx) * 1.0) * ((n_pairs * syy - sy * sy) * 1.0))
-         * 1000000
-       ) AS BIGINT) AS r_e6
+       CASE WHEN n_pairs * sxx - sx * sx = 0 OR n_pairs * syy - sy * sy = 0
+            THEN NULL
+            ELSE CAST(floor(
+              (n_pairs * sxy - sx * sy) * 1.0
+              / sqrt(((n_pairs * sxx - sx * sx) * 1.0)
+                     * ((n_pairs * syy - sy * sy) * 1.0))
+              * 1000000
+            ) AS BIGINT)
+       END AS r_e6
 FROM stats
 """
 
@@ -385,15 +389,20 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
         F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
     )
+    vx = F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
     num = (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0
-    den = F.sqrt(
-        ((F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")) * 1.0)
-        * ((F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")) * 1.0)
-    )
+    den = F.sqrt((vx * 1.0) * (vy * 1.0))
+    # A constant series (either side) has zero variance: NULL in both
+    # engines instead of an engine-divergent inf/NaN (ANSI Spark would
+    # not even divide) — same guard as q_regression_trend's determinant.
     return stats.select(
         F.col("lag").cast("bigint").alias("lag"),
         "n_pairs",
-        F.floor(num / den * 1000000).cast("bigint").alias("r_e6"),
+        F.when(
+            (vx != 0) & (vy != 0),
+            F.floor(num / den * 1000000).cast("bigint"),
+        ).alias("r_e6"),
     )
 
 
@@ -1257,4 +1266,69 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     return per_bucket.withColumn(
         "cum_vocab", F.sum("new_tokens").over(w).cast("bigint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_hits — HITS hubs-and-authorities over the customer→brand purchase
+# bipartite graph, two unnormalized Kleinberg iterations: a₁ = indegree,
+# h₁(u) = Σ a₁ over u's brands, a₂(b) = Σ h₁ over b's customers. The
+# mutual-reinforcement ranking (big buyers confer more authority than
+# many small ones) that pure counts can't express — and, unnormalized,
+# every score is an exact BIGINT, so the fixed-point is engine-identical
+# with no float normalization hazard. Complements q_pagerank (random
+# walk on the dup graph) with the bipartite spectral family.
+#
+# Scale: edges = one distinct reduce over the fact join; iteration 1
+# broadcasts the |brands|-row authority table; iteration 2 is one
+# customer-keyed shuffle + one brand rollup. Iterations are the only
+# serial dimension.
+# ---------------------------------------------------------------------------
+
+_HITS_ORACLE = """
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS u, p.p_brand AS b
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+),
+a1 AS (SELECT b, count(*) AS auth1 FROM edges GROUP BY b),
+h1 AS (
+  SELECT e.u, CAST(sum(a1.auth1) AS BIGINT) AS hub1
+  FROM edges e JOIN a1 ON a1.b = e.b GROUP BY e.u
+),
+a2 AS (
+  SELECT e.b, CAST(sum(h1.hub1) AS BIGINT) AS auth2
+  FROM edges e JOIN h1 ON h1.u = e.u GROUP BY e.b
+)
+SELECT a1.b AS brand, a1.auth1 AS n_customers, a2.auth2
+FROM a1 JOIN a2 ON a1.b = a2.b
+"""
+
+
+@register("q_hits", oracle=_HITS_ORACLE)
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("o_custkey").alias("u"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    a1 = edges.groupBy("b").agg(F.count(F.lit(1)).alias("auth1"))
+    h1 = (
+        edges.join(F.broadcast(a1), "b")
+        .groupBy("u")
+        .agg(F.sum("auth1").cast("bigint").alias("hub1"))
+    )
+    a2 = (
+        edges.join(h1, "u")
+        .groupBy("b")
+        .agg(F.sum("hub1").cast("bigint").alias("auth2"))
+    )
+    return (
+        a1.join(a2, "b")
+        .select(F.col("b").alias("brand"), F.col("auth1").alias("n_customers"), "auth2")
     )

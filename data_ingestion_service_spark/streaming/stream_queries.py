@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestion_service_spark.catalog import load_table, table_path
-from data_ingestion_service_spark.functions import alerts
+from data_ingestion_service_spark.functions import alerts, models
 from data_ingestion_service_spark.registry import register
 from data_ingestion_service_spark.session import ensure_session_confs
 
@@ -2080,3 +2080,50 @@ def q_stream_listener(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "batch_id bigint, num_input_rows bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_model_score — a batch-learned model scored INSIDE a live
+# streaming plan: the per-type discrete-p99 threshold model (shared
+# definition: functions/models.py — the alerts.py single-source pattern
+# applied to a learned model) broadcast-joins into the event stream, each
+# event is flagged against its type's threshold map-side, and a
+# complete-mode streaming aggregate reports per-type outlier counts.
+#
+# This is the production model-in-the-loop shape: train on history in
+# batch, broadcast the (small) model, score events as they arrive — the
+# stream-static join is evaluated per micro-batch with NO state, so a hot
+# stream costs one broadcast probe per event. Distinct from
+# q_stream_static_join (dimension enrichment): the static side here is a
+# DERIVED aggregate whose definition the batch key q_latency_percentiles
+# shares, and from q_stream_error_rate (threshold on the windowed
+# aggregate itself): scoring happens per-EVENT before any window.
+# ---------------------------------------------------------------------------
+
+_STREAM_MODEL_SCORE_ORACLE = f"""
+WITH {models.ORACLE_P99_MODEL_CTE}
+SELECT e.event_type,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN CAST(round(e.value * 100) AS BIGINT) > m.p99_cents
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_over_p99,
+       any_value(m.p99_cents) AS p99_cents
+FROM events e JOIN model m ON e.event_type = m.event_type
+GROUP BY e.event_type
+"""
+
+
+@register("q_stream_model_score", oracle=_STREAM_MODEL_SCORE_ORACLE)
+def q_stream_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    model = models.p99_threshold_model(load_table(spark, sf_dir, "events"))
+    ev = events_stream(spark, sf_dir)
+    scored = ev.join(F.broadcast(model), "event_type").select(
+        "event_type",
+        "p99_cents",
+        (models.value_cents() > F.col("p99_cents")).cast("long").alias("over"),
+    )
+    agg = scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("over").cast("long").alias("n_over_p99"),
+        F.any_value("p99_cents").alias("p99_cents"),
+    )
+    return run_to_memory(agg, "complete")
