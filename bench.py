@@ -111,6 +111,8 @@ MINING_OPS = [
     "q_budget_allocation",
     "q_time_weighted_avg",
     "q_vocab_growth",
+    "q_adamic_adar",
+    "q_hits",
 ]
 
 

@@ -4431,3 +4431,96 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cb * 1000000 div nb").alias("rate_b_e6"),
         F.when(~degenerate, F.round(z, 4)).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_adamic_adar — Adamic-Adar link prediction over the near-dup pair
+# graph: for every vertex pair sharing ≥1 common neighbor, AA(u,v) =
+# Σ_w 1/ln(deg(w)) over common neighbors w — the classic "which
+# documents will turn out to be duplicates next" score (missing-edge
+# prediction over the dedup graph; a high-AA non-edge is a pair the
+# banded LSH likely MISSED — an audit lens on recall, complementing
+# q_lsh_recall's measured view).
+#
+# Exactness: deg is an exact BIGINT; each common-neighbor term
+# floor(1e6/ln(deg)) is floored to e6 BEFORE the per-pair sum, so the
+# score is an associative integer sum. is_edge marks pairs the graph
+# already contains.
+#
+# Scale: wedge enumeration per center is quadratic in center degree —
+# the same hazard the triangle count neutralizes by degree ordering;
+# here dense dup-blob centers are CAPPED at deg ≤ 32 (documented lossy
+# bound, identical in both engines — the hot-shingle-cap discipline):
+# a center already that dense predicts nothing new about its blob.
+# The pair graph itself is result-sized (session-persisted index).
+# ---------------------------------------------------------------------------
+
+_AA_MAX_DEG = 32
+
+_ADAMIC_ADAR_ORACLE = (
+    "WITH nd AS MATERIALIZED ("
+    + _NEAR_DEDUP_ORACLE
+    + f"""),
+e AS (SELECT doc_a AS a, doc_b AS b FROM nd),
+und AS (SELECT a AS v, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT v AS w, count(*) AS d FROM und GROUP BY v),
+terms AS (
+  SELECT u1.nbr AS u, u2.nbr AS vtx,
+         CAST(floor(1000000 / ln(deg.d)) AS BIGINT) AS term_e6
+  FROM und u1
+  JOIN und u2 ON u1.v = u2.v AND u1.nbr < u2.nbr
+  JOIN deg ON deg.w = u1.v AND deg.d <= {_AA_MAX_DEG}
+),
+scored AS (
+  SELECT u, vtx,
+         count(*) AS n_common,
+         CAST(sum(term_e6) AS BIGINT) AS aa_e6
+  FROM terms GROUP BY u, vtx
+)
+SELECT s.u AS doc_u, s.vtx AS doc_v, s.n_common, s.aa_e6,
+       (e.a IS NOT NULL) AS is_edge
+FROM scored s
+LEFT JOIN e ON e.a = s.u AND e.b = s.vtx
+"""
+)
+
+
+@register("q_adamic_adar", oracle=_ADAMIC_ADAR_ORACLE)
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = near_dup_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    und = e.select(F.col("a").alias("v"), F.col("b").alias("nbr")).unionAll(
+        e.select(F.col("b").alias("v"), F.col("a").alias("nbr"))
+    )
+    deg = und.groupBy(F.col("v").alias("w")).agg(F.count(F.lit(1)).alias("d"))
+    u2 = und.select(F.col("v").alias("v2"), F.col("nbr").alias("nbr2"))
+    terms = (
+        und.join(u2, (F.col("v") == F.col("v2")) & (F.col("nbr") < F.col("nbr2")))
+        .join(
+            deg.filter(F.col("d") <= _AA_MAX_DEG),
+            F.col("v") == F.col("w"),
+        )
+        .select(
+            F.col("nbr").alias("u"),
+            F.col("nbr2").alias("vtx"),
+            F.floor(1000000 / F.log(F.col("d"))).cast("bigint").alias("term_e6"),
+        )
+    )
+    scored = terms.groupBy("u", "vtx").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.sum("term_e6").cast("bigint").alias("aa_e6"),
+    )
+    edge_flag = e.select(
+        F.col("a").alias("u"), F.col("b").alias("vtx"), F.lit(True).alias("is_edge")
+    )
+    return (
+        scored.join(edge_flag, ["u", "vtx"], "left")
+        .select(
+            F.col("u").alias("doc_u"),
+            F.col("vtx").alias("doc_v"),
+            "n_common",
+            "aa_e6",
+            F.coalesce("is_edge", F.lit(False)).alias("is_edge"),
+        )
+    )

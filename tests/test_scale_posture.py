@@ -831,3 +831,20 @@ def test_vocab_growth_no_cartesian(spark, sf_dir):
     the max-id scalar broadcasts (no cartesian against data)."""
     plan = formatted_plan(QUERIES["q_vocab_growth"](spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_adamic_adar_centers_degree_capped(spark, sf_dir):
+    """q_adamic_adar's wedge expansion joins through the deg<=cap filter
+    — no cartesian; the pair graph is the session-persisted index."""
+    plan = formatted_plan(QUERIES["q_adamic_adar"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hits_authority_table_broadcast(spark, sf_dir):
+    """q_hits broadcasts the |brands|-row authority table in iteration 1;
+    the only corpus-keyed shuffles are the edge reduce and the
+    customer-keyed hub rollup."""
+    plan = formatted_plan(QUERIES["q_hits"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
