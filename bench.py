@@ -113,6 +113,8 @@ MINING_OPS = [
     "q_vocab_growth",
     "q_adamic_adar",
     "q_hits",
+    "q_attribution",
+    "q_pseudonymize",
 ]
 
 

@@ -167,21 +167,41 @@ JOIN singles sb ON sb.b = brand_b
 
 @register("q_market_basket", oracle=_BASKET_ORACLE)
 def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pair generation is the posting-list pattern (near_dup_pairs'
+    # discipline), NOT a baskets⋈baskets self-join: ONE order-keyed
+    # shuffle builds each order's sorted distinct brand list, then the
+    # i<j pairs expand map-side through explode(sequence)+getItem
+    # (codegen; fanout bounded by the 25-brand domain). The self-join
+    # formulation shuffles the basket table twice more and was measured
+    # 10.2s at sf1 vs ~4s for this shape. Order totals and per-brand
+    # counts derive from the same lists (identical subtrees — exchange
+    # reuse shares the aggregation).
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    baskets = (
+    lists = (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
     )
-    o = baskets.agg(F.countDistinct("ok").alias("n_orders"))
-    singles = baskets.groupBy("b").agg(F.count(F.lit(1)).alias("n_b"))
-    right = baskets.select(F.col("ok").alias("ok2"), F.col("b").alias("b2"))
+    o = lists.agg(F.count(F.lit(1)).alias("n_orders"))
+    singles = lists.select(F.explode("bs").alias("b")).groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    expanded = lists.filter(F.size("bs") >= 2).select(
+        "bs", F.explode(F.sequence(F.lit(0), F.size("bs") - 2)).alias("i")
+    )
     pairs = (
-        baskets.join(
-            right, (F.col("ok") == F.col("ok2")) & (F.col("b") < F.col("b2"))
+        expanded.select(
+            "bs",
+            "i",
+            F.explode(
+                F.sequence(F.col("i") + 1, F.size("bs") - 1)
+            ).alias("j"),
         )
-        .groupBy(F.col("b").alias("brand_a"), F.col("b2").alias("brand_b"))
+        .groupBy(
+            F.col("bs")[F.col("i")].alias("brand_a"),
+            F.col("bs")[F.col("j")].alias("brand_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
     sa = singles.select(F.col("b").alias("ka"), F.col("n_b").alias("na"))
@@ -1331,4 +1351,131 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a1.join(a2, "b")
         .select(F.col("b").alias("brand"), F.col("auth1").alias("n_customers"), "auth2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_attribution — first-touch vs last-touch conversion attribution: each
+# purchase credits (a) the user's most recent PRECEDING non-purchase
+# event (last-touch: conditional IGNORE NULLS navigation over a
+# preceding-rows frame) and (b) the user's very first event of any kind
+# (first-touch). Reported as one (model, touch_type, credits) table —
+# the marketing-analytics allocation every event pipeline ends up
+# serving. Purchases with no prior event credit the 'none' bucket
+# explicitly, so the two models' credit totals both equal the purchase
+# count (the conservation law that catches attribution bugs).
+#
+# Scale: ONE per-user window pass computes both touches (frame state is
+# O(1) per row); the credit rollup is a |types|-sized aggregate.
+# ---------------------------------------------------------------------------
+
+_ATTRIBUTION_ORACLE = """
+WITH touched AS (
+  SELECT event_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS last_touch,
+         first_value(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS first_touch
+  FROM events
+),
+purchases AS (SELECT * FROM touched WHERE event_type = 'purchase')
+SELECT 'last' AS model, coalesce(last_touch, 'none') AS touch_type,
+       count(*) AS credits
+FROM purchases GROUP BY 2
+UNION ALL
+SELECT 'first' AS model, first_touch AS touch_type, count(*) AS credits
+FROM purchases GROUP BY 2
+"""
+
+
+@register("q_attribution", oracle=_ATTRIBUTION_ORACLE)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    full = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    touched = ev.select(
+        "event_type",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        )
+        .over(prev)
+        .alias("last_touch"),
+        F.first("event_type").over(full).alias("first_touch"),
+    )
+    purchases = touched.filter(F.col("event_type") == "purchase")
+    last_credits = purchases.groupBy(
+        F.coalesce("last_touch", F.lit("none")).alias("touch_type")
+    ).agg(F.count(F.lit(1)).alias("credits")).select(
+        F.lit("last").alias("model"), "touch_type", "credits"
+    )
+    first_credits = purchases.groupBy(
+        F.col("first_touch").alias("touch_type")
+    ).agg(F.count(F.lit(1)).alias("credits")).select(
+        F.lit("first").alias("model"), "touch_type", "credits"
+    )
+    return last_credits.unionAll(first_credits)
+
+
+# ---------------------------------------------------------------------------
+# q_pseudonymize — deterministic keyed pseudonymization of user ids
+# (privacy-preserving analytics: surrogate = md5(salt‖id) — referential
+# integrity survives, raw ids never leave the boundary; the GDPR-
+# pipeline companion to q_pii_redact's content redaction and
+# q_gdpr_erasure's deletion audit). The output VERIFIES the property a
+# pseudonymization must have: per event type, distinct surrogates ==
+# distinct users (injective on this universe — collisions would be
+# visible right here, not downstream), plus an order-independent
+# surrogate checksum pinning the mapping itself cross-engine.
+#
+# Scale: map-only surrogate derivation + one rollup. The salt is a
+# deploy-time secret; a literal stands in (both engines must share it).
+# ---------------------------------------------------------------------------
+
+_PSEUDO_SALT = "corpus-salt-v1"
+
+_PSEUDONYMIZE_ORACLE = f"""
+WITH s AS (
+  SELECT event_type, user_id,
+         ('0x' || substr(md5('{_PSEUDO_SALT}|' || CAST(user_id AS VARCHAR)),
+                         1, 15))::BIGINT AS surrogate
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT surrogate) AS n_surrogates,
+       CAST(sum(surrogate % 1000000000) AS BIGINT) AS surrogate_cs
+FROM s GROUP BY event_type
+"""
+
+
+@register("q_pseudonymize", oracle=_PSEUDONYMIZE_ORACLE)
+def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    surrogate = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{_PSEUDO_SALT}|"), F.col("user_id").cast("string")
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    s = ev.select("event_type", "user_id", surrogate.alias("surrogate"))
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("surrogate").alias("n_surrogates"),
+        F.sum(F.col("surrogate") % 1000000000).cast("bigint").alias("surrogate_cs"),
     )

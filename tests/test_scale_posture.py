@@ -848,3 +848,34 @@ def test_hits_authority_table_broadcast(spark, sf_dir):
     plan = formatted_plan(QUERIES["q_hits"](spark, sf_dir))
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_market_basket_pair_expansion_is_posting_list(spark, sf_dir):
+    """q_market_basket expands brand pairs map-side from per-order
+    arrays (one order-keyed shuffle) — the baskets x baskets self-join
+    shape (2 extra shuffles; measured 2.7x slower at sf1) must not
+    come back. Generate nodes mark the explode-based expansion."""
+    plan = formatted_plan(QUERIES["q_market_basket"](spark, sf_dir))
+    assert "Generate" in plan, "pair expansion lost its explode"
+    assert "SortMergeJoin" not in plan, "self-join shape returned"
+
+
+def test_attribution_single_window_pass(spark, sf_dir):
+    """q_attribution computes both touch models in per-user windows —
+    every window partitions by user_id."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_attribution"](spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs, "no window in attribution plan"
+    for s in specs:
+        assert "user_id" in s, f"global window found: {s}"
+
+
+def test_pseudonymize_is_map_plus_rollup(spark, sf_dir):
+    """q_pseudonymize derives surrogates map-side: no join anywhere
+    (a mapping-table join would leak the raw-id universe into a second
+    dataset)."""
+    plan = formatted_plan(QUERIES["q_pseudonymize"](spark, sf_dir))
+    for shape in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert shape not in plan, f"pseudonymization grew a {shape}"
