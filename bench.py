@@ -115,6 +115,10 @@ MINING_OPS = [
     "q_hits",
     "q_attribution",
     "q_pseudonymize",
+    "q_markov_transitions",
+    "q_chi_square",
+    "q_mutual_info",
+    "q_decision_stump",
 ]
 
 

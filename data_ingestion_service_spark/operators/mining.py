@@ -1479,3 +1479,333 @@ def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("surrogate").alias("n_surrogates"),
         F.sum(F.col("surrogate") % 1000000000).cast("bigint").alias("surrogate_cs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_markov_transitions — first-order Markov transition matrix over each
+# user's event-type sequence: P(next | current) from exact pair counts
+# (lead() per user), rates in integer ppm via BIGINT division. The
+# sequence-model baseline behind session simulation, anomaly scoring
+# ("this transition never happens") and funnel design. |types|² rows.
+#
+# Scale: one per-user window pass + one |types|²-sized rollup; rates
+# divide two exact integers — no float path at all.
+# ---------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+),
+trans AS (
+  SELECT from_type, to_type, count(*) AS n_trans
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+),
+froms AS (
+  SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+  FROM trans GROUP BY from_type
+)
+SELECT t.from_type, t.to_type, t.n_trans,
+       t.n_trans * 1000000 // f.n_from AS p_e6
+FROM trans t JOIN froms f ON f.from_type = t.from_type
+"""
+
+
+@register("q_markov_transitions", oracle=_MARKOV_ORACLE)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    trans = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    froms = trans.groupBy("from_type").agg(
+        F.sum("n_trans").cast("bigint").alias("n_from")
+    )
+    return (
+        trans.join(F.broadcast(froms), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_trans",
+            F.expr("n_trans * 1000000L div n_from").alias("p_e6"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_chi_square — Pearson chi-square independence test over the
+# source × lang contingency table (is document language independent of
+# source? — the metadata-bias screen run before trusting per-source
+# corpus statistics). Zero cells matter ((0−e)²/e = e, not 0), so the
+# table is completed to the full source × lang cross before scoring.
+# Observed counts and margins are exact BIGINTs; each cell's term is one
+# fixed-structure double expression floored to e6, summed as BIGINT.
+#
+# Scale: one (source, lang) count shuffle; the contingency table is
+# domain-sized (margins broadcast back over it).
+# ---------------------------------------------------------------------------
+
+_CHI_SQUARE_ORACLE = """
+WITH obs AS (
+  SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2
+),
+grid AS (
+  SELECT s.source, l.lang
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+),
+cells AS (
+  SELECT g.source, g.lang, CAST(coalesce(obs.o, 0) AS BIGINT) AS o
+  FROM grid g LEFT JOIN obs ON obs.source = g.source AND obs.lang = g.lang
+),
+rows_ AS (SELECT source, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY source),
+cols_ AS (SELECT lang, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY lang),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+terms AS (
+  SELECT CAST(floor(
+           (cells.o - (rows_.r * 1.0 * cols_.c) / tot.n)
+           * (cells.o - (rows_.r * 1.0 * cols_.c) / tot.n)
+           / ((rows_.r * 1.0 * cols_.c) / tot.n)
+           * 1000000
+         ) AS BIGINT) AS term_e6
+  FROM cells
+  JOIN rows_ ON rows_.source = cells.source
+  JOIN cols_ ON cols_.lang = cells.lang
+  CROSS JOIN tot
+),
+dims AS (
+  SELECT (SELECT count(*) FROM rows_) AS nr, (SELECT count(*) FROM cols_) AS nc
+)
+SELECT CAST(sum(term_e6) AS BIGINT) AS chi2_e6,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(any_value((nr - 1) * (nc - 1)) AS BIGINT) AS dof
+FROM terms CROSS JOIN dims
+"""
+
+
+@register("q_chi_square", oracle=_CHI_SQUARE_ORACLE)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    sources = docs.select("source").distinct()
+    langs = docs.select("lang").distinct()
+    grid = sources.crossJoin(F.broadcast(langs))
+    cells = grid.join(obs, ["source", "lang"], "left").select(
+        "source", "lang", F.coalesce("o", F.lit(0)).cast("bigint").alias("o")
+    )
+    rows_ = cells.groupBy("source").agg(F.sum("o").cast("bigint").alias("r"))
+    cols_ = cells.groupBy("lang").agg(F.sum("o").cast("bigint").alias("c"))
+    tot = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    dims = rows_.agg(F.count(F.lit(1)).alias("nr")).crossJoin(
+        F.broadcast(cols_.agg(F.count(F.lit(1)).alias("nc")))
+    )
+    e = (F.col("r") * 1.0 * F.col("c")) / F.col("n")
+    term = F.floor((F.col("o") - e) * (F.col("o") - e) / e * 1000000).cast(
+        "bigint"
+    )
+    return (
+        cells.join(F.broadcast(rows_), "source")
+        .join(F.broadcast(cols_), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(term.alias("term_e6"))
+        .agg(
+            F.sum("term_e6").cast("bigint").alias("chi2_e6"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        )
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "chi2_e6",
+            "n_cells",
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_mutual_info — mutual information between document source and length
+# tier (does knowing the source leak the length distribution?): MI =
+# Σ_cells p(x,y)·log2(p(x,y)/(p(x)p(y))) over observed cells (empty
+# cells contribute 0 by the 0·log0 convention — unlike chi-square, no
+# grid completion needed). The feature-dependence audit complementing
+# q_chi_square's significance test with the information-theoretic
+# effect size. Per-cell terms floor to e9 before the BIGINT sum.
+# ---------------------------------------------------------------------------
+
+_MI_ORACLE = """
+WITH tiers AS (
+  SELECT source,
+         CASE WHEN n_chars < 150 THEN 0 WHEN n_chars < 300 THEN 1
+              WHEN n_chars < 450 THEN 2 ELSE 3 END AS tier
+  FROM documents
+),
+obs AS (SELECT source, tier, count(*) AS o FROM tiers GROUP BY 1, 2),
+rows_ AS (SELECT source, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY source),
+cols_ AS (SELECT tier, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY tier),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+terms AS (
+  SELECT CAST(floor(
+           (obs.o * 1.0 / tot.n)
+           * log2((obs.o * 1.0 * tot.n) / (rows_.r * 1.0 * cols_.c))
+           * 1000000000
+         ) AS BIGINT) AS term_e9
+  FROM obs
+  JOIN rows_ ON rows_.source = obs.source
+  JOIN cols_ ON cols_.tier = obs.tier
+  CROSS JOIN tot
+)
+SELECT CAST(sum(term_e9) AS BIGINT) AS mi_e9,
+       CAST(count(*) AS BIGINT) AS n_cells
+FROM terms
+"""
+
+
+@register("q_mutual_info", oracle=_MI_ORACLE)
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tier = (
+        F.when(F.col("n_chars") < 150, 0)
+        .when(F.col("n_chars") < 300, 1)
+        .when(F.col("n_chars") < 450, 2)
+        .otherwise(3)
+    )
+    obs = docs.select("source", tier.alias("tier")).groupBy(
+        "source", "tier"
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_ = obs.groupBy("source").agg(F.sum("o").cast("bigint").alias("r"))
+    cols_ = obs.groupBy("tier").agg(F.sum("o").cast("bigint").alias("c"))
+    tot = obs.agg(F.sum("o").cast("bigint").alias("n"))
+    term = F.floor(
+        (F.col("o") * 1.0 / F.col("n"))
+        * F.log2((F.col("o") * 1.0 * F.col("n")) / (F.col("r") * 1.0 * F.col("c")))
+        * 1000000000
+    ).cast("bigint")
+    return (
+        obs.join(F.broadcast(rows_), "source")
+        .join(F.broadcast(cols_), "tier")
+        .crossJoin(F.broadcast(tot))
+        .select(term.alias("term_e9"))
+        .agg(
+            F.sum("term_e9").cast("bigint").alias("mi_e9"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_decision_stump — best single split of `value` for predicting
+# purchases: for each of 9 candidate thresholds over the 10 value
+# buckets, information gain IG(t) = H(labels) − weighted H(left/right),
+# argmax on (gain, smallest t). The one-node decision tree — the
+# feature-evaluation primitive behind split finding in distributed
+# GBDT/random-forest training (per-feature histogram → cumulative
+# counts → gain scan, exactly this shape at 100 TB, one histogram
+# shuffle per feature).
+#
+# Single source of truth for the math: the entropy/gain expression is
+# ONE generated SQL string evaluated by Spark via F.expr and inlined
+# verbatim into the DuckDB oracle — structurally impossible for the
+# engines' formulas to drift. All counts exact BIGINTs; gain floors to
+# e9.
+# ---------------------------------------------------------------------------
+
+
+def _h_sql(x: str, y: str) -> str:
+    """Binary entropy of exact integer counts, 0·log0-guarded."""
+    s = f"({x} + {y})"
+    return (
+        f"(CASE WHEN {x} = 0 OR {y} = 0 THEN 0.0 ELSE "
+        f"-(({x} * 1.0 / {s}) * log2({x} * 1.0 / {s}) "
+        f"+ ({y} * 1.0 / {s}) * log2({y} * 1.0 / {s})) END)"
+    )
+
+
+_IG_SQL = (
+    f"CAST(floor(({_h_sql('t1', 't0')} "
+    f"- ((c1 + c0) * 1.0 / (t1 + t0)) * {_h_sql('c1', 'c0')} "
+    f"- ((t1 - c1 + t0 - c0) * 1.0 / (t1 + t0)) "
+    f"* {_h_sql('(t1 - c1)', '(t0 - c0)')}) * 1000000000) AS BIGINT)"
+)
+
+_STUMP_ORACLE = f"""
+WITH labeled AS (
+  SELECT least(CAST(floor(value / 50) AS BIGINT), 9) AS bucket,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+hist AS (
+  SELECT bucket,
+         CAST(sum(y) AS BIGINT) AS n1,
+         CAST(sum(1 - y) AS BIGINT) AS n0
+  FROM labeled GROUP BY bucket
+),
+cum AS (
+  SELECT bucket,
+         CAST(sum(n1) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c1,
+         CAST(sum(n0) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c0,
+         CAST(sum(n1) OVER () AS BIGINT) AS t1,
+         CAST(sum(n0) OVER () AS BIGINT) AS t0
+  FROM hist
+),
+gains AS (
+  SELECT bucket + 1 AS threshold, c1, c0, t1, t0, {_IG_SQL} AS ig_e9
+  FROM cum WHERE bucket < 9
+)
+SELECT threshold, ig_e9,
+       c1 + c0 AS n_left, (t1 - c1) + (t0 - c0) AS n_right
+FROM gains
+ORDER BY ig_e9 DESC, threshold
+LIMIT 1
+"""
+
+
+@register("q_decision_stump", oracle=_STUMP_ORACLE)
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    labeled = ev.select(
+        F.least(
+            F.floor(F.col("value") / 50).cast("bigint"), F.lit(9).cast("bigint")
+        ).alias("bucket"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    hist = labeled.groupBy("bucket").agg(
+        F.sum("y").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("n0"),
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "bucket",
+        F.sum("n1").over(w_cum).cast("bigint").alias("c1"),
+        F.sum("n0").over(w_cum).cast("bigint").alias("c0"),
+        F.sum("n1").over(w_all).cast("bigint").alias("t1"),
+        F.sum("n0").over(w_all).cast("bigint").alias("t0"),
+    )
+    gains = cum.filter(F.col("bucket") < 9).select(
+        (F.col("bucket") + 1).alias("threshold"),
+        "c1",
+        "c0",
+        "t1",
+        "t0",
+        F.expr(_IG_SQL).alias("ig_e9"),
+    )
+    return (
+        gains.select(
+            "threshold",
+            "ig_e9",
+            (F.col("c1") + F.col("c0")).alias("n_left"),
+            ((F.col("t1") - F.col("c1")) + (F.col("t0") - F.col("c0"))).alias(
+                "n_right"
+            ),
+        )
+        .orderBy(F.desc("ig_e9"), F.asc("threshold"))
+        .limit(1)
+    )

@@ -879,3 +879,36 @@ def test_pseudonymize_is_map_plus_rollup(spark, sf_dir):
     plan = formatted_plan(QUERIES["q_pseudonymize"](spark, sf_dir))
     for shape in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert shape not in plan, f"pseudonymization grew a {shape}"
+
+
+def test_markov_window_per_user(spark, sf_dir):
+    """q_markov_transitions' lead() window partitions by user_id."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_markov_transitions"](spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs and all("user_id" in s for s in specs)
+
+
+def test_chi_square_margins_broadcast(spark, sf_dir):
+    """q_chi_square joins domain-sized margins back over the contingency
+    cells via broadcast; the corpus contributes one count shuffle."""
+    plan = formatted_plan(QUERIES["q_chi_square"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mutual_info_margins_broadcast(spark, sf_dir):
+    plan = formatted_plan(QUERIES["q_mutual_info"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decision_stump_single_histogram_scan(spark, sf_dir):
+    """q_decision_stump reduces the corpus to a 10-bucket histogram in
+    one scan; the gain scan runs over that model table."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_decision_stump"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, f"stump re-scanned the corpus ({n_scans} scans)"
