@@ -121,6 +121,19 @@ MINING_OPS = [
     "q_decision_stump",
 ]
 
+# Round-6 fourth wave: feature-engineering / inference-audit operators
+# (operators/ml_features.py) — NEW group, same comparability rule.
+ML_FEATURE_OPS = [
+    "q_rfm_segments",
+    "q_target_encode",
+    "q_woe_iv",
+    "q_bootstrap_ci",
+    "q_changepoint",
+    "q_nearest_centroid",
+    "q_ann_recall",
+    "q_power_iteration",
+]
+
 
 def _median(vals: list[float]) -> float:
     s = sorted(vals)
@@ -215,32 +228,21 @@ def main() -> None:
     # honest round-over-round comparable for those ops.
     llm_cold = {k: round(v[0], 4) for k, v in llm_samples.items()}
 
-    variant_timings: dict[str, float] = {}
-    for key in [k for k in VARIANT_OPS if k in QUERIES]:
-        vals = []
-        for _ in range(N_SAMPLES):
-            t0 = time.monotonic()
-            QUERIES[key](spark, sf_dir).collect()
-            vals.append(time.monotonic() - t0)
-        variant_timings[key] = round(_median(vals), 4)
+    def _time_group(group: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for key in [k for k in group if k in QUERIES]:
+            vals = []
+            for _ in range(N_SAMPLES):
+                t0 = time.monotonic()
+                QUERIES[key](spark, sf_dir).collect()
+                vals.append(time.monotonic() - t0)
+            out[key] = round(_median(vals), 4)
+        return out
 
-    r6_timings: dict[str, float] = {}
-    for key in [k for k in CORPUS_OPS_R6 if k in QUERIES]:
-        vals = []
-        for _ in range(N_SAMPLES):
-            t0 = time.monotonic()
-            QUERIES[key](spark, sf_dir).collect()
-            vals.append(time.monotonic() - t0)
-        r6_timings[key] = round(_median(vals), 4)
-
-    mining_timings: dict[str, float] = {}
-    for key in [k for k in MINING_OPS if k in QUERIES]:
-        vals = []
-        for _ in range(N_SAMPLES):
-            t0 = time.monotonic()
-            QUERIES[key](spark, sf_dir).collect()
-            vals.append(time.monotonic() - t0)
-        mining_timings[key] = round(_median(vals), 4)
+    variant_timings = _time_group(VARIANT_OPS)
+    r6_timings = _time_group(CORPUS_OPS_R6)
+    mining_timings = _time_group(MINING_OPS)
+    mlf_timings = _time_group(ML_FEATURE_OPS)
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -265,6 +267,8 @@ def main() -> None:
                 "corpus_ops_r6_total": round(sum(r6_timings.values()), 4),
                 "mining_ops": mining_timings,
                 "mining_ops_total": round(sum(mining_timings.values()), 4),
+                "ml_feature_ops": mlf_timings,
+                "ml_feature_ops_total": round(sum(mlf_timings.values()), 4),
                 "n_registered_queries": len(QUERIES),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

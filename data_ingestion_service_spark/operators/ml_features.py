@@ -1,0 +1,876 @@
+"""Feature-engineering and inference-audit operators: RFM segmentation,
+leave-one-out target encoding, weight-of-evidence / information value,
+deterministic bootstrap confidence intervals, and exact split-point
+changepoint detection.
+
+These are the table-stakes feature/label passes a training-data platform
+runs next to the corpus pipeline: turning raw facts into model features
+(RFM, target encoding, WOE) and auditing series/estimates before they
+feed a model (bootstrap CI, changepoint).
+
+Cross-engine exactness discipline (SURVEY.md §5): sufficient statistics
+accumulate as exact BIGINTs (cents / e6 fixed point); randomness is a
+pure md5 function of row keys (identical literal construction in both
+engines); each key performs at most one final float expression (a log or
+quotient of exact integers with fixed parenthesization) floored to e6.
+
+Scale shapes (100 TB): every key is one or two key-partitioned shuffles
+plus a broadcast of a group-bounded model table (5 event types, 125 RFM
+cells, 32 replicate rows, one calendar's worth of days). Nothing is
+all-pairs and nothing collects data-proportional state to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_service_spark.catalog import load_table
+from data_ingestion_service_spark.functions.vector import as_double, cosine
+from data_ingestion_service_spark.registry import register
+from data_ingestion_service_spark.session import session_persisted
+
+# ---------------------------------------------------------------------------
+# q_rfm_segments — classic RFM customer segmentation: recency (days
+# since last order, vs the corpus max date so the score is data-relative
+# and reproducible), frequency (order count), monetary (lifetime cents),
+# each scored into quintiles with a deterministic tie-break on custkey,
+# then rolled up per (r, f, m) cell with exact mean monetary.
+#
+# Exactness: recency/frequency are exact integers; monetary accumulates
+# in cents; ntile ordering carries c_custkey as the unique tie-break so
+# quintile assignment is total-order deterministic in both engines; the
+# cell mean is an integer division of exact BIGINTs.
+#
+# Scale: one custkey rollup shuffle, three quintile windows over the
+# CUSTOMER-sized (not order-sized) table, one 125-cell rollup. At 100 TB
+# the quintile boundaries come from an approx-percentile pre-pass plus a
+# boundary broadcast (documented alternative); the exact ntile is kept
+# here because the scored table is customer-dimension-sized.
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH maxd AS (SELECT max(o_orderdate) AS mx FROM orders),
+per_cust AS (
+  SELECT o_custkey AS ck,
+         date_diff('day', max(o_orderdate), (SELECT mx FROM maxd))
+           AS recency_days,
+         count(*) AS frequency,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders
+  GROUP BY 1
+),
+scored AS (
+  SELECT ck, recency_days, frequency, monetary_cents,
+         ntile(5) OVER (ORDER BY recency_days, ck) AS r_score,
+         ntile(5) OVER (ORDER BY frequency DESC, ck) AS f_score,
+         ntile(5) OVER (ORDER BY monetary_cents DESC, ck) AS m_score
+  FROM per_cust
+)
+SELECT r_score, f_score, m_score,
+       count(*) AS n_customers,
+       CAST(sum(monetary_cents) // count(*) AS BIGINT) AS mean_monetary_cents
+FROM scored
+GROUP BY 1, 2, 3
+"""
+
+
+@register("q_rfm_segments", oracle=_RFM_ORACLE)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    # The corpus max date is a 1-row aggregate broadcast into the scan —
+    # not a driver-side collect.
+    maxd = orders.agg(F.max("o_orderdate").alias("mx"))
+    per_cust = per_cust.join(F.broadcast(maxd)).select(
+        "ck",
+        F.datediff(F.col("mx"), F.col("last_order")).alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    scored = per_cust.select(
+        "ck",
+        "monetary_cents",
+        F.ntile(5)
+        .over(Window.orderBy("recency_days", "ck"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("ck")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary_cents"), F.asc("ck")))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary_cents").cast("bigint").alias("sum_mc"),
+        )
+        .select(
+            "r_score",
+            "f_score",
+            "m_score",
+            "n_customers",
+            # Exact BIGINT division (truncate == floor on non-negatives)
+            # — never a double quotient that could land an ulp off the
+            # oracle's integer `//`.
+            F.expr("sum_mc div n_customers").alias("mean_monetary_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_target_encode — leave-one-out target encoding of `event_type` by
+# event value: each event's feature is the mean value of all OTHER
+# events of its type, the standard leakage-free categorical encoding
+# (each row's own label is excluded so the feature never memorizes it).
+#
+# Exactness: values quantize to exact cents; per-type (n, sum) are exact
+# BIGINT sufficient statistics; the LOO mean is an integer division
+# (sum_cents − own_cents) * 10000 // (n − 1) → e4-of-cents fixed point.
+# The ×10⁴ headroom bounds the product at ~5·10¹⁸ even at 10¹⁰ events
+# per type (value ≤ $500.02); beyond that the same two-pass shape runs
+# with the multiplier folded into the broadcast stats.
+#
+# Scale: pass 1 is a 5-row groupBy (map-side combined); pass 2 joins the
+# broadcast stats back into the event scan — no event-keyed shuffle at
+# all. Output is md5-sampled (~1%) so the checked surface stays bounded
+# while the encoding itself is computed for every row.
+# ---------------------------------------------------------------------------
+
+_TARGET_ENCODE_ORACLE = """
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS v_cents
+  FROM events
+),
+stats AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(v_cents) AS BIGINT) AS sum_cents
+  FROM ev GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       CAST((s.sum_cents - e.v_cents) * 10000 // (s.n - 1) AS BIGINT)
+         AS loo_enc_e4
+FROM ev e JOIN stats s ON s.event_type = e.event_type
+WHERE ('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 2))::BIGINT < 3
+"""
+
+
+@register("q_target_encode", oracle=_TARGET_ENCODE_ORACLE)
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v_cents"),
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_cents").cast("bigint").alias("sum_cents"),
+    )
+    # ~1% deterministic sample: first md5 byte < 3 (3/256). The sample
+    # gates OUTPUT volume only; the encoding join runs over all rows.
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string").cast("binary")), 1, 2),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(h < 3)
+        .select(
+            "event_id",
+            "event_type",
+            F.expr("(sum_cents - v_cents) * 10000 div (n - 1)").alias(
+                "loo_enc_e4"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_woe_iv — weight of evidence and information value of `source` as a
+# predictor of the binary target lang = 'en': the standard credit-scoring
+# / feature-screening statistic (Siddiqi's WOE/IV). Laplace-smoothed
+# (+1 per class per source, +n_sources on the totals) so a one-class
+# source cannot diverge the log.
+#
+# Exactness: all eight counts are exact BIGINTs; the odds ratio is
+# (g_s/g_tot)/(b_s/b_tot) with fixed parenthesization (each factor a
+# correctly-rounded double quotient of exact integers — the q_pmi
+# pattern); ln is floored to e6. The IV term multiplies the pre-floored
+# BIGINT woe_e6 by the exact probability difference and floors again, so
+# no float-accumulation ordering exists anywhere.
+#
+# Scale: one source-keyed count shuffle (map-side combined, two
+# conditional sums), a 1-row totals broadcast. Source cardinality bounds
+# every post-scan structure.
+# ---------------------------------------------------------------------------
+
+_WOE_ORACLE = """
+WITH per_src AS (
+  SELECT source,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1 AS BIGINT)
+           AS g,
+         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) + 1 AS BIGINT)
+           AS b
+  FROM documents
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(g) AS BIGINT) AS g_tot, CAST(sum(b) AS BIGINT) AS b_tot
+  FROM per_src
+)
+SELECT source, g AS n_good, b AS n_bad,
+       CAST(floor(ln((g * 1.0 / g_tot) / (b * 1.0 / b_tot)) * 1000000)
+            AS BIGINT) AS woe_e6,
+       CAST(floor(((g * 1.0 / g_tot) - (b * 1.0 / b_tot))
+                  * CAST(floor(ln((g * 1.0 / g_tot) / (b * 1.0 / b_tot))
+                               * 1000000) AS BIGINT)) AS BIGINT) AS iv_term_e6
+FROM per_src CROSS JOIN tot
+"""
+
+
+@register("q_woe_iv", oracle=_WOE_ORACLE)
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        (F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)) + 1)
+        .cast("bigint")
+        .alias("g"),
+        (F.sum(F.when(F.col("lang") == "en", 0).otherwise(1)) + 1)
+        .cast("bigint")
+        .alias("b"),
+    )
+    tot = per_src.agg(
+        F.sum("g").cast("bigint").alias("g_tot"),
+        F.sum("b").cast("bigint").alias("b_tot"),
+    )
+    joined = per_src.join(F.broadcast(tot))
+    pg = F.col("g") * 1.0 / F.col("g_tot")
+    pb = F.col("b") * 1.0 / F.col("b_tot")
+    woe_e6 = F.floor(F.log(pg / pb) * 1000000).cast("bigint")
+    return joined.select(
+        "source",
+        F.col("g").alias("n_good"),
+        F.col("b").alias("n_bad"),
+        woe_e6.alias("woe_e6"),
+        F.floor((pg - pb) * woe_e6).cast("bigint").alias("iv_term_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_bootstrap_ci — deterministic Poisson bootstrap of mean order value:
+# 32 replicates where order o's multiplicity in replicate b is a pure
+# md5 function of (o_orderkey, b) mapped through the Poisson(1) CDF
+# (P(0)=P(1)=.3679, P(2)=.1839, P(3)=.0613, else 4) — the online
+# bootstrap of Oza/Russell and Chamandy et al., reproducible across
+# engines, runs, and cluster sizes because no RNG state exists.
+#
+# Exactness: the uniform is 8 exact md5 nibbles (u < 2³²) compared to
+# pre-scaled integer CDF thresholds; replicate means are integer cents
+# divisions of exact BIGINT (Σ m·cents, Σ m); the CI picks fixed ranks
+# (2, 16, 31) of the 32 sorted replicate means with the replicate id as
+# tie-break — order-total, no interpolation.
+#
+# Scale: the 32× fan-out is a map-side explode of a broadcast literal
+# range (no shuffle growth — partial aggregation combines per (b) before
+# the 32-row exchange). 100 TB changes Σ magnitudes (cents ≤ 6·10⁷ per
+# order ⇒ Σ m·cents < 2⁶³ until ~10¹³ orders), not the plan.
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32
+# floor(2^32 * poisson(1).cdf(k)) for k = 0, 1, 2
+_POIS_C0 = 1580030168
+_POIS_C1 = 3160060337
+_POIS_C2 = 3950075421
+_POIS_C3 = 4213413783
+
+_BOOTSTRAP_ORACLE = f"""
+WITH reps AS (SELECT unnest(range(0, {_BOOT_B})) AS b),
+fanned AS (
+  SELECT r.b,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+         ('0x' || substr(
+            md5(CAST(o.o_orderkey AS VARCHAR) || ':' || CAST(r.b AS VARCHAR)),
+            1, 8))::BIGINT AS u
+  FROM orders o CROSS JOIN reps r
+),
+rep_means AS (
+  SELECT b,
+         CAST(sum(CASE WHEN u < {_POIS_C0} THEN 0
+                       WHEN u < {_POIS_C1} THEN 1
+                       WHEN u < {_POIS_C2} THEN 2
+                       WHEN u < {_POIS_C3} THEN 3
+                       ELSE 4 END * cents) AS BIGINT)
+         // CAST(sum(CASE WHEN u < {_POIS_C0} THEN 0
+                          WHEN u < {_POIS_C1} THEN 1
+                          WHEN u < {_POIS_C2} THEN 2
+                          WHEN u < {_POIS_C3} THEN 3
+                          ELSE 4 END) AS BIGINT) AS mean_cents
+  FROM fanned
+  GROUP BY b
+),
+ranked AS (
+  SELECT mean_cents,
+         row_number() OVER (ORDER BY mean_cents, b) AS rk
+  FROM rep_means
+)
+SELECT
+  max(CASE WHEN rk = 2 THEN mean_cents END) AS lo_ci_cents,
+  max(CASE WHEN rk = 16 THEN mean_cents END) AS median_cents,
+  max(CASE WHEN rk = 31 THEN mean_cents END) AS hi_ci_cents
+FROM ranked
+"""
+
+
+@register("q_bootstrap_ci", oracle=_BOOTSTRAP_ORACLE)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    fanned = orders.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("b").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    mult = (
+        F.when(u < _POIS_C0, 0)
+        .when(u < _POIS_C1, 1)
+        .when(u < _POIS_C2, 2)
+        .when(u < _POIS_C3, 3)
+        .otherwise(4)
+    )
+    rep_means = (
+        fanned.select("b", (mult * F.col("cents")).alias("wc"), mult.alias("m"))
+        .groupBy("b")
+        .agg(
+            F.sum("wc").cast("bigint").alias("sum_wc"),
+            F.sum("m").cast("bigint").alias("sum_m"),
+        )
+        .select("b", F.expr("sum_wc div sum_m").alias("mean_cents"))
+    )
+    ranked = rep_means.select(
+        "mean_cents",
+        F.row_number()
+        .over(Window.orderBy("mean_cents", "b"))
+        .alias("rk"),
+    )
+    return ranked.agg(
+        F.max(F.when(F.col("rk") == 2, F.col("mean_cents"))).alias(
+            "lo_ci_cents"
+        ),
+        F.max(F.when(F.col("rk") == 16, F.col("mean_cents"))).alias(
+            "median_cents"
+        ),
+        F.max(F.when(F.col("rk") == 31, F.col("mean_cents"))).alias(
+            "hi_ci_cents"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_changepoint — exact split-point changepoint detection on the daily
+# event-value series: for every candidate split day t, score the
+# absolute difference between the mean of days ≤ t and the mean of days
+# > t (the two-sample scan statistic behind CUSUM-style monitors, exact
+# rather than sequential), and return the top-3 candidate splits. The
+# drift screen run before trusting any ingested time series.
+#
+# Exactness: daily sums are exact cents; prefix sums come from an
+# unbounded window over the DAY-sized series; both segment means floor
+# to e6-of-cents via integer division before the difference, so the
+# score is an exact BIGINT. Tie-break on day keeps the top-3 total-order
+# deterministic.
+#
+# Scale: one day-keyed rollup shuffle; the window and ranking run over a
+# calendar-bounded series (≤ a few thousand rows regardless of fact
+# volume). The ×10⁶ prefix product stays under 2⁶³ until ~9·10¹² cents
+# of cumulative value; past that the same statistic runs on e3 units.
+# ---------------------------------------------------------------------------
+
+_CHANGEPOINT_ORACLE = """
+WITH daily AS (
+  SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  GROUP BY 1
+),
+pre AS (
+  SELECT day, cents,
+         CAST(sum(cents) OVER w AS BIGINT) AS cum_cents,
+         CAST(count(*) OVER w AS BIGINT) AS cum_n,
+         CAST(sum(cents) OVER () AS BIGINT) AS tot_cents,
+         CAST(count(*) OVER () AS BIGINT) AS tot_n
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+scored AS (
+  SELECT day,
+         abs(cum_cents * 1000000 // cum_n
+             - (tot_cents - cum_cents) * 1000000 // (tot_n - cum_n))
+           AS gap_e6
+  FROM pre
+  WHERE cum_n < tot_n
+)
+SELECT day AS split_day, gap_e6
+FROM scored
+ORDER BY gap_e6 DESC, split_day
+LIMIT 3
+"""
+
+
+@register("q_changepoint", oracle=_CHANGEPOINT_ORACLE)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pre = daily.select(
+        "day",
+        F.sum("cents").over(w).cast("bigint").alias("cum_cents"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cum_n"),
+        F.sum("cents").over(wall).cast("bigint").alias("tot_cents"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("tot_n"),
+    )
+    # DuckDB `//` floors while Spark `div` truncates toward zero — equal
+    # here because each segment mean is a quotient of NON-NEGATIVE exact
+    # integers; only the OUTER difference can go negative and abs() wraps
+    # that, so floor-vs-truncate cannot diverge.
+    scored = pre.filter(F.col("cum_n") < F.col("tot_n")).select(
+        "day",
+        F.abs(
+            F.expr("cum_cents * 1000000 div cum_n")
+            - F.expr(
+                "(tot_cents - cum_cents) * 1000000 div (tot_n - cum_n)"
+            )
+        ).alias("gap_e6"),
+    )
+    return (
+        scored.orderBy(F.desc("gap_e6"), F.asc("day"))
+        .limit(3)
+        .select(F.col("day").alias("split_day"), "gap_e6")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_nearest_centroid — nearest-centroid (Rocchio) classification of the
+# embedding table against its own per-label centroids, reported as a
+# confusion matrix: the quality gate an embedding pipeline runs after
+# re-featurization (a label whose vectors stop resolving to their own
+# centroid signals drift or a broken encoder). Complements
+# q_eval_metrics (bucket-majority over sign-LSH) with the geometric
+# classifier.
+#
+# Exactness: centroid components are exact BIGINT sums of e6-quantized
+# elements (q_embedding_drift's construction) divided once per label —
+# order-independent under any distributed accumulation; each
+# vector×centroid cosine is one fixed-order fold over pos-sorted arrays
+# rounded to 4 decimals; argmax tie-breaks on the smaller label.
+#
+# Scale: one (label, pos) integer rollup shuffle, a |labels|-row
+# broadcast, one map-side scored pass with a per-vector top-1 window.
+# The corpus never self-joins; the centroid table is label-bounded.
+# ---------------------------------------------------------------------------
+
+_NEAREST_CENTROID_ORACLE = """
+WITH pos AS (SELECT unnest(range(1, 65)) AS p),
+elems AS (
+  SELECT label, pos.p AS p,
+         CAST(floor(e.embedding[pos.p]::DOUBLE * 1000000) AS BIGINT) AS q
+  FROM embeddings e, pos
+),
+cent AS (
+  SELECT label AS c_label, list(cv ORDER BY p) AS centroid
+  FROM (
+    SELECT label, p, CAST(sum(q) AS BIGINT) * 1.0 / count(*) AS cv
+    FROM elems GROUP BY label, p
+  )
+  GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.label, c.c_label,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 4)
+           AS cs
+  FROM embeddings e CROSS JOIN cent c
+),
+best AS (
+  SELECT vec_id, label, c_label AS predicted,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY cs DESC, c_label
+         ) AS rn
+  FROM scored
+)
+SELECT label, predicted, count(*) AS n
+FROM best WHERE rn = 1
+GROUP BY 1, 2
+"""
+
+
+@register("q_nearest_centroid", oracle=_NEAREST_CENTROID_ORACLE)
+def q_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "label", F.posexplode(as_double("embedding")).alias("p0", "x")
+    ).select(
+        "label",
+        (F.col("p0") + 1).alias("p"),
+        F.floor(F.col("x") * 1000000).cast("long").alias("q"),
+    )
+    cent = (
+        elems.groupBy("label", "p")
+        .agg((F.sum("q").cast("long") * 1.0 / F.count(F.lit(1))).alias("cv"))
+        .groupBy(F.col("label").alias("c_label"))
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("p", "cv"))),
+                lambda s: s["cv"],
+            ).alias("centroid")
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        F.round(cosine(as_double("embedding"), F.col("centroid")), 4).alias(
+            "cs"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("c_label"))
+    return (
+        scored.select(
+            "label",
+            F.col("c_label").alias("predicted"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .groupBy("label", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_ann_recall — the IVF approximation MEASURED (the embedding-side
+# companion to q_lsh_recall): for 5 fixed probe vectors, how many of the
+# exact cosine top-5 neighbors does the label-block IVF search (probe
+# the top-2 blocks only — q_knn_ivf's index shape) actually return?
+# This is the tuning loop for nprobe/cell count on a new embedding
+# space, promoted to a first-class audited metric.
+#
+# Exactness: both neighbor sets rank by round(cos, 4) with vec_id
+# tie-break (q_knn_ivf's discipline); recall is an integer e6 ratio of
+# exact counts.
+#
+# Scale: probes and centroids are label-/probe-bounded broadcasts; the
+# corpus-sized work is one scored scan for the exact truth (at 100 TB
+# the truth side restricts to a fixed audit sample, same shape) and one
+# semi-join-pruned scan for the IVF side. Nothing is all-pairs.
+# ---------------------------------------------------------------------------
+
+_ANN_N_PROBES = 5
+_ANN_K = 5
+
+_ANN_RECALL_ORACLE = f"""
+WITH pos AS (SELECT unnest(range(1, 65)) AS p),
+probes AS (
+  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe
+  FROM embeddings WHERE vec_id < {_ANN_N_PROBES}
+),
+elems AS (
+  SELECT label, e.embedding[pos.p]::DOUBLE AS v, pos.p
+  FROM embeddings e, pos
+),
+cent AS (
+  SELECT label, list(cv ORDER BY p) AS centroid
+  FROM (SELECT label, p, round(avg(v), 6) AS cv FROM elems GROUP BY label, p)
+  GROUP BY label
+),
+lab_rank AS (
+  SELECT p.probe_id, c.label,
+         row_number() OVER (
+           PARTITION BY p.probe_id
+           ORDER BY round(list_cosine_similarity(c.centroid, p.pe), 4) DESC,
+                    c.label
+         ) AS lr
+  FROM cent c CROSS JOIN probes p
+),
+scored AS (
+  SELECT p.probe_id, e.vec_id, e.label,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], p.pe), 4) AS cs
+  FROM embeddings e CROSS JOIN probes p
+  WHERE e.vec_id <> p.probe_id
+),
+exact_top AS (
+  SELECT probe_id, vec_id
+  FROM (
+    SELECT probe_id, vec_id,
+           row_number() OVER (
+             PARTITION BY probe_id ORDER BY cs DESC, vec_id
+           ) AS rn
+    FROM scored
+  ) WHERE rn <= {_ANN_K}
+),
+ivf_top AS (
+  SELECT probe_id, vec_id
+  FROM (
+    SELECT s.probe_id, s.vec_id,
+           row_number() OVER (
+             PARTITION BY s.probe_id ORDER BY s.cs DESC, s.vec_id
+           ) AS rn
+    FROM scored s
+    JOIN lab_rank lr ON lr.probe_id = s.probe_id AND lr.label = s.label
+                    AND lr.lr <= 2
+  ) WHERE rn <= {_ANN_K}
+)
+SELECT e.probe_id,
+       count(i.vec_id) AS n_hits,
+       CAST(count(i.vec_id) * 1000000 // {_ANN_K} AS BIGINT) AS recall_e6
+FROM exact_top e
+LEFT JOIN ivf_top i ON i.probe_id = e.probe_id AND i.vec_id = e.vec_id
+GROUP BY e.probe_id
+"""
+
+
+@register("q_ann_recall", oracle=_ANN_RECALL_ORACLE)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < _ANN_N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), as_double("embedding").alias("pe")
+    )
+    elems = emb.select(
+        "label", F.posexplode(as_double("embedding")).alias("p0", "v")
+    ).select("label", (F.col("p0") + 1).alias("p"), "v")
+    cent = (
+        elems.groupBy("label", "p")
+        .agg(F.round(F.avg("v"), 6).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("p", "cv"))),
+                lambda s: s["cv"],
+            ).alias("centroid")
+        )
+    )
+    wlab = Window.partitionBy("probe_id").orderBy(
+        F.desc("csim"), F.asc("label")
+    )
+    lab_top2 = (
+        cent.crossJoin(F.broadcast(probes))
+        .select(
+            "probe_id",
+            "label",
+            F.round(cosine(F.col("centroid"), F.col("pe")), 4).alias("csim"),
+        )
+        .select("probe_id", "label", F.row_number().over(wlab).alias("lr"))
+        .filter(F.col("lr") <= 2)
+        .drop("lr")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            "label",
+            F.round(cosine(as_double("embedding"), F.col("pe")), 4).alias(
+                "cs"
+            ),
+        )
+    )
+    wtop = Window.partitionBy("probe_id").orderBy(
+        F.desc("cs"), F.asc("vec_id")
+    )
+    exact_top = (
+        scored.select(
+            "probe_id", "vec_id", F.row_number().over(wtop).alias("rn")
+        )
+        .filter(F.col("rn") <= _ANN_K)
+        .drop("rn")
+    )
+    ivf_top = (
+        scored.join(F.broadcast(lab_top2), ["probe_id", "label"], "left_semi")
+        .select("probe_id", "vec_id", F.row_number().over(wtop).alias("rn"))
+        .filter(F.col("rn") <= _ANN_K)
+        .drop("rn")
+    )
+    hits = ivf_top.select(
+        F.col("probe_id").alias("h_probe"), F.col("vec_id").alias("hit_id")
+    )
+    return (
+        exact_top.join(
+            hits,
+            (F.col("probe_id") == F.col("h_probe"))
+            & (F.col("vec_id") == F.col("hit_id")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.count("hit_id").alias("n_hits"),
+            F.expr(f"count(hit_id) * 1000000 div {_ANN_K}").alias(
+                "recall_e6"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_power_iteration — three unrolled power-iteration steps toward the
+# leading principal direction of the embedding gram matrix, entirely in
+# exact integer arithmetic: the spectral screen an embedding pipeline
+# runs to detect collapse (one direction swallowing the variance) or an
+# encoder change. CONTRACT: the deterministic 3-step iterate, not the
+# converged eigenvector — convergence rate is (λ2/λ1)^t, so on a
+# healthy near-isotropic space (this fixture: λ1/λ2 ≈ 1.07) three steps
+# are a partial rotation, while on a COLLAPSED space (the failure the
+# screen exists to catch) λ1 ≫ λ2 and the iterate locks on immediately.
+# The Rayleigh-quotient trend of the iterate is the signal; a pinned
+# numpy third implementation reproduces the ladder bit-for-bit
+# (tests/test_invariants.py). The gram matrix is the MEAN gram (Σ qᵢqⱼ div n), so every
+# magnitude below is corpus-size-INDEPENDENT and the same ladder runs
+# unchanged at 100 TB.
+#
+# Exactness: components quantize to e3 before any product, so gram
+# accumulation is an exact BIGINT sum under any order (|q| ≤ 578·10³
+# bound from unit-norm inputs ⇒ Σqᵢqⱼ < 2⁶³ until ~10¹³ vectors); each
+# iterate renormalizes to ±1e6 by integer division — Spark `div` and
+# DuckDB `//` both truncate toward zero on BIGINT operands (measured
+# here on the negative gram entries; see _int_div), so the negative
+# components an eigenvector legitimately has divide identically. No
+# float exists anywhere in the key.
+#
+# Scale: one 64²-group shuffle over the posexploded pairs (the only
+# corpus-sized pass, session-persisted across the three iterates); each
+# iterate is a 4096×64 join-aggregate on the gram table — driver never
+# sees data.
+# ---------------------------------------------------------------------------
+
+_PI_Q = 1000  # e3 component quantization
+_PI_NORM = 1000000  # iterate renormalization target (±1e6)
+
+_POWER_ITER_ORACLE = f"""
+WITH pos AS (SELECT unnest(range(1, 65)) AS p),
+n AS (SELECT count(*) AS n FROM embeddings),
+elems AS (
+  SELECT vec_id, pos.p AS p,
+         CAST(floor(e.embedding[pos.p]::DOUBLE * {_PI_Q}) AS BIGINT) AS q
+  FROM embeddings e, pos
+),
+gram AS (
+  SELECT a.p AS i, b.p AS j,
+         CAST(sum(a.q * b.q) AS BIGINT) // (SELECT n FROM n) AS g
+  FROM elems a JOIN elems b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+),
+v1 AS (SELECT i, CAST(sum(g) AS BIGINT) AS s FROM gram GROUP BY i),
+d1 AS (SELECT max(abs(s)) // {_PI_NORM} + 1 AS d FROM v1),
+v1n AS (SELECT i AS j, s // (SELECT d FROM d1) AS x FROM v1),
+v2 AS (
+  SELECT g.i, CAST(sum(g.g * v.x) AS BIGINT) AS s
+  FROM gram g JOIN v1n v ON v.j = g.j GROUP BY g.i
+),
+d2 AS (SELECT max(abs(s)) // {_PI_NORM} + 1 AS d FROM v2),
+v2n AS (SELECT i AS j, s // (SELECT d FROM d2) AS x FROM v2),
+v3 AS (
+  SELECT g.i, CAST(sum(g.g * v.x) AS BIGINT) AS s
+  FROM gram g JOIN v2n v ON v.j = g.j GROUP BY g.i
+),
+d3 AS (SELECT max(abs(s)) // {_PI_NORM} + 1 AS d FROM v3)
+SELECT i AS pos, CAST(s // (SELECT d FROM d3) AS BIGINT) AS loading_e6
+FROM v3
+"""
+
+
+def _int_div(num: str, den: str) -> "F.Column":
+    """Exact BIGINT division matching DuckDB `//` on INTEGER operands.
+
+    Measured on this container (gram-table A/B): DuckDB's `//` over
+    BIGINTs TRUNCATES toward zero exactly like Spark's `div` — the
+    floor-semantics documentation applies to its float path only. A
+    pmod-floor emulation here was one-off-low on every negative gram
+    entry until replaced with plain `div`."""
+    return F.expr(f"{num} div {den}")
+
+
+def _emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-persisted 64×64 mean-gram table of the embedding corpus."""
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        elems = emb.select(
+            "vec_id", F.posexplode(as_double("embedding")).alias("p0", "x")
+        ).select(
+            "vec_id",
+            (F.col("p0") + 1).alias("p"),
+            F.floor(F.col("x") * _PI_Q).cast("long").alias("q"),
+        )
+        ncnt = emb.agg(F.count(F.lit(1)).alias("n"))
+        a = elems.select(
+            "vec_id", F.col("p").alias("i"), F.col("q").alias("qa")
+        )
+        b = elems.select(
+            "vec_id", F.col("p").alias("j"), F.col("q").alias("qb")
+        )
+        return (
+            a.join(b, "vec_id")
+            .groupBy("i", "j")
+            .agg(F.sum(F.col("qa") * F.col("qb")).cast("long").alias("sg"))
+            .join(F.broadcast(ncnt))
+            .select("i", "j", _int_div("sg", "n").alias("g"))
+        )
+
+    return session_persisted(spark, ("emb_gram", sf_dir), build)
+
+
+@register("q_power_iteration", oracle=_POWER_ITER_ORACLE)
+def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gram = _emb_gram(spark, sf_dir)
+    v = gram.groupBy("i").agg(F.sum("g").cast("long").alias("s"))
+    for _ in range(2):
+        d = v.agg(
+            F.expr(f"max(abs(s)) div {_PI_NORM} + 1").alias("d")
+        )
+        vn = v.join(F.broadcast(d)).select(
+            F.col("i").alias("j"), _int_div("s", "d").alias("x")
+        )
+        v = (
+            gram.join(F.broadcast(vn), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("x")).cast("long").alias("s"))
+        )
+    d = v.agg(F.expr(f"max(abs(s)) div {_PI_NORM} + 1").alias("d"))
+    return v.join(F.broadcast(d)).select(
+        F.col("i").cast("long").alias("pos"),
+        _int_div("s", "d").alias("loading_e6"),
+    )

@@ -60,6 +60,7 @@ def load_all_operators() -> None:
         llm,
         llm_extended,
         mining,
+        ml_features,
         relational,
         reporting,
         scalar_funcs,

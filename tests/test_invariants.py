@@ -744,3 +744,145 @@ def test_dim_refresh_split_is_clean(spark, sf_dir, run):
     rows = run("q_stream_dim_refresh")
     suffixes = {r.segment.rsplit("_", 1)[1] for r in rows}
     assert suffixes == {"v1", "v2"}, suffixes
+
+
+# --- round-6 fourth wave: ml_features.py -----------------------------------
+
+
+def test_rfm_reconciles_to_customer_count(spark, sf_dir, run):
+    rows = run("q_rfm_segments")
+    n_buyers = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows) == n_buyers
+    for r in rows:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+
+
+def test_target_encode_within_type_value_range(spark, sf_dir, run):
+    """Each LOO encoding must stay inside its type's [min, max] value
+    band (a mean of the other members can't escape the extremes)."""
+    from pyspark.sql import functions as F
+
+    bounds = {
+        r.event_type: (r.lo, r.hi)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.min(F.round(F.col("value") * 100)).alias("lo"),
+            F.max(F.round(F.col("value") * 100)).alias("hi"),
+        )
+        .collect()
+    }
+    for r in run("q_target_encode"):
+        lo, hi = bounds[r.event_type]
+        assert lo * 10000 <= r.loo_enc_e4 <= hi * 10000
+
+
+def test_woe_iv_terms_nonnegative_and_woe_signs(spark, sf_dir, run):
+    """IV contributions are (p_g - p_b)·WOE with both factors sharing the
+    sign of the log-odds, so every term must be >= -1 (the -1 slack is
+    the e6 floor of each factor)."""
+    rows = run("q_woe_iv")
+    assert rows
+    for r in rows:
+        assert r.iv_term_e6 >= -1
+
+
+def test_bootstrap_ci_ordered_and_brackets_sample_mean(spark, sf_dir, run):
+    from pyspark.sql import functions as F
+
+    [row] = run("q_bootstrap_ci")
+    assert row.lo_ci_cents <= row.median_cents <= row.hi_ci_cents
+    [m] = (
+        load_table(spark, sf_dir, "orders")
+        .agg(
+            F.expr(
+                "cast(sum(cast(round(o_totalprice * 100) as bigint)) div count(*) as bigint)"
+            ).alias("mean_cents")
+        )
+        .collect()
+    )
+    # The Poisson bootstrap's CI must bracket the plain sample mean.
+    assert row.lo_ci_cents <= m.mean_cents <= row.hi_ci_cents
+
+
+def test_changepoint_gap_is_bounded_by_daily_extremes(spark, sf_dir, run):
+    """The largest before/after mean gap cannot exceed the daily-total
+    spread (means of disjoint day sets both live inside [min, max])."""
+    from pyspark.sql import functions as F
+
+    rows = run("q_changepoint")
+    assert len(rows) == 3
+    assert rows == sorted(rows, key=lambda r: (-r.gap_e6, r.split_day))
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("c"))
+        .agg(F.min("c").alias("lo"), F.max("c").alias("hi"))
+        .collect()[0]
+    )
+    assert rows[0].gap_e6 <= (daily.hi - daily.lo) * 1000000
+
+
+def test_nearest_centroid_reconciles_and_diagonal_dominates(spark, sf_dir, run):
+    rows = run("q_nearest_centroid")
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n for r in rows) == n_vecs
+    # Self-classification on the training set must beat the 10-label
+    # random baseline with clear margin (the fixture's label-cluster
+    # correlation is mild: ~37% accuracy at sf0.001, vs 10% random).
+    correct = sum(r.n for r in rows if r.label == r.predicted)
+    assert correct * 100 >= n_vecs * 15
+
+
+def test_ann_recall_bounds_and_counts(run):
+    rows = run("q_ann_recall")
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r.n_hits <= 5
+        assert r.recall_e6 == r.n_hits * 1000000 // 5
+
+
+def test_power_iteration_matches_numpy_ladder_bit_exact(spark, sf_dir, run):
+    """A THIRD independent implementation (numpy int64) of the exact
+    integer ladder must reproduce the Spark output bit-for-bit, and the
+    3-step iterate must strictly improve on the all-ones start: higher
+    Rayleigh quotient and higher |cos| against eigh's leading
+    eigenvector. (Full eigh convergence is NOT asserted: the fixture
+    gram's spectrum is nearly flat — λ1/λ2 ≈ 1.07 — so three power steps
+    are a partial rotation by design; the operator contract is the
+    deterministic ladder, the screen signal is the Rayleigh trend.)"""
+    import numpy as np
+
+    rows = sorted(run("q_power_iteration"), key=lambda r: r.pos)
+    got = np.array([r.loading_e6 for r in rows], dtype=np.int64)
+    emb = np.array(
+        [
+            r.embedding
+            for r in load_table(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    n = emb.shape[0]
+    q = np.floor(emb * 1000).astype(np.int64)
+    gram = np.trunc((q.T @ q) / n).astype(np.int64)  # div truncates
+    v = gram.sum(axis=1)
+    for _ in range(2):
+        d = np.abs(v).max() // 1000000 + 1
+        v = gram @ np.trunc(v / d).astype(np.int64)
+    d = np.abs(v).max() // 1000000 + 1
+    expected = np.trunc(v / d).astype(np.int64)
+    assert np.array_equal(got, expected), "integer ladder diverged from numpy"
+
+    gf = gram.astype(float)
+    ones = np.ones(64)
+    vf = got.astype(float)
+    rq = lambda x: (x @ gf @ x) / (x @ x)  # noqa: E731
+    assert rq(vf) > rq(ones), "power step did not raise the Rayleigh quotient"
+    w, vecs = np.linalg.eigh(gf)
+    lead = vecs[:, np.argmax(w)]
+    cos = lambda x: abs(x @ lead) / np.linalg.norm(x) / np.linalg.norm(lead)  # noqa: E731
+    assert cos(vf) > cos(ones), "iterate rotated away from the lead direction"

@@ -912,3 +912,98 @@ def test_decision_stump_single_histogram_scan(spark, sf_dir):
     plan = formatted_plan(QUERIES["q_decision_stump"](spark, sf_dir))
     n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
     assert n_scans == 1, f"stump re-scanned the corpus ({n_scans} scans)"
+
+
+# --- round-6 fourth wave: ml_features.py -----------------------------------
+
+
+def test_rfm_windows_over_customer_dimension(spark, sf_dir):
+    """q_rfm_segments' ntile windows run AFTER the custkey rollup — the
+    sorted table is customer-dimension-sized, never order-sized — and the
+    corpus max date joins in as a 1-row broadcast, not a collect."""
+    plan = formatted_plan(QUERIES["q_rfm_segments"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" in plan.lower() or "Window" in plan
+    # ntile inputs are the aggregated per-customer rows: every Window
+    # node must sit above the HashAggregate, which the formatted plan
+    # encodes by the Window appearing after the partial/final aggregate
+    # pair for the custkey rollup.
+    assert plan.index("HashAggregate") < plan.index("Window")
+
+
+def test_target_encode_stats_broadcast_no_fact_shuffle_join(spark, sf_dir):
+    """q_target_encode's 5-row stats table broadcasts back into the event
+    scan — the encoding join must never shuffle the fact side."""
+    plan = formatted_plan(QUERIES["q_target_encode"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_woe_totals_broadcast(spark, sf_dir):
+    """q_woe_iv joins the 1-row totals via broadcast; no merge join."""
+    plan = formatted_plan(QUERIES["q_woe_iv"](spark, sf_dir))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bootstrap_fanout_is_map_side_explode(spark, sf_dir):
+    """q_bootstrap_ci's 32x replicate fan-out is a Generate (explode) in
+    the map stage — one orders scan, no join producing the fan-out."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_bootstrap_ci"](spark, sf_dir))
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, f"bootstrap re-scanned orders ({n_scans} scans)"
+
+
+def test_changepoint_single_scan_day_series(spark, sf_dir):
+    """q_changepoint reduces the corpus to the day series in ONE scan;
+    prefix windows run over the calendar-bounded rollup."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_changepoint"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, f"changepoint re-scanned events ({n_scans} scans)"
+    # Formatted plans print top-down: the prefix Window must CONSUME the
+    # day rollup, i.e. the HashAggregate sits below it in the tree and
+    # therefore after it in the text.
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_nearest_centroid_centroids_broadcast(spark, sf_dir):
+    """q_nearest_centroid broadcasts the label-bounded centroid table and
+    picks the best label with a per-vector window."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_nearest_centroid"](spark, sf_dir))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs and all("vec_id" in s for s in specs)
+
+
+def test_ann_recall_probe_windows_and_broadcasts(spark, sf_dir):
+    """q_ann_recall's top-k ranks partition by probe_id, and the probe /
+    centroid tables reach the corpus scan as broadcasts."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_ann_recall"](spark, sf_dir))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs and all("probe_id" in s for s in specs)
+
+
+def test_power_iteration_gram_cached_and_iterates_broadcast(spark, sf_dir):
+    """q_power_iteration's corpus-sized work is the session-persisted
+    64x64 gram build; each iterate joins the gram against a broadcast
+    64-row vector — the plan must read the gram from cache and never
+    re-scan the embedding table."""
+    from data_ingestion_service_spark.operators.ml_features import _emb_gram
+
+    _emb_gram(spark, sf_dir).count()  # ensure the store is materialized
+    plan = formatted_plan(QUERIES["q_power_iteration"](spark, sf_dir))
+    # The iterates read the gram from cache (the parquet scan still
+    # PRINTS inside the InMemoryRelation subtree but does not re-run).
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
