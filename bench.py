@@ -132,6 +132,11 @@ ML_FEATURE_OPS = [
     "q_nearest_centroid",
     "q_ann_recall",
     "q_power_iteration",
+    "q_calibration_bins",
+    "q_event_trigrams",
+    "q_boilerplate_blocks",
+    "q_ppl_buckets",
+    "q_bloom_prefilter",
 ]
 
 

@@ -4524,3 +4524,229 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("is_edge", F.lit(False)).alias("is_edge"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_boilerplate_blocks — CCNet-style per-source boilerplate detection
+# and removal accounting: a 10-token block is boilerplate WITHIN a
+# source when it recurs across >= 3 distinct documents of that source
+# (headers/footers/navigation chrome repeat per site; the threshold is
+# per-source because boilerplate is a property of the emitter, not the
+# corpus — the cross-corpus complement is q_dup_paragraph_fraction).
+# Reports, per source, the block instances removed and the per-doc mean
+# removed fraction — what a dedup waterfall's boilerplate stage would
+# strip before shingling.
+#
+# Exactness: pure counting; per-doc fractions floor to e6 BEFORE the
+# integer-sum mean (q_dup_paragraph_fraction's discipline). Block
+# segmentation is positional 10-token (the fixture has no newlines) and
+# identical in both engines.
+#
+# Scale: block construction is map-side; the one corpus-sized shuffle
+# groups by (source, block) with per-doc-distinct fan-in bounding viral
+# blocks exactly like the shingle index; flagged-block joins are
+# boilerplate-sized.
+# ---------------------------------------------------------------------------
+
+_BOILER_MIN_DOCS = 3
+
+_BOILERPLATE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+),
+blocks AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(0, CAST(floor(len(t) / {_PARA_K}) AS BIGINT)),
+                i -> list_aggregate(t[i * {_PARA_K} + 1 : (i + 1) * {_PARA_K}],
+                                    'string_agg', ' '))) AS block
+  FROM toks
+  WHERE len(t) >= {_PARA_K}
+),
+per_block AS (
+  SELECT DISTINCT doc_id, source, block FROM blocks
+),
+src_block AS (
+  SELECT source, block, count(*) AS n_docs_with
+  FROM per_block GROUP BY source, block
+),
+flagged AS (
+  SELECT source, block FROM src_block
+  WHERE n_docs_with >= {_BOILER_MIN_DOCS}
+),
+per_doc AS (
+  SELECT p.doc_id, p.source,
+         count(*) AS n_blocks,
+         sum(CASE WHEN f.block IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+  FROM per_block p
+  LEFT JOIN flagged f ON f.source = p.source AND f.block = p.block
+  GROUP BY p.doc_id, p.source
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(d.n_blocks) AS BIGINT) AS n_block_instances,
+       CAST(sum(d.n_boiler) AS BIGINT) AS n_boiler_instances,
+       coalesce((SELECT count(*) FROM flagged f WHERE f.source = d.source), 0)
+         AS n_boiler_distinct,
+       CAST(sum(d.n_boiler * 1000000 // d.n_blocks) // count(*) AS BIGINT)
+         AS mean_removed_frac_e6
+FROM per_doc d
+GROUP BY d.source
+"""
+
+
+@register("q_boilerplate_blocks", oracle=_BOILERPLATE_ORACLE)
+def q_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= _PARA_K)
+    exploded = toked.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.sequence(F.lit(0), F.floor(F.size("t") / _PARA_K).cast("long") - 1)
+        ).alias("i"),
+        "t",
+    )
+    block = F.concat_ws(
+        " ",
+        *[F.col("t")[(F.col("i") * _PARA_K + j).cast("int")] for j in range(_PARA_K)],
+    )
+    per_block = exploded.select("doc_id", "source", block.alias("block")).distinct()
+    src_block = per_block.groupBy("source", "block").agg(
+        F.count(F.lit(1)).alias("n_docs_with")
+    )
+    flagged = src_block.filter(
+        F.col("n_docs_with") >= _BOILER_MIN_DOCS
+    ).select("source", "block", F.lit(1).alias("is_boiler"))
+    per_doc = (
+        per_block.join(flagged, ["source", "block"], "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0))).alias("n_boiler"),
+        )
+    )
+    boiler_counts = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_boiler_distinct")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_blocks").cast("bigint").alias("n_block_instances"),
+            F.sum("n_boiler").cast("bigint").alias("n_boiler_instances"),
+            F.sum(F.expr("n_boiler * 1000000 div n_blocks")).alias("frac_sum"),
+        )
+        .join(F.broadcast(boiler_counts), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_block_instances",
+            "n_boiler_instances",
+            F.coalesce("n_boiler_distinct", F.lit(0))
+            .cast("bigint")
+            .alias("n_boiler_distinct"),
+            F.expr("frac_sum div n_docs").alias("mean_removed_frac_e6"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_ppl_buckets — CCNet's head/middle/tail corpus split: score every
+# document with the corpus-trained bigram LM (q_lm_score's model) and
+# split each language into perplexity tertiles — bucket 1 ("head") is
+# the most-probable third, bucket 3 ("tail") the least. CCNet keeps
+# head+middle and drops or down-weights tail; the per-(lang, bucket)
+# row counts and mean scores here are exactly the table that decision
+# reads.
+#
+# Exactness: per-bigram log2 terms floor to e6 before the per-doc
+# integer sum (the q_lm_score discipline); the per-doc mean is an
+# integer division; ntile orders by (mean desc, doc_id) so tertile
+# assignment is total-order deterministic; bucket means are integer
+# divisions of exact sums.
+#
+# Scale: the LM passes are q_lm_score's (bigram + prefix count
+# shuffles, model join keyed by bigram); the tertile window partitions
+# by lang over per-DOC rows (one row per doc, not per token). At 100 TB
+# the ntile becomes a per-lang approx-quantile boundary broadcast —
+# same output contract.
+# ---------------------------------------------------------------------------
+
+_PPL_BUCKETS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+),
+bi AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks
+  WHERE len(t) >= 2
+),
+bi2 AS (SELECT doc_id, lang, bg, string_split(bg, ' ')[1] AS w1 FROM bi),
+c2 AS (SELECT bg, count(*) AS c2 FROM bi2 GROUP BY bg),
+c1 AS (SELECT w1, count(*) AS c1 FROM bi2 GROUP BY w1),
+per_doc AS (
+  SELECT b.doc_id, b.lang,
+         CAST(sum(CAST(floor(log2(c2.c2 * 1.0 / c1.c1) * 1000000) AS BIGINT))
+              // count(*) AS BIGINT) AS mean_lp_e6
+  FROM bi2 b JOIN c2 ON c2.bg = b.bg JOIN c1 ON c1.w1 = b.w1
+  GROUP BY b.doc_id, b.lang
+),
+bucketed AS (
+  SELECT lang, mean_lp_e6,
+         ntile(3) OVER (
+           PARTITION BY lang ORDER BY mean_lp_e6 DESC, doc_id
+         ) AS bucket
+  FROM per_doc
+)
+SELECT lang, bucket,
+       count(*) AS n_docs,
+       CAST(sum(mean_lp_e6) // count(*) AS BIGINT) AS bucket_mean_lp_e6
+FROM bucketed
+GROUP BY lang, bucket
+"""
+
+
+@register("q_ppl_buckets", oracle=_PPL_BUCKETS_ORACLE)
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bi = shingle_rows(docs, 2).select(
+        "doc_id",
+        F.col("shingle").alias("bg"),
+        F.substring_index("shingle", " ", 1).alias("w1"),
+    )
+    langs = docs.select("doc_id", "lang")
+    c2 = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    per_doc = (
+        bi.join(c2, "bg")
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            F.floor(F.log2(F.col("c2") * 1.0 / F.col("c1")) * 1000000)
+            .cast("bigint")
+            .alias("lp_e6"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("lp_e6").alias("lp_sum"),
+            F.count(F.lit(1)).alias("n_bi"),
+        )
+        .join(langs, "doc_id")
+        .select("doc_id", "lang", F.expr("lp_sum div n_bi").alias("mean_lp_e6"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("mean_lp_e6"), F.asc("doc_id")
+    )
+    return (
+        per_doc.select("lang", "mean_lp_e6", F.ntile(3).over(w).alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("sum(mean_lp_e6) div count(*)").alias("bucket_mean_lp_e6"),
+        )
+    )

@@ -790,3 +790,194 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lead("effective_from").over(v).isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_bloom_prefilter — runtime Bloom-filter semi-join pruning, built by
+# hand so the mechanism itself is oracle-checkable: a 1024-bit Bloom
+# filter (32×32-bit words, k=2 md5-derived hash functions) over the
+# supplier keys of one nation prefilters the lineitem scan BEFORE the
+# exact semi-join — the row-level pushdown Spark's own
+# spark.sql.optimizer.runtime.bloomFilter applies to shuffle joins,
+# made explicit and measurable. The output reports the candidate count
+# the Bloom pass admits next to the exact count, so the false-positive
+# rate — the approximation's whole cost model — is AUDITED DATA, not an
+# assumption (the q_lsh_recall / q_ann_recall discipline applied to an
+# engine-internal structure).
+#
+# Exactness: both hash positions are exact md5 nibble integers; the
+# bitmap aggregates with bit_or (associative, order-free); membership
+# tests are BIGINT bit-ands; revenue accumulates in exact cents. Words
+# are 32-bit so every shifted value is positive — no sign-bit semantics
+# to align between engines.
+#
+# Scale: the filter builds from the DIMENSION side (supplier keys — KB
+# of bitmap regardless of fact size) and broadcasts 32 words into the
+# fact scan; the exact verify joins the same broadcast dimension. The
+# fact table is scanned once, shuffles nothing, and rows failing the
+# bitmap never reach the verify join — exactly why the structure exists
+# at 100 TB.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1024  # bits
+_BLOOM_NATION = 1
+
+_BLOOM_ORACLE = f"""
+WITH sups AS (
+  SELECT s_suppkey FROM supplier WHERE s_nationkey = {_BLOOM_NATION}
+),
+sup_bits AS (
+  SELECT s_suppkey,
+         ('0x' || substr(md5(CAST(s_suppkey AS VARCHAR)), 1, 8))::BIGINT
+           % {_BLOOM_M} AS h1,
+         ('0x' || substr(md5(CAST(s_suppkey AS VARCHAR)), 9, 8))::BIGINT
+           % {_BLOOM_M} AS h2
+  FROM sups
+),
+words AS (
+  SELECT widx, CAST(bit_or(w) AS BIGINT) AS word
+  FROM (
+    SELECT h1 // 32 AS widx, CAST(1 AS BIGINT) << CAST(h1 % 32 AS INT) AS w
+    FROM sup_bits
+    UNION ALL
+    SELECT h2 // 32, CAST(1 AS BIGINT) << CAST(h2 % 32 AS INT) FROM sup_bits
+  )
+  GROUP BY widx
+),
+li AS (
+  SELECT l_suppkey,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS rev_cents,
+         ('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 8))::BIGINT
+           % {_BLOOM_M} AS h1,
+         ('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 9, 8))::BIGINT
+           % {_BLOOM_M} AS h2
+  FROM lineitem
+),
+pass AS (
+  SELECT li.l_suppkey, li.rev_cents
+  FROM li
+  JOIN words w1 ON w1.widx = li.h1 // 32
+               AND (w1.word & (CAST(1 AS BIGINT) << CAST(li.h1 % 32 AS INT)))
+                   <> 0
+  JOIN words w2 ON w2.widx = li.h2 // 32
+               AND (w2.word & (CAST(1 AS BIGINT) << CAST(li.h2 % 32 AS INT)))
+                   <> 0
+),
+exact AS (
+  SELECT p.l_suppkey, p.rev_cents
+  FROM pass p JOIN sups s ON s.s_suppkey = p.l_suppkey
+)
+SELECT (SELECT count(*) FROM sups) AS n_suppliers,
+       (SELECT count(*) FROM pass) AS n_bloom_pass,
+       (SELECT count(*) FROM exact) AS n_exact,
+       (SELECT count(*) FROM pass) - (SELECT count(*) FROM exact)
+         AS n_false_positives,
+       (SELECT CAST(coalesce(sum(rev_cents), 0) AS BIGINT) FROM exact)
+         AS revenue_cents
+"""
+
+
+def _bloom_h(col: str, start: int) -> F.Column:
+    return F.conv(
+        F.substring(F.md5(F.col(col).cast("string").cast("binary")), start, 8),
+        16,
+        10,
+    ).cast("bigint") % _BLOOM_M
+
+
+@register("q_bloom_prefilter", oracle=_BLOOM_ORACLE)
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sups = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == _BLOOM_NATION)
+        .select("s_suppkey")
+    )
+    sup_bits = sups.select(
+        "s_suppkey",
+        _bloom_h("s_suppkey", 1).alias("h1"),
+        _bloom_h("s_suppkey", 9).alias("h2"),
+    )
+    one_shifted = "shiftleft(cast(1 as bigint), cast({h} % 32 as int))"
+    words = (
+        sup_bits.select(
+            F.expr("h1 div 32").alias("widx"),
+            F.expr(one_shifted.format(h="h1")).alias("w"),
+        )
+        .unionAll(
+            sup_bits.select(
+                F.expr("h2 div 32"), F.expr(one_shifted.format(h="h2"))
+            )
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("w").cast("bigint").alias("word"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint")
+        .alias("rev_cents"),
+        _bloom_h("l_suppkey", 1).alias("h1"),
+        _bloom_h("l_suppkey", 9).alias("h2"),
+    )
+    w1 = words.select(
+        F.col("widx").alias("w1_idx"), F.col("word").alias("w1_word")
+    )
+    w2 = words.select(
+        F.col("widx").alias("w2_idx"), F.col("word").alias("w2_word")
+    )
+    # ONE lineitem scan: bitmap words and member keys LEFT-join in as
+    # broadcasts, pass/member become flags, and a single aggregate folds
+    # candidate count, exact count, and exact revenue together (two
+    # aggregate branches over `passed` would recompute the fact lineage
+    # — the posture test pins the single Location line).
+    flagged = (
+        li.join(F.broadcast(w1), F.expr("w1_idx = h1 div 32"), "left")
+        .join(F.broadcast(w2), F.expr("w2_idx = h2 div 32"), "left")
+        .join(
+            F.broadcast(sups),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left",
+        )
+        .select(
+            F.expr(
+                "coalesce((w1_word & shiftleft(cast(1 as bigint),"
+                " cast(h1 % 32 as int))) != 0, false)"
+                " and coalesce((w2_word & shiftleft(cast(1 as bigint),"
+                " cast(h2 % 32 as int))) != 0, false)"
+            ).alias("bloom_pass"),
+            F.col("s_suppkey").isNotNull().alias("is_member"),
+            "rev_cents",
+        )
+    )
+    agg = flagged.agg(
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bloom_pass"),
+        F.sum(F.when(F.col("bloom_pass") & F.col("is_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("bloom_pass") & F.col("is_member"),
+                    F.col("rev_cents"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )
+    n_sups = sups.agg(F.count(F.lit(1)).alias("n_suppliers"))
+    return (
+        n_sups.crossJoin(F.broadcast(agg)).select(
+            "n_suppliers",
+            "n_bloom_pass",
+            "n_exact",
+            (F.col("n_bloom_pass") - F.col("n_exact")).alias(
+                "n_false_positives"
+            ),
+            "revenue_cents",
+        )
+    )

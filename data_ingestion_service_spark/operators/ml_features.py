@@ -874,3 +874,126 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("i").cast("long").alias("pos"),
         _int_div("s", "d").alias("loading_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_calibration_bins — reliability diagram of a probabilistic feature:
+# bin documents into score deciles (score = stopword fraction, the
+# q_quality_score signal; stopwords are English markers in real
+# corpora) and report per bin the observed lang='en' rate beside the
+# mean score. The calibration audit every score-gated pipeline runs
+# before trusting a threshold: a calibrated score has observed rate
+# tracking the bin mean. On THIS fixture the langs share one
+# vocabulary, so the table shows a flat/weak relationship — which is
+# exactly the audit doing its job (an uninformative score caught
+# before it gates anything).
+#
+# Exactness: the score is an exact e4 integer (stopword count ×10⁴ div
+# token count); decile assignment is ntile over (score, doc_id) —
+# total-order deterministic; rates and means are integer divisions of
+# exact counts/sums.
+#
+# Scale: one map pass to score (JVM-side higher-order filter), one
+# global decile window over per-DOC rows (at 100 TB: approx-quantile
+# boundaries broadcast, same contract), one 10-row rollup.
+# ---------------------------------------------------------------------------
+
+_CALIB_ORACLE = """
+WITH scored AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN ('the', 'a', 'of', 'and', 'to'))) * 10000
+           // len(string_split(text, ' ')) AS score_e4
+  FROM documents
+),
+binned AS (
+  SELECT y, score_e4,
+         ntile(10) OVER (ORDER BY score_e4, doc_id) AS bin
+  FROM scored
+)
+SELECT bin,
+       count(*) AS n_docs,
+       CAST(sum(y) AS BIGINT) AS n_positive,
+       CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS observed_rate_e6,
+       CAST(sum(score_e4) // count(*) AS BIGINT) AS mean_score_e4
+FROM binned
+GROUP BY bin
+"""
+
+
+@register("q_calibration_bins", oracle=_CALIB_ORACLE)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_service_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    stop = F.size(
+        F.filter(toks, lambda w: w.isin("the", "a", "of", "and", "to"))
+    )
+    scored = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        (stop * 10000).alias("s_num"),
+        F.size(toks).alias("s_den"),
+    ).select("doc_id", "y", F.expr("s_num div s_den").alias("score_e4"))
+    w = Window.orderBy("score_e4", "doc_id")
+    return (
+        scored.select("y", "score_e4", F.ntile(10).over(w).alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("y").cast("bigint").alias("n_positive"),
+            F.expr("sum(y) * 1000000 div count(*)").alias("observed_rate_e6"),
+            F.expr("sum(score_e4) div count(*)").alias("mean_score_e4"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_event_trigrams — third-order sequential pattern mining: the top-15
+# event-type trigrams over per-user time-ordered streams (the
+# path-analysis extension of q_markov_transitions' bigram matrix —
+# funnels and habit loops are 3-step shapes). Sequence order ties on
+# identical timestamps break by event_id, so the sequence every engine
+# walks is total-order identical.
+#
+# Scale: ONE user-partitioned window pass builds both lead columns
+# (same spec ⇒ same sort), then a trigram rollup and top-15
+# TakeOrderedAndProject. User skew bounds the window partition, the
+# same exposure q_markov_transitions documents.
+# ---------------------------------------------------------------------------
+
+_TRIGRAM_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, count(*) AS n
+FROM seq
+WHERE t3 IS NOT NULL
+GROUP BY t1, t2, t3
+ORDER BY n DESC, t1, t2, t3
+LIMIT 15
+"""
+
+
+@register("q_event_trigrams", oracle=_TRIGRAM_ORACLE)
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        seq.filter(F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "t1", "t2", "t3")
+        .limit(15)
+    )

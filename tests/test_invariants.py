@@ -886,3 +886,75 @@ def test_power_iteration_matches_numpy_ladder_bit_exact(spark, sf_dir, run):
     lead = vecs[:, np.argmax(w)]
     cos = lambda x: abs(x @ lead) / np.linalg.norm(x) / np.linalg.norm(lead)  # noqa: E731
     assert cos(vf) > cos(ones), "iterate rotated away from the lead direction"
+
+
+def test_boilerplate_accounting_reconciles(spark, sf_dir, run):
+    rows = run("q_boilerplate_blocks")
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_boiler_instances <= r.n_block_instances
+        assert 0 <= r.mean_removed_frac_e6 <= 1000000
+        # every flagged block contributes >= _BOILER_MIN_DOCS instances
+        assert r.n_boiler_instances >= 3 * r.n_boiler_distinct
+
+
+def test_ppl_buckets_reconcile_and_order(spark, sf_dir, run):
+    """Tertile means must be monotone non-increasing head->tail within
+    each lang, and per-lang doc counts must cover all scoreable docs."""
+    from collections import defaultdict
+
+    rows = run("q_ppl_buckets")
+    by_lang = defaultdict(dict)
+    for r in rows:
+        by_lang[r.lang][r.bucket] = r
+    for lang, buckets in by_lang.items():
+        assert set(buckets) == {1, 2, 3}
+        assert (
+            buckets[1].bucket_mean_lp_e6
+            >= buckets[2].bucket_mean_lp_e6
+            >= buckets[3].bucket_mean_lp_e6
+        )
+        assert abs(buckets[1].n_docs - buckets[3].n_docs) <= 1
+
+
+def test_calibration_bins_monotone_score_and_mass(spark, sf_dir, run):
+    rows = sorted(run("q_calibration_bins"), key=lambda r: r.bin)
+    assert [r.bin for r in rows] == list(range(1, 11))
+    means = [r.mean_score_e4 for r in rows]
+    assert means == sorted(means), "decile mean scores must be monotone"
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    # positives reconcile to the raw 'en' count — and NO direction is
+    # asserted: the fixture shares one vocabulary across langs, so the
+    # stopword score is (by construction) weakly informative, and the
+    # calibration table exposing that IS the audit working.
+    n_en = (
+        load_table(spark, sf_dir, "documents").filter("lang = 'en'").count()
+    )
+    assert sum(r.n_positive for r in rows) == n_en
+    for r in rows:
+        assert 0 <= r.observed_rate_e6 <= 1000000
+
+
+def test_event_trigrams_consistent_with_bigram_counts(spark, sf_dir, run):
+    """Each trigram (a,b,c) count is bounded by the (a,b) bigram count
+    from q_markov_transitions' transition table."""
+    rows = run("q_event_trigrams")
+    assert rows == sorted(rows, key=lambda r: (-r.n, r.t1, r.t2, r.t3))
+    bigram = {
+        (r.from_type, r.to_type): r.n_trans
+        for r in run("q_markov_transitions")
+    }
+    for r in rows:
+        assert r.n <= bigram.get((r.t1, r.t2), 0)
+
+
+def test_bloom_prefilter_superset_and_fp_rate(spark, sf_dir, run):
+    """The Bloom pass must admit every exact row (no false negatives —
+    the defining Bloom guarantee) with a sane false-positive overhead."""
+    [row] = run("q_bloom_prefilter")
+    assert row.n_bloom_pass >= row.n_exact
+    assert row.n_false_positives == row.n_bloom_pass - row.n_exact
+    # 1024 bits / k=2 over a handful of keys: FP rate should stay low;
+    # allow generous headroom (x3 of exact) so fixture drift can't flake.
+    assert row.n_false_positives <= max(100, 3 * row.n_exact)

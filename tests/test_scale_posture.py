@@ -1007,3 +1007,58 @@ def test_power_iteration_gram_cached_and_iterates_broadcast(spark, sf_dir):
     # PRINTS inside the InMemoryRelation subtree but does not re-run).
     assert "InMemoryTableScan" in plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_boilerplate_block_hash_shuffle_bounded(spark, sf_dir):
+    """q_boilerplate_blocks' corpus-sized shuffle groups (source, block)
+    AFTER per-doc distinct; no cartesian, no corpus self-join."""
+    plan = formatted_plan(QUERIES["q_boilerplate_blocks"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # map-side block explode
+
+
+def test_ppl_buckets_ntile_partitioned_by_lang(spark, sf_dir):
+    """q_ppl_buckets' tertile window partitions by lang over per-DOC
+    rows (the LM model joins are q_lm_score's shapes)."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_ppl_buckets"](spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs and all("lang" in s for s in specs)
+
+
+def test_calibration_single_scan_then_decile_window(spark, sf_dir):
+    import re
+
+    plan = formatted_plan(QUERIES["q_calibration_bins"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, f"calibration re-scanned documents ({n_scans})"
+
+
+def test_event_trigrams_single_window_pass(spark, sf_dir):
+    """Both lead() columns share ONE user-partitioned window sort."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_event_trigrams"](spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs and all("user_id" in s for s in specs)
+    assert plan.count("(\d) Window") <= 1 or len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+
+
+def test_bloom_words_broadcast_no_fact_shuffle(spark, sf_dir):
+    """q_bloom_prefilter broadcasts the 32-word bitmap and the supplier
+    keys into the lineitem scan — the fact side never shuffles and the
+    fact table is scanned exactly once."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_bloom_prefilter"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    n_li = len(
+        [
+            l
+            for l in plan.splitlines()
+            if "Location" in l and "lineitem" in l
+        ]
+    )
+    assert n_li == 1, f"bloom prefilter scanned lineitem {n_li} times"
