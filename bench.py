@@ -142,6 +142,8 @@ ML_FEATURE_OPS = [
     "q_negative_samples",
     "q_kfold_assign",
     "q_countmin_audit",
+    "q_auc_score",
+    "q_ks_test",
 ]
 
 

@@ -997,3 +997,190 @@ def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "t1", "t2", "t3")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_auc_score — EXACT ROC AUC of the stopword score against the
+# lang='en' label via the Mann-Whitney U statistic, computed entirely
+# in integers: 2U = Σ_s n_pos(s)·(2·cum_neg_below(s) + n_neg(s)) over
+# the per-score histogram (the +n_neg(s) term is the tie correction —
+# ties count half, doubled to stay integer). The threshold-free
+# companion to q_calibration_bins: calibration asks "does the score
+# mean what it says", AUC asks "does it rank positives above negatives
+# at all".
+#
+# Exactness: every term is an exact BIGINT; the final ratio is ONE
+# integer-product division (2U·10⁶) div (2·n_pos·n_neg). Products stay
+# under 2⁶³ until ~10⁹ docs per class; past that the same histogram
+# computes AUC from e3-bucketed scores.
+#
+# Scale: one corpus scan → per-score histogram (score domain-bounded:
+# ≤10⁴ distinct e4 ratios), one ordered window over the HISTOGRAM, one
+# final rollup. The corpus never sorts.
+# ---------------------------------------------------------------------------
+
+_AUC_ORACLE = """
+WITH scored AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN ('the', 'a', 'of', 'and', 'to'))) * 10000
+           // len(string_split(text, ' ')) AS score_e4
+  FROM documents
+),
+hist AS (
+  SELECT score_e4,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(1 - y) AS BIGINT) AS n_neg
+  FROM scored GROUP BY score_e4
+),
+cum AS (
+  SELECT n_pos, n_neg,
+         CAST(coalesce(sum(n_neg) OVER (
+           ORDER BY score_e4
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS neg_below
+  FROM hist
+)
+SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+       CAST(sum(n_neg) AS BIGINT) AS n_neg,
+       CAST(sum(n_pos * (2 * neg_below + n_neg)) AS BIGINT) AS u2,
+       CAST(sum(n_pos * (2 * neg_below + n_neg)) * 1000000
+            // (2 * sum(n_pos) * sum(n_neg)) AS BIGINT) AS auc_e6
+FROM cum
+"""
+
+
+@register("q_auc_score", oracle=_AUC_ORACLE)
+def q_auc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_service_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    stop = F.size(
+        F.filter(toks, lambda w: w.isin("the", "a", "of", "and", "to"))
+    )
+    scored = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        (stop * 10000).alias("s_num"),
+        F.size(toks).alias("s_den"),
+    ).select("y", F.expr("s_num div s_den").alias("score_e4"))
+    hist = scored.groupBy("score_e4").agg(
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("n_neg"),
+    )
+    w = Window.orderBy("score_e4").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "n_pos",
+        "n_neg",
+        F.coalesce(F.sum("n_neg").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("neg_below"),
+    )
+    return cum.agg(
+        F.sum("n_pos").cast("bigint").alias("n_pos"),
+        F.sum("n_neg").cast("bigint").alias("n_neg"),
+        F.sum(F.col("n_pos") * (2 * F.col("neg_below") + F.col("n_neg")))
+        .cast("bigint")
+        .alias("u2"),
+        F.expr(
+            "cast(sum(n_pos * (2 * neg_below + n_neg)) * 1000000"
+            " div (2 * sum(n_pos) * sum(n_neg)) as bigint)"
+        ).alias("auc_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_ks_test — exact two-sample Kolmogorov-Smirnov drift statistic
+# between the two halves of the hash split (q_train_test_split's
+# construction) over document length: D = max_x |ECDF_a(x) − ECDF_b(x)|.
+# The distribution-shape drift test beside q_psi_drift's binned one —
+# KS is bin-free, so a shift PSI's 10 buckets can hide still moves D.
+#
+# Exactness: ECDF steps are cumulative-count windows over the per-value
+# histogram; each ECDF value floors to e6 via integer division BEFORE
+# the difference, so D_e6 is an exact BIGINT max (bounded tie-break:
+# report the smallest n_chars achieving the max).
+#
+# Scale: one scan → (value, split) histogram (value-domain-bounded),
+# one ordered window over the histogram, one max rollup. No sort of the
+# corpus, no join.
+# ---------------------------------------------------------------------------
+
+_KS_ORACLE = """
+WITH tagged AS (
+  SELECT n_chars,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+              THEN 1 ELSE 0 END AS is_a
+  FROM documents
+),
+hist AS (
+  SELECT n_chars,
+         CAST(sum(is_a) AS BIGINT) AS na,
+         CAST(sum(1 - is_a) AS BIGINT) AS nb
+  FROM tagged GROUP BY n_chars
+),
+cum AS (
+  SELECT n_chars,
+         CAST(sum(na) OVER w AS BIGINT) AS ca,
+         CAST(sum(nb) OVER w AS BIGINT) AS cb,
+         CAST(sum(na) OVER () AS BIGINT) AS ta,
+         CAST(sum(nb) OVER () AS BIGINT) AS tb
+  FROM hist
+  WINDOW w AS (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+gaps AS (
+  SELECT n_chars,
+         abs(ca * 1000000 // ta - cb * 1000000 // tb) AS gap_e6
+  FROM cum
+)
+SELECT max(gap_e6) AS d_e6,
+       CAST(min(CASE WHEN gap_e6 = (SELECT max(gap_e6) FROM gaps)
+                THEN n_chars END) AS BIGINT) AS at_n_chars
+FROM gaps
+"""
+
+
+@register("q_ks_test", oracle=_KS_ORACLE)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_a = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+        < "c",
+        1,
+    ).otherwise(0)
+    hist = docs.select("n_chars", is_a.alias("is_a")).groupBy("n_chars").agg(
+        F.sum("is_a").cast("bigint").alias("na"),
+        F.sum(1 - F.col("is_a")).cast("bigint").alias("nb"),
+    )
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "n_chars",
+        F.sum("na").over(w).cast("bigint").alias("ca"),
+        F.sum("nb").over(w).cast("bigint").alias("cb"),
+        F.sum("na").over(wall).cast("bigint").alias("ta"),
+        F.sum("nb").over(wall).cast("bigint").alias("tb"),
+    )
+    gaps = cum.select(
+        "n_chars",
+        F.abs(
+            F.expr("ca * 1000000 div ta") - F.expr("cb * 1000000 div tb")
+        ).alias("gap_e6"),
+    )
+    wmax = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        gaps.select(
+            "gap_e6",
+            "n_chars",
+            F.max("gap_e6").over(wmax).alias("dmax"),
+        )
+        .filter(F.col("gap_e6") == F.col("dmax"))
+        .agg(
+            F.max("gap_e6").alias("d_e6"),
+            F.min("n_chars").cast("bigint").alias("at_n_chars"),
+        )
+    )

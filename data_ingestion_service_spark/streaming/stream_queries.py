@@ -2127,3 +2127,161 @@ def q_stream_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value("p99_cents").alias("p99_cents"),
     )
     return run_to_memory(agg, "complete")
+
+
+# ---------------------------------------------------------------------------
+# q_stream_countmin — the mergeability of the Count-Min sketch PROVEN
+# by stream/batch parity: the event stream replays in four micro-batch
+# chunks; each foreachBatch computes the batch's PARTIAL 4×256 CM cells
+# over user_id and MERGEs them (cell-wise BIGINT sum — CM's defining
+# associative merge) into a versioned snapshot, exactly how a fleet of
+# ingest workers would maintain a shared heavy-hitter sketch. The final
+# streamed sketch is then probed for the exact top-10 users; because
+# cell sums are associative integers, the estimates are BIT-IDENTICAL
+# to the one-shot batch sketch the oracle builds — invariant to how
+# rows were split across batches.
+#
+# The exact per-user counts used to choose/probe the top-10 come from
+# the batch table (they are the audit's ground truth, as in
+# q_countmin_audit); the sketch under test is the streamed one.
+# ---------------------------------------------------------------------------
+
+_SCM_ROWS = 4
+_SCM_WIDTH = 256
+
+_SCM_CELL_SQL = (
+    "('0x' || substr(md5(CAST(r.r AS VARCHAR) || '#' ||"
+    f" CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % {_SCM_WIDTH}"
+)
+
+_STREAM_COUNTMIN_ORACLE = f"""
+WITH uc AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT r.r, {_SCM_CELL_SQL} AS col, CAST(sum(c) AS BIGINT) AS counter
+  FROM uc CROSS JOIN (SELECT unnest(range(0, {_SCM_ROWS})) AS r) r
+  GROUP BY 1, 2
+),
+top_users AS (
+  SELECT user_id, c FROM uc ORDER BY c DESC, user_id LIMIT 10
+)
+SELECT t.user_id, t.c AS exact_count,
+       min(cl.counter) AS cm_estimate,
+       min(cl.counter) - t.c AS overestimate
+FROM top_users t
+CROSS JOIN (SELECT unnest(range(0, {_SCM_ROWS})) AS r) r
+JOIN cells cl ON cl.r = r.r AND cl.col = {_SCM_CELL_SQL}
+GROUP BY t.user_id, t.c
+"""
+
+
+def _scm_cell(r_col: str) -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#",
+                        F.col(r_col).cast("string"),
+                        F.col("user_id").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _SCM_WIDTH
+    )
+
+
+@register("q_stream_countmin", oracle=_STREAM_COUNTMIN_ORACLE)
+def q_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
+    kind = _events_ts_kind(spark, sf_dir)
+    schema = _events_raw_schema(kind)
+    work = tempfile.mkdtemp(prefix="ingest_scm_")
+    (
+        spark.read.schema(schema)
+        .parquet(table_path(sf_dir, "events"))
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(f"{work}/chunks")
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/chunks")
+    )
+    snap_state = {"version": -1}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = (
+            batch_df.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .select(
+                "user_id",
+                "c",
+                F.explode(F.sequence(F.lit(0), F.lit(_SCM_ROWS - 1))).alias(
+                    "r"
+                ),
+            )
+            .select("r", _scm_cell("r").alias("col"), "c")
+            .groupBy("r", "col")
+            .agg(F.sum("c").cast("bigint").alias("counter"))
+        )
+        sess = batch_df.sparkSession
+        if snap_state["version"] >= 0:
+            prev = sess.read.parquet(f"{work}/sketch_v{snap_state['version']}")
+            merged = (
+                prev.unionByName(partial)
+                .groupBy("r", "col")
+                .agg(F.sum("counter").cast("bigint").alias("counter"))
+            )
+        else:
+            merged = partial
+        merged.write.mode("overwrite").parquet(f"{work}/sketch_v{batch_id}")
+        snap_state["version"] = batch_id
+
+    q = (
+        raw.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", f"{work}/checkpoint")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sketch = spark.read.parquet(f"{work}/sketch_v{snap_state['version']}")
+    uc = (
+        spark.read.schema(schema)
+        .parquet(table_path(sf_dir, "events"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    probes = (
+        uc.orderBy(F.desc("c"), F.asc("user_id"))
+        .limit(10)
+        .select(
+            "user_id",
+            F.col("c").alias("exact_count"),
+            F.explode(F.sequence(F.lit(0), F.lit(_SCM_ROWS - 1))).alias("r"),
+        )
+        .select("user_id", "exact_count", "r", _scm_cell("r").alias("col"))
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["r", "col"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("counter").alias("cm_estimate"))
+        .select(
+            "user_id",
+            "exact_count",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("exact_count")).alias(
+                "overestimate"
+            ),
+        )
+    )

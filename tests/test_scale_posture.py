@@ -1123,3 +1123,28 @@ def test_countmin_fans_out_vocabulary_not_tokens(spark, sf_dir):
     # at least one Generate exists and no cartesian shapes
     assert gen_pos >= 0
     assert "CartesianProduct" not in plan
+
+
+def test_auc_histogram_before_window(spark, sf_dir):
+    """q_auc_score's ordered window runs over the per-score HISTOGRAM
+    (domain-bounded), never the raw corpus: one scan, and the Window
+    consumes a HashAggregate below it in the tree."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_auc_score"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1
+    # tree order (printed top-down): final agg, then the window, then
+    # the histogram aggregate it consumes.
+    tree = plan.split("\n\n")[0]
+    assert "Window" in tree and tree.count("HashAggregate") >= 2
+    assert tree.index("Window") < tree.rindex("HashAggregate")
+
+
+def test_ks_histogram_before_window(spark, sf_dir):
+    import re
+
+    plan = formatted_plan(QUERIES["q_ks_test"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1
+    assert "CartesianProduct" not in plan
