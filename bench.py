@@ -144,6 +144,10 @@ ML_FEATURE_OPS = [
     "q_countmin_audit",
     "q_auc_score",
     "q_ks_test",
+    "q_temporal_split",
+    "q_coldstart_audit",
+    "q_embed_outliers",
+    "q_dedup_modality_diff",
 ]
 
 

@@ -1184,3 +1184,212 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_chars").cast("bigint").alias("at_n_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_embed_outliers — mislabeled-example mining (the confident-learning
+# screen): for each label, the 2 vectors FARTHEST from their own
+# label's centroid by cosine — the rows a labeling-quality pass sends
+# to re-annotation first. Reuses q_nearest_centroid's exact
+# integer-sum centroid construction; per-label bottom-2 by
+# (cos ASC, vec_id) is total-order deterministic.
+#
+# Scale: the centroid table is label-bounded and broadcast; one scored
+# scan; the per-label bottom-k window partitions by label. Nothing is
+# all-pairs.
+# ---------------------------------------------------------------------------
+
+_EMBED_OUTLIERS_ORACLE = """
+WITH pos AS (SELECT unnest(range(1, 65)) AS p),
+elems AS (
+  SELECT label, pos.p AS p,
+         CAST(floor(e.embedding[pos.p]::DOUBLE * 1000000) AS BIGINT) AS q
+  FROM embeddings e, pos
+),
+cent AS (
+  SELECT label AS c_label, list(cv ORDER BY p) AS centroid
+  FROM (
+    SELECT label, p, CAST(sum(q) AS BIGINT) * 1.0 / count(*) AS cv
+    FROM elems GROUP BY label, p
+  )
+  GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 4)
+           AS cs
+  FROM embeddings e JOIN cent c ON c.c_label = e.label
+)
+SELECT label, vec_id, cs AS centroid_cos
+FROM (
+  SELECT label, vec_id, cs,
+         row_number() OVER (PARTITION BY label ORDER BY cs, vec_id) AS rn
+  FROM scored
+)
+WHERE rn <= 2
+"""
+
+
+@register("q_embed_outliers", oracle=_EMBED_OUTLIERS_ORACLE)
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "label", F.posexplode(as_double("embedding")).alias("p0", "x")
+    ).select(
+        "label",
+        (F.col("p0") + 1).alias("p"),
+        F.floor(F.col("x") * 1000000).cast("long").alias("q"),
+    )
+    cent = (
+        elems.groupBy("label", "p")
+        .agg((F.sum("q").cast("long") * 1.0 / F.count(F.lit(1))).alias("cv"))
+        .groupBy(F.col("label").alias("c_label"))
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("p", "cv"))),
+                lambda s: s["cv"],
+            ).alias("centroid")
+        )
+    )
+    scored = emb.join(
+        F.broadcast(cent), F.col("label") == F.col("c_label")
+    ).select(
+        "vec_id",
+        "label",
+        F.round(cosine(as_double("embedding"), F.col("centroid")), 4).alias(
+            "cs"
+        ),
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("cs"), F.asc("vec_id"))
+    return (
+        scored.select(
+            "label", "vec_id", "cs", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 2)
+        .select("label", "vec_id", F.col("cs").alias("centroid_cos"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_modality_diff — the two near-dup families AUDITED AGAINST
+# EACH OTHER: over the id range covered by both tables, how many pairs
+# does the token-shingle Jaccard tier flag that the embedding-cosine
+# tier misses, and vice versa? Text dedup catches verbatim/templated
+# duplication; embedding dedup catches paraphrase; the disagreement
+# counts are the coverage argument for running both (SemDeDup's
+# motivation, measured on this corpus instead of assumed). Both pair
+# sets come from the session-persisted stores the dedup family already
+# builds.
+#
+# Scale: both inputs are near-dup-density-sized pair lists (never
+# corpora); the diff is two tiny joins plus one summary row. The id
+# intersection restricts via a broadcast of the embedding key set —
+# dimension-bounded on the fixture's embed table by construction.
+# ---------------------------------------------------------------------------
+
+
+def _modality_diff_oracle() -> str:
+    from data_ingestion_service_spark.operators.llm import (
+        _NEAR_DEDUP_THRESHOLD,
+    )
+    from data_ingestion_service_spark.operators.llm_extended import (
+        _NEAR_DUP_COS_THRESHOLD,
+    )
+
+    return f"""
+WITH ids AS (
+  SELECT d.doc_id
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM ids)
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM toks
+    WHERE len(t) >= 3
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+tp AS (
+  SELECT p.doc_a, p.doc_b
+  FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  WHERE p.n_common * 1.0 / (sa.sz + sb.sz - p.n_common)
+        >= {_NEAR_DEDUP_THRESHOLD}
+),
+ep AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        WHERE vec_id IN (SELECT doc_id FROM ids)) a
+  JOIN (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        WHERE vec_id IN (SELECT doc_id FROM ids)) b
+    ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.e, b.e), 4)
+        >= {_NEAR_DUP_COS_THRESHOLD}
+)
+SELECT
+  (SELECT count(*) FROM tp) AS n_text_pairs,
+  (SELECT count(*) FROM ep) AS n_embed_pairs,
+  (SELECT count(*) FROM tp JOIN ep
+     ON ep.doc_a = tp.doc_a AND ep.doc_b = tp.doc_b) AS n_both,
+  (SELECT count(*) FROM tp) - (SELECT count(*) FROM tp JOIN ep
+     ON ep.doc_a = tp.doc_a AND ep.doc_b = tp.doc_b) AS n_text_only,
+  (SELECT count(*) FROM ep) - (SELECT count(*) FROM tp JOIN ep
+     ON ep.doc_a = tp.doc_a AND ep.doc_b = tp.doc_b) AS n_embed_only
+"""
+
+
+@register("q_dedup_modality_diff", oracle=_modality_diff_oracle())
+def q_dedup_modality_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_service_spark.operators.llm import near_dup_pairs
+    from data_ingestion_service_spark.operators.llm_extended import (
+        q_embed_near_dup,
+    )
+
+    emb_ids = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    doc_ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    ids = emb_ids.join(doc_ids, "doc_id", "left_semi")
+    tp = (
+        near_dup_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .join(
+            F.broadcast(ids.select(F.col("doc_id").alias("doc_a"))), "doc_a"
+        )
+        .join(
+            F.broadcast(ids.select(F.col("doc_id").alias("doc_b"))), "doc_b"
+        )
+    )
+    ep = q_embed_near_dup(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    ep = ep.join(
+        F.broadcast(ids.select(F.col("doc_id").alias("doc_a"))), "doc_a"
+    ).join(F.broadcast(ids.select(F.col("doc_id").alias("doc_b"))), "doc_b")
+    both = tp.join(ep, ["doc_a", "doc_b"], "left_semi")
+    nt = tp.agg(F.count(F.lit(1)).alias("n_text_pairs"))
+    ne = ep.agg(F.count(F.lit(1)).alias("n_embed_pairs"))
+    nb = both.agg(F.count(F.lit(1)).alias("n_both"))
+    return (
+        nt.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_text_pairs",
+            "n_embed_pairs",
+            "n_both",
+            (F.col("n_text_pairs") - F.col("n_both")).alias("n_text_only"),
+            (F.col("n_embed_pairs") - F.col("n_both")).alias("n_embed_only"),
+        )
+    )

@@ -385,3 +385,191 @@ def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.expr("n_docs * 1000000 div n_lang").alias("lang_share_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_temporal_split — time-based train/validation split with its leakage
+# surface AUDITED: events split at the 75th-percentile-ish fixed cutoff
+# (exact epoch-seconds arithmetic over the corpus min/max — a pure
+# function of the data, reproducible anywhere), reported per split with
+# the count of users appearing on BOTH sides. For time-series models
+# the hash split q_train_test_split uses is WRONG (future leaks into
+# train); this is the split that replaces it, and cross-side users are
+# exactly the rows a per-user-normalizing feature could leak through.
+#
+# Exactness: cutoff = min_s + (max_s − min_s)·3 div 4 — all BIGINT; the
+# cross-side user count is an exact conditional aggregate.
+#
+# Scale: one scan, one user rollup with conditional slices, a 2-row
+# reassembly. The min/max pre-pass is a 1-row broadcast.
+# ---------------------------------------------------------------------------
+
+_TEMPORAL_SPLIT_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(min(floor(epoch(ts))) AS BIGINT) AS mn,
+         CAST(max(floor(epoch(ts))) AS BIGINT) AS mx
+  FROM events
+),
+cut AS (SELECT mn + (mx - mn) * 3 // 4 AS cut_s FROM bounds),
+ev AS (
+  SELECT user_id,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   < (SELECT cut_s FROM cut)
+              THEN 'train' ELSE 'valid' END AS split,
+         CAST(round(value * 100) AS BIGINT) AS v_cents
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_train,
+         CAST(sum(CASE WHEN split = 'valid' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_valid
+  FROM ev GROUP BY user_id
+)
+SELECT s.split, s.n_events, s.value_cents, b.n_cross_users
+FROM (
+  SELECT split, count(*) AS n_events,
+         CAST(sum(v_cents) AS BIGINT) AS value_cents
+  FROM ev GROUP BY split
+) s
+CROSS JOIN (
+  SELECT CAST(sum(CASE WHEN n_train > 0 AND n_valid > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_cross_users
+  FROM per_user
+) b
+"""
+
+
+@register("q_temporal_split", oracle=_TEMPORAL_SPLIT_ORACLE)
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ev0 = events.select(
+        "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("t_s"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v_cents"),
+    )
+    bounds = ev0.agg(
+        F.min("t_s").alias("mn"), F.max("t_s").alias("mx")
+    ).select(F.expr("mn + (mx - mn) * 3 div 4").alias("cut_s"))
+    ev = ev0.join(F.broadcast(bounds)).select(
+        "user_id",
+        F.when(F.col("t_s") < F.col("cut_s"), "train")
+        .otherwise("valid")
+        .alias("split"),
+        "v_cents",
+    )
+    per_split = ev.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v_cents").cast("bigint").alias("value_cents"),
+    )
+    cross = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+                "n_train"
+            ),
+            F.sum(F.when(F.col("split") == "valid", 1).otherwise(0)).alias(
+                "n_valid"
+            ),
+        )
+        .agg(
+            F.sum(
+                F.when((F.col("n_train") > 0) & (F.col("n_valid") > 0), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_cross_users")
+        )
+    )
+    return per_split.crossJoin(F.broadcast(cross)).select(
+        "split", "n_events", "value_cents", "n_cross_users"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_coldstart_audit — cold-start coverage of the temporal split: how
+# many validation events belong to users the training side has never
+# seen? The recsys/personalization eval audit — a model with per-user
+# state scores those events from nothing, and a validation set
+# dominated by them measures the prior, not the model. Uses the SAME
+# cutoff construction as q_temporal_split so the two keys audit one
+# split definition.
+#
+# Scale: one scan → per-user conditional rollup (train count, valid
+# count) → one summary row. No join at all: "user unseen in train" is
+# a per-user predicate over the conditional counts.
+# ---------------------------------------------------------------------------
+
+_COLDSTART_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(min(floor(epoch(ts))) AS BIGINT) AS mn,
+         CAST(max(floor(epoch(ts))) AS BIGINT) AS mx
+  FROM events
+),
+cut AS (SELECT mn + (mx - mn) * 3 // 4 AS cut_s FROM bounds),
+per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                            < (SELECT cut_s FROM cut)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                            >= (SELECT cut_s FROM cut)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+  FROM events
+  GROUP BY user_id
+)
+SELECT
+  CAST(sum(CASE WHEN n_valid > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_valid_users,
+  CAST(sum(CASE WHEN n_valid > 0 AND n_train = 0 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_cold_users,
+  CAST(sum(n_valid) AS BIGINT) AS n_valid_events,
+  CAST(sum(CASE WHEN n_train = 0 THEN n_valid ELSE 0 END) AS BIGINT)
+    AS n_cold_events,
+  CAST(sum(CASE WHEN n_train = 0 THEN n_valid ELSE 0 END) * 1000000
+       // greatest(sum(n_valid), 1) AS BIGINT) AS cold_event_share_e6
+FROM per_user
+"""
+
+
+@register("q_coldstart_audit", oracle=_COLDSTART_ORACLE)
+def q_coldstart_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ev0 = events.select(
+        "user_id", F.unix_timestamp("ts").cast("bigint").alias("t_s")
+    )
+    bounds = ev0.agg(
+        F.min("t_s").alias("mn"), F.max("t_s").alias("mx")
+    ).select(F.expr("mn + (mx - mn) * 3 div 4").alias("cut_s"))
+    per_user = (
+        ev0.join(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("t_s") < F.col("cut_s"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum(F.when(F.col("t_s") >= F.col("cut_s"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_valid"),
+        )
+    )
+    return per_user.agg(
+        F.sum(F.when(F.col("n_valid") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_valid_users"),
+        F.sum(
+            F.when((F.col("n_valid") > 0) & (F.col("n_train") == 0), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_cold_users"),
+        F.sum("n_valid").cast("bigint").alias("n_valid_events"),
+        F.sum(F.when(F.col("n_train") == 0, F.col("n_valid")).otherwise(0))
+        .cast("bigint")
+        .alias("n_cold_events"),
+        F.expr(
+            "cast(sum(case when n_train = 0 then n_valid else 0 end)"
+            " * 1000000 div greatest(sum(n_valid), 1L) as bigint)"
+        ).alias("cold_event_share_e6"),
+    )
