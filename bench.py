@@ -148,6 +148,8 @@ ML_FEATURE_OPS = [
     "q_coldstart_audit",
     "q_embed_outliers",
     "q_dedup_modality_diff",
+    "q_naive_bayes",
+    "q_itemsets3",
 ]
 
 

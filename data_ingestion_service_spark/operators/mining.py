@@ -1809,3 +1809,85 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ig_e9"), F.asc("threshold"))
         .limit(1)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_itemsets3 — frequent 3-itemsets over BULK co-purchases (the
+# Apriori step above q_market_basket's pairs): top-15 brand triples
+# among high-quantity lineitems (l_quantity ≥ 45, the bulk tier). The
+# quantity gate is the itemset-mining prerequisite made explicit:
+# with the fixture's dense 25-brand domain an ungated order basket
+# averages ~20 brands, and k-choose-3 fan-out over dense baskets is
+# ~1100 triples/order — ~170M triples at sf1, quadratic-cubed garbage
+# no Apriori run would tolerate (measured: the ungated oracle ran
+# >300s at sf1). Gating to the bulk tier is exactly how production
+# basket mining bounds density (min-quantity / min-price gates before
+# expansion); baskets drop to ~2-4 items and the fan-out is linear in
+# orders at every scale.
+#
+# The Spark side never self-joins the basket table — each order's
+# sorted distinct-brand list expands its ordered triples with THREE
+# nested Generate operators (posexplode + two sliced explodes, the
+# near_dup_pairs posting-list construction one level deeper); the only
+# shuffle is the triple rollup. The oracle states the same semantics
+# as the obvious three-way self-join (tractable once gated).
+# ---------------------------------------------------------------------------
+
+_ITEMSETS3_ORACLE = """
+-- MATERIALIZED is load-bearing: DuckDB re-inlines a plain CTE once per
+-- reference, and with three references the planner lost the hash-join-
+-- on-ok shape entirely (ungated AND gated versions both ran >300s at
+-- sf1; materialized: 5.5s).
+WITH ob AS MATERIALIZED (
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_quantity >= 45
+),
+tri AS (
+  SELECT a.b AS b1, c.b AS b2, d.b AS b3
+  FROM ob a
+  JOIN ob c ON c.ok = a.ok AND c.b > a.b
+  JOIN ob d ON d.ok = a.ok AND d.b > c.b
+)
+SELECT b1, b2, b3, count(*) AS n
+FROM tri
+GROUP BY 1, 2, 3
+ORDER BY n DESC, b1, b2, b3
+LIMIT 15
+"""
+
+
+@register("q_itemsets3", oracle=_ITEMSETS3_ORACLE)
+def q_itemsets3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    baskets = (
+        li.filter(F.col("l_quantity") >= 45)
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("b")).alias("bs"))
+        .filter(F.size("bs") >= 3)
+    )
+    e1 = baskets.select("bs", F.posexplode("bs").alias("i", "b1"))
+    e2 = e1.select(
+        "bs",
+        "i",
+        "b1",
+        F.posexplode(F.slice("bs", F.col("i") + 2, F.size("bs"))).alias(
+            "j", "b2"
+        ),
+    )
+    tri = e2.select(
+        "b1",
+        "b2",
+        F.explode(
+            F.slice("bs", F.col("i") + F.col("j") + 3, F.size("bs"))
+        ).alias("b3"),
+    )
+    return (
+        tri.groupBy("b1", "b2", "b3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "b1", "b2", "b3")
+        .limit(15)
+    )

@@ -1393,3 +1393,139 @@ def q_dedup_modality_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_embed_pairs") - F.col("n_both")).alias("n_embed_only"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_naive_bayes — multinomial Naive Bayes language classification,
+# trained and evaluated on the corpus in one job (the classic
+# MapReduce-era text classifier, and the third classifier lens beside
+# q_eval_metrics' LSH-majority and q_nearest_centroid's geometry):
+# P(w|l) = (c_lw + 1)/(T_l + V) with Laplace smoothing over the FULL
+# vocab×lang grid (unseen (w,l) pairs score the smoothed floor, not
+# zero), priors from document counts, argmax over per-doc log-sums.
+#
+# Exactness: every log term is floor(1e6·ln(exact-int ratio)) computed
+# identically in both engines BEFORE the per-doc integer sum (the
+# q_lm_score discipline); priors add as e6 integers; argmax tie-breaks
+# on the smaller lang.
+#
+# Scale: the model is vocabulary×|langs|-bounded and broadcast; the
+# corpus-sized work is one token scan joined against it and one
+# (doc, lang) rollup. At 100 TB the grid gets a min-count cutoff with
+# the same smoothed default — identical plan shape.
+# ---------------------------------------------------------------------------
+
+_NB_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+vocab AS (SELECT DISTINCT w FROM toks),
+vsize AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+langs AS (SELECT DISTINCT lang AS l FROM documents),
+cnt AS (
+  SELECT lang AS l, w, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2
+),
+totals AS (SELECT l, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY l),
+grid AS (
+  SELECT vl.w, vl.l,
+         CAST(floor(ln((coalesce(c.c, 0) + 1) * 1.0
+                       / (t.t + (SELECT v FROM vsize))) * 1000000)
+              AS BIGINT) AS lp_e6
+  FROM (SELECT v.w, g.l FROM vocab v CROSS JOIN langs g) vl
+  JOIN totals t ON t.l = vl.l
+  LEFT JOIN cnt c ON c.w = vl.w AND c.l = vl.l
+),
+priors AS (
+  SELECT lang AS l,
+         CAST(floor(ln(count(*) * 1.0
+                       / (SELECT count(*) FROM documents)) * 1000000)
+              AS BIGINT) AS prior_e6
+  FROM documents GROUP BY lang
+),
+doc_scores AS (
+  SELECT t.doc_id, t.lang, g.l,
+         CAST(sum(g.lp_e6) AS BIGINT) AS s
+  FROM toks t JOIN grid g ON g.w = t.w
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT d.doc_id, d.lang, d.l AS predicted,
+         row_number() OVER (
+           PARTITION BY d.doc_id ORDER BY d.s + p.prior_e6 DESC, d.l
+         ) AS rn
+  FROM doc_scores d JOIN priors p ON p.l = d.l
+)
+SELECT lang, predicted, count(*) AS n
+FROM best WHERE rn = 1
+GROUP BY 1, 2
+"""
+
+
+@register("q_naive_bayes", oracle=_NB_ORACLE)
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_service_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("w")
+    )
+    vocab = toks.select("w").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    langs = docs.select(F.col("lang").alias("l")).distinct()
+    cnt = toks.groupBy(F.col("lang").alias("l"), "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    totals = cnt.groupBy("l").agg(F.sum("c").cast("bigint").alias("t"))
+    grid = (
+        vocab.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(totals), "l")
+        .join(cnt, ["w", "l"], "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "w",
+            "l",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                    * 1.0
+                    / (F.col("t") + F.col("v"))
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("lp_e6"),
+        )
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
+    priors = (
+        docs.groupBy(F.col("lang").alias("l"))
+        .agg(F.count(F.lit(1)).alias("nl"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "l",
+            F.floor(F.log(F.col("nl") * 1.0 / F.col("nd")) * 1000000)
+            .cast("bigint")
+            .alias("prior_e6"),
+        )
+    )
+    doc_scores = (
+        toks.join(grid, "w")
+        .groupBy("doc_id", "lang", "l")
+        .agg(F.sum("lp_e6").cast("bigint").alias("s"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.col("s") + F.col("prior_e6")), F.asc("l")
+    )
+    return (
+        doc_scores.join(F.broadcast(priors), "l")
+        .select(
+            "lang",
+            F.col("l").alias("predicted"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1175,3 +1175,50 @@ def test_dedup_modality_diff_reconciles(run):
     assert row.n_embed_only == row.n_embed_pairs - row.n_both
     # the fixture plants text near-dups; the text tier must see them
     assert row.n_text_pairs > 0
+
+
+def test_naive_bayes_reconciles_and_beats_random(spark, sf_dir, run):
+    rows = run("q_naive_bayes")
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n for r in rows) == n_docs
+    # 5 langs share one vocabulary in the fixture, so NB mostly learns
+    # the priors — but it must still classify every doc to a valid lang
+    langs = {
+        r.lang
+        for r in load_table(spark, sf_dir, "documents")
+        .select("lang")
+        .distinct()
+        .collect()
+    }
+    assert {r.predicted for r in rows} <= langs
+
+
+def test_itemsets3_bounded_by_pair_supports(spark, sf_dir, run):
+    """A triple's support cannot exceed any of its pairs' supports
+    (anti-monotonicity — the Apriori property itself)."""
+    from pyspark.sql import functions as F
+
+    rows = run("q_itemsets3")
+    assert rows == sorted(rows, key=lambda r: (-r.n, r.b1, r.b2, r.b3))
+    ob = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "part"),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    a = ob.select("ok", F.col("b").alias("x"))
+    c = ob.select("ok", F.col("b").alias("y"))
+    pair_support = {
+        (r.x, r.y): r.n
+        for r in a.join(c, "ok")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        for p in [(r.b1, r.b2), (r.b1, r.b3), (r.b2, r.b3)]:
+            assert r.n <= pair_support.get(p, 0)

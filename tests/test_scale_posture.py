@@ -1148,3 +1148,26 @@ def test_ks_histogram_before_window(spark, sf_dir):
     n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
     assert n_scans == 1
     assert "CartesianProduct" not in plan
+
+
+def test_naive_bayes_model_broadcast_corpus_rollup(spark, sf_dir):
+    """The vocab×lang grid reaches the token stream via broadcast; the
+    per-doc argmax window partitions by doc_id."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_naive_bayes"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs and all("doc_id" in s for s in specs)
+
+
+def test_itemsets3_posting_list_expansion_no_self_join(spark, sf_dir):
+    """Triples come from nested Generates over per-order sorted brand
+    lists — never a basket-table self-join (no SortMergeJoin on the
+    basket table, no cartesian)."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_itemsets3"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    n_gen = len(re.findall(r"\(\d+\) Generate", plan))
+    assert n_gen == 3, f"expected 3 nested Generates, saw {n_gen}"
