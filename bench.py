@@ -150,6 +150,12 @@ ML_FEATURE_OPS = [
     "q_dedup_modality_diff",
     "q_naive_bayes",
     "q_itemsets3",
+    "q_dim_truncation",
+    "q_spearman",
+    "q_trimmed_mean",
+    "q_sliced_auc",
+    "q_skew_radar",
+    "q_join_size_audit",
 ]
 
 

@@ -981,3 +981,153 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_skew_radar — the join-key skew audit that DECIDES when the repo's
+# skew machinery (q_skew_join_salted's salting, AQE skew-split, the
+# sharded packing windows) must engage: for each fact table's join key,
+# the key cardinality, the hottest key's row share (e6), and the ratio
+# of the hottest key to a perfectly uniform share. One row per audited
+# key; a share_ratio ≫ 1 is the precondition for reducer skew.
+#
+# Exactness: pure counting; shares are integer e6 divisions; the top
+# key ties break on the smallest key value.
+#
+# Scale: one count rollup per audited key (map-side combined) and a
+# key-domain-sized max; the union of three tiny summaries. This is the
+# radar a 100 TB pipeline runs nightly — per-key rollups ARE the cost
+# of knowing where the hot keys live.
+# ---------------------------------------------------------------------------
+
+
+def _skew_radar_sql(table: str, key: str) -> str:
+    # top_key = smallest key holding the max count (deterministic tie):
+    # a window max over the count table, then min(k) where c = mx —
+    # engine-agnostic (DuckDB's max_by lacks struct tie-break ordering).
+    return f"""
+SELECT '{table}.{key}' AS audited_key,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(min(CASE WHEN c = mx THEN k END) AS BIGINT) AS top_key,
+       CAST(max(c) AS BIGINT) AS top_rows,
+       CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS top_share_e6,
+       CAST(max(c) * count(*) * 1000000 // sum(c) AS BIGINT)
+         AS uniform_ratio_e6
+FROM (
+  SELECT k, c, max(c) OVER () AS mx
+  FROM (SELECT {key} AS k, count(*) AS c FROM {table} GROUP BY 1)
+)
+"""
+
+
+_SKEW_RADAR_ORACLE = (
+    _skew_radar_sql("events", "user_id")
+    + " UNION ALL "
+    + _skew_radar_sql("orders", "o_custkey")
+    + " UNION ALL "
+    + _skew_radar_sql("lineitem", "l_partkey")
+)
+
+
+@register("q_skew_radar", oracle=_SKEW_RADAR_ORACLE)
+def q_skew_radar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def radar(table: str, key: str) -> DataFrame:
+        counts = (
+            load_table(spark, sf_dir, table)
+            .groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        from pyspark.sql import Window as W
+
+        with_mx = counts.withColumn(
+            "mx", F.max("c").over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        )
+        return with_mx.agg(
+            F.lit(f"{table}.{key}").alias("audited_key"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.min(F.when(F.col("c") == F.col("mx"), F.col("k")))
+            .cast("bigint")
+            .alias("top_key"),
+            F.max("c").cast("bigint").alias("top_rows"),
+            F.expr("max(c) * 1000000 div sum(c)").alias("top_share_e6"),
+            F.expr("max(c) * count(*) * 1000000 div sum(c)").alias(
+                "uniform_ratio_e6"
+            ),
+        )
+
+    return (
+        radar("events", "user_id")
+        .unionAll(radar("orders", "o_custkey"))
+        .unionAll(radar("lineitem", "l_partkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_join_size_audit — exact join-output cardinality WITHOUT running the
+# join: |A ⋈ B| = Σ_k cA(k)·cB(k) over the two per-key count tables —
+# the statistic a cost-based planner estimates and the number a 100 TB
+# operator checks BEFORE launching a fact/fact join (a mis-keyed join
+# that would explode shows up here as a count, not an OOM). Audits
+# lineitem⋈orders (FK: output = |lineitem|) and lineitem⋈lineitem on
+# l_partkey (the classic accidental many-to-many).
+#
+# Exactness: counts and products are exact BIGINTs (Σ cA·cB ≤ n·maxc).
+# Scale: two count rollups per audited join and a count-table join on
+# the key domain — never the fact join itself; that asymmetry is the
+# entire point.
+# ---------------------------------------------------------------------------
+
+_JOIN_SIZE_ORACLE = """
+WITH lo AS (
+  SELECT 'lineitem*orders/l_orderkey' AS joined,
+         CAST(sum(a.c * b.c) AS BIGINT) AS n_out_rows,
+         CAST(count(*) AS BIGINT) AS n_shared_keys,
+         CAST(max(a.c * b.c) AS BIGINT) AS max_key_rows
+  FROM (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1) a
+  JOIN (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1) b
+    ON b.k = a.k
+),
+ll AS (
+  SELECT 'lineitem*lineitem/l_partkey' AS joined,
+         CAST(sum(a.c * a.c) AS BIGINT) AS n_out_rows,
+         CAST(count(*) AS BIGINT) AS n_shared_keys,
+         CAST(max(a.c * a.c) AS BIGINT) AS max_key_rows
+  FROM (SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1) a
+)
+SELECT * FROM lo UNION ALL SELECT * FROM ll
+"""
+
+
+@register("q_join_size_audit", oracle=_JOIN_SIZE_ORACLE)
+def q_join_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lc = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    oc = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    lo = (
+        lc.join(oc, "k")
+        .agg(
+            F.lit("lineitem*orders/l_orderkey").alias("joined"),
+            F.sum(F.col("c") * F.col("c2")).cast("bigint").alias("n_out_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_keys"),
+            F.max(F.col("c") * F.col("c2")).cast("bigint").alias(
+                "max_key_rows"
+            ),
+        )
+    )
+    pc = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ll = pc.agg(
+        F.lit("lineitem*lineitem/l_partkey").alias("joined"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("n_out_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shared_keys"),
+        F.max(F.col("c") * F.col("c")).cast("bigint").alias("max_key_rows"),
+    )
+    return lo.unionAll(ll)

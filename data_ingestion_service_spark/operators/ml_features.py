@@ -1529,3 +1529,401 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dim_truncation — Matryoshka-style dimension-truncation quality
+# audit: for 5 probe vectors, compare the cosine top-10 under the full
+# 64-dim embedding against the top-10 under the first-16-dims
+# truncation (the MRL serving trick: store/search a prefix, rerank
+# full). Reports per probe the overlap@10 and recall_e6 — the
+# approximation-measured discipline (q_lsh_recall / q_ann_recall /
+# q_countmin_audit) applied to dimensionality reduction, which is the
+# first lever a 100 TB vector store pulls (4× less IO before any index).
+#
+# Exactness: both rankings use round(cos, 4) with vec_id tie-break;
+# overlap is an exact count join.
+#
+# Scale: probes broadcast; one scored scan computes BOTH cosines (the
+# truncated vector is a slice — no second pass); two per-probe top-k
+# windows; a tiny overlap join.
+# ---------------------------------------------------------------------------
+
+_DIMTRUNC_K = 10
+_DIMTRUNC_DIMS = 16
+
+_DIM_TRUNCATION_ORACLE = f"""
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT p.probe_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], p.pe), 4)
+           AS cs_full,
+         round(list_cosine_similarity(
+           (e.embedding::DOUBLE[])[1:{_DIMTRUNC_DIMS}],
+           p.pe[1:{_DIMTRUNC_DIMS}]), 4) AS cs_trunc
+  FROM embeddings e CROSS JOIN probes p
+  WHERE e.vec_id <> p.probe_id
+),
+full_top AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT probe_id, vec_id,
+           row_number() OVER (
+             PARTITION BY probe_id ORDER BY cs_full DESC, vec_id) AS rn
+    FROM scored
+  ) WHERE rn <= {_DIMTRUNC_K}
+),
+trunc_top AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT probe_id, vec_id,
+           row_number() OVER (
+             PARTITION BY probe_id ORDER BY cs_trunc DESC, vec_id) AS rn
+    FROM scored
+  ) WHERE rn <= {_DIMTRUNC_K}
+)
+SELECT f.probe_id,
+       count(t.vec_id) AS n_overlap,
+       CAST(count(t.vec_id) * 1000000 // {_DIMTRUNC_K} AS BIGINT)
+         AS recall_e6
+FROM full_top f
+LEFT JOIN trunc_top t ON t.probe_id = f.probe_id AND t.vec_id = f.vec_id
+GROUP BY f.probe_id
+"""
+
+
+@register("q_dim_truncation", oracle=_DIM_TRUNCATION_ORACLE)
+def q_dim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), as_double("embedding").alias("pe")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine(as_double("embedding"), F.col("pe")), 4).alias(
+                "cs_full"
+            ),
+            F.round(
+                cosine(
+                    F.slice(as_double("embedding"), 1, _DIMTRUNC_DIMS),
+                    F.slice(F.col("pe"), 1, _DIMTRUNC_DIMS),
+                ),
+                4,
+            ).alias("cs_trunc"),
+        )
+    )
+    wf = Window.partitionBy("probe_id").orderBy(
+        F.desc("cs_full"), F.asc("vec_id")
+    )
+    wt = Window.partitionBy("probe_id").orderBy(
+        F.desc("cs_trunc"), F.asc("vec_id")
+    )
+    full_top = (
+        scored.select(
+            "probe_id", "vec_id", F.row_number().over(wf).alias("rn")
+        )
+        .filter(F.col("rn") <= _DIMTRUNC_K)
+        .drop("rn")
+    )
+    trunc_top = (
+        scored.select(
+            "probe_id", "vec_id", F.row_number().over(wt).alias("rn")
+        )
+        .filter(F.col("rn") <= _DIMTRUNC_K)
+        .select(
+            F.col("probe_id").alias("t_probe"), F.col("vec_id").alias("t_vec")
+        )
+    )
+    return (
+        full_top.join(
+            trunc_top,
+            (F.col("probe_id") == F.col("t_probe"))
+            & (F.col("vec_id") == F.col("t_vec")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.count("t_vec").alias("n_overlap"),
+            F.expr(f"count(t_vec) * 1000000 div {_DIMTRUNC_K}").alias(
+                "recall_e6"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_spearman — exact Spearman rank correlation between document length
+# and LM quality score (are longer documents more fluent?): rho =
+# 1 − 6·Σd²/(n·(n²−1)) over tie-broken ranks (row_number by (value,
+# doc_id) — a total order, so both engines rank identically; classic
+# Spearman with ties averaged needs fractional ranks, which would
+# reintroduce floats — the tie-broken variant is the standard
+# integer-exact alternative and is stated in the column name).
+#
+# Exactness: ranks and Σd² are exact BIGINTs (Σd² < n³ ⇒ < 2⁶³ until
+# n ≈ 2·10⁶ docs; past that the same statistic computes on e3-bucketed
+# ranks); the final rho is ONE integer expression floored to e6.
+#
+# Scale: the LM score passes are q_lm_score's; the two rank windows
+# order per-DOC rows. At 100 TB ranks come from a distributed sort —
+# the same two-window shape.
+# ---------------------------------------------------------------------------
+
+_SPEARMAN_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks WHERE len(t) >= 2
+),
+bi2 AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bi),
+c2 AS (SELECT bg, count(*) AS c2 FROM bi2 GROUP BY bg),
+c1 AS (SELECT w1, count(*) AS c1 FROM bi2 GROUP BY w1),
+per_doc AS (
+  SELECT b.doc_id,
+         CAST(sum(CAST(floor(log2(c2.c2 * 1.0 / c1.c1) * 1000000) AS BIGINT))
+              // count(*) AS BIGINT) AS score
+  FROM bi2 b JOIN c2 ON c2.bg = b.bg JOIN c1 ON c1.w1 = b.w1
+  GROUP BY b.doc_id
+),
+joined AS (
+  SELECT p.doc_id, p.score, d.n_chars
+  FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY n_chars, doc_id) AS rx,
+         row_number() OVER (ORDER BY score, doc_id) AS ry
+  FROM joined
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+       CAST(floor((1.0 - 6.0 * sum((rx - ry) * (rx - ry))
+                   / (count(*) * (count(*) * count(*) - 1.0))) * 1000000)
+            AS BIGINT) AS rho_tiebroken_e6
+FROM ranked
+"""
+
+
+@register("q_spearman", oracle=_SPEARMAN_ORACLE)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_service_spark.functions.text import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    bi = shingle_rows(docs, 2).select(
+        "doc_id",
+        F.col("shingle").alias("bg"),
+        F.substring_index("shingle", " ", 1).alias("w1"),
+    )
+    c2 = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    per_doc = (
+        bi.join(c2, "bg")
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            F.floor(F.log2(F.col("c2") * 1.0 / F.col("c1")) * 1000000)
+            .cast("bigint")
+            .alias("lp_e6"),
+        )
+        .groupBy("doc_id")
+        .agg(F.expr("sum(lp_e6) div count(*)").alias("score"))
+    )
+    joined = per_doc.join(docs.select("doc_id", "n_chars"), "doc_id")
+    # row_number() is 32-bit; the squared rank difference must multiply
+    # in BIGINT (overflowed at sf1's 50k docs: (rx−ry)² > 2³¹).
+    ranked = joined.select(
+        F.row_number()
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .cast("bigint")
+        .alias("rx"),
+        F.row_number()
+        .over(Window.orderBy("score", "doc_id"))
+        .cast("bigint")
+        .alias("ry"),
+    )
+    d2 = (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(d2).cast("bigint").alias("sum_d2"),
+        F.floor(
+            (
+                1.0
+                - 6.0
+                * F.sum(d2)
+                / (
+                    F.count(F.lit(1))
+                    * (F.count(F.lit(1)) * F.count(F.lit(1)) - 1.0)
+                )
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("rho_tiebroken_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_trimmed_mean — 5%-trimmed mean event value per type: the robust
+# location estimate a monitoring pipeline prefers over the raw mean
+# (one fat-fingered upload should not move the dashboard). Trim bounds
+# are exact integer rank cutoffs (drop rank ≤ n·5 div 100 and
+# rank > n − n·5 div 100 under a per-type total order), so both
+# engines drop the identical rows; the surviving mean is an exact
+# cents division.
+#
+# Scale: one per-type rank window (the same shape as
+# q_latency_percentiles) and one rollup; type cardinality bounds the
+# output.
+# ---------------------------------------------------------------------------
+
+_TRIMMED_ORACLE = """
+WITH ranked AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(round(value * 100) AS BIGINT), event_id
+         ) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+kept AS (
+  SELECT event_type, cents, n
+  FROM ranked
+  WHERE rn > n * 5 // 100 AND rn <= n - n * 5 // 100
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(cents) // count(*) AS BIGINT) AS trimmed_mean_cents
+FROM kept
+GROUP BY event_type
+"""
+
+
+@register("q_trimmed_mean", oracle=_TRIMMED_ORACLE)
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy(cents.asc(), F.col("event_id").asc())
+    wn = Window.partitionBy("event_type")
+    ranked = events.select(
+        "event_type",
+        cents.alias("cents"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    kept = ranked.filter(
+        (F.col("rn") > F.expr("n * 5 div 100"))
+        & (F.col("rn") <= F.col("n") - F.expr("n * 5 div 100"))
+    )
+    return kept.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.expr("sum(cents) div count(*)").alias("trimmed_mean_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_sliced_auc — disaggregated (per-slice) AUC: q_auc_score's exact
+# Mann-Whitney statistic computed PER SOURCE — the fairness/robustness
+# audit that catches a score working on aggregate while failing a
+# slice (the aggregate AUC averages it away). Slices with a degenerate
+# class (no positives or no negatives) report auc_e6 = -1 instead of
+# dividing by zero — those slices are exactly the ones the audit must
+# surface, not drop.
+#
+# Exactness/scale: q_auc_score's integer histogram construction with
+# `source` added to every key — the rank window partitions by source
+# over the (source, score) histogram, never the corpus.
+# ---------------------------------------------------------------------------
+
+_SLICED_AUC_ORACLE = """
+WITH scored AS (
+  SELECT source,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN ('the', 'a', 'of', 'and', 'to'))) * 10000
+           // len(string_split(text, ' ')) AS score_e4
+  FROM documents
+),
+hist AS (
+  SELECT source, score_e4,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(1 - y) AS BIGINT) AS n_neg
+  FROM scored GROUP BY source, score_e4
+),
+cum AS (
+  SELECT source, n_pos, n_neg,
+         CAST(coalesce(sum(n_neg) OVER (
+           PARTITION BY source ORDER BY score_e4
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS neg_below
+  FROM hist
+)
+SELECT source,
+       CAST(sum(n_pos) AS BIGINT) AS n_pos,
+       CAST(sum(n_neg) AS BIGINT) AS n_neg,
+       CASE WHEN sum(n_pos) = 0 OR sum(n_neg) = 0 THEN -1
+            ELSE CAST(sum(n_pos * (2 * neg_below + n_neg)) * 1000000
+                      // (2 * sum(n_pos) * sum(n_neg)) AS BIGINT)
+       END AS auc_e6
+FROM cum
+GROUP BY source
+"""
+
+
+@register("q_sliced_auc", oracle=_SLICED_AUC_ORACLE)
+def q_sliced_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_service_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    stop = F.size(
+        F.filter(toks, lambda w: w.isin("the", "a", "of", "and", "to"))
+    )
+    scored = docs.select(
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        (stop * 10000).alias("s_num"),
+        F.size(toks).alias("s_den"),
+    ).select("source", "y", F.expr("s_num div s_den").alias("score_e4"))
+    hist = scored.groupBy("source", "score_e4").agg(
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("n_neg"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("score_e4")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        "source",
+        "n_pos",
+        "n_neg",
+        F.coalesce(F.sum("n_neg").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("neg_below"),
+    )
+    return cum.groupBy("source").agg(
+        F.sum("n_pos").cast("bigint").alias("n_pos"),
+        F.sum("n_neg").cast("bigint").alias("n_neg"),
+        F.when(
+            (F.sum("n_pos") == 0) | (F.sum("n_neg") == 0), F.lit(-1)
+        )
+        .otherwise(
+            F.expr(
+                "cast(sum(n_pos * (2 * neg_below + n_neg)) * 1000000"
+                " div (2 * sum(n_pos) * sum(n_neg)) as bigint)"
+            )
+        )
+        .cast("bigint")
+        .alias("auc_e6"),
+    )

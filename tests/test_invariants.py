@@ -1222,3 +1222,87 @@ def test_itemsets3_bounded_by_pair_supports(spark, sf_dir, run):
     for r in rows:
         for p in [(r.b1, r.b2), (r.b1, r.b3), (r.b2, r.b3)]:
             assert r.n <= pair_support.get(p, 0)
+
+
+def test_dim_truncation_bounds(run):
+    rows = run("q_dim_truncation")
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r.n_overlap <= 10
+        assert r.recall_e6 == r.n_overlap * 100000
+
+
+def test_spearman_in_range_and_d2_bound(run):
+    """rho in [-1, 1]; sum d^2 <= the anti-correlated maximum
+    n(n^2-1)/3 (permutation identity)."""
+    [row] = run("q_spearman")
+    assert -1000000 <= row.rho_tiebroken_e6 <= 1000000
+    n = row.n_docs
+    assert 0 <= row.sum_d2 <= n * (n * n - 1) // 3
+
+
+def test_trimmed_mean_within_type_bounds(spark, sf_dir, run):
+    """Trim keeps ~90% of each type, and the trimmed mean lies inside
+    the untrimmed [min, max] band (robustness sanity)."""
+    from pyspark.sql import functions as F
+
+    rows = run("q_trimmed_mean")
+    stats = {
+        r.event_type: r
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.min(F.round(F.col("value") * 100)).alias("lo"),
+            F.max(F.round(F.col("value") * 100)).alias("hi"),
+        )
+        .collect()
+    }
+    for r in rows:
+        assert r.n_kept == r.n_events - 2 * (r.n_events * 5 // 100)
+        assert stats[r.event_type].lo <= r.trimmed_mean_cents <= stats[r.event_type].hi
+
+
+def test_sliced_auc_consistent_with_global(run):
+    """Per-slice AUCs bracket plausibility: each in [0, 1e6] or the -1
+    degenerate sentinel, and per-slice class counts sum to the global
+    q_auc_score counts."""
+    rows = run("q_sliced_auc")
+    [g] = run("q_auc_score")
+    assert sum(r.n_pos for r in rows) == g.n_pos
+    assert sum(r.n_neg for r in rows) == g.n_neg
+    for r in rows:
+        assert r.auc_e6 == -1 or 0 <= r.auc_e6 <= 1000000
+
+
+def test_skew_radar_fires_on_skewed_fixture(spark, run):
+    """On uniform fixtures the radar reads near-uniform; the SKEWED
+    fixture check runs in the sf1skew sim — here pin the accounting:
+    top_rows <= n_rows, shares in range, ratio >= 1e6 only when the top
+    key exceeds the uniform share."""
+    rows = run("q_skew_radar")
+    assert {r.audited_key for r in rows} == {
+        "events.user_id",
+        "orders.o_custkey",
+        "lineitem.l_partkey",
+    }
+    for r in rows:
+        assert 0 < r.top_rows <= r.n_rows
+        assert 0 <= r.top_share_e6 <= 1000000
+        assert r.uniform_ratio_e6 >= 1000000  # max >= mean always
+
+
+def test_join_size_audit_matches_real_join(spark, sf_dir, run):
+    """The predicted cardinality must equal the actually-materialized
+    join's row count — the audit's defining property."""
+    from pyspark.sql import functions as F
+
+    rows = {r.joined: r for r in run("q_join_size_audit")}
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    real_lo = li.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).count()
+    assert rows["lineitem*orders/l_orderkey"].n_out_rows == real_lo
+    a = li.select(F.col("l_partkey").alias("k"))
+    real_ll = a.join(a.withColumnRenamed("k", "k2"), F.col("k") == F.col("k2")).count()
+    assert rows["lineitem*lineitem/l_partkey"].n_out_rows == real_ll
