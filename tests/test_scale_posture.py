@@ -1042,7 +1042,7 @@ def test_event_trigrams_single_window_pass(spark, sf_dir):
     plan = formatted_plan(QUERIES["q_event_trigrams"](spark, sf_dir))
     specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
     assert specs and all("user_id" in s for s in specs)
-    assert plan.count("(\d) Window") <= 1 or len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
 
 
 def test_bloom_words_broadcast_no_fact_shuffle(spark, sf_dir):
