@@ -4750,3 +4750,123 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(mean_lp_e6) div count(*)").alias("bucket_mean_lp_e6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_log_odds_terms — per-source distinctive vocabulary via the
+# smoothed log-odds-ratio z-score (Monroe, Colaresi & Quinn 2008,
+# "Fightin' Words"): for each source, the 10 terms whose usage rate
+# most exceeds the REST of the corpus, normalized by the estimator's
+# variance so rare-term noise doesn't dominate (the failure mode of
+# raw TF-IDF "top terms" on skewed corpora). The standard corpus-
+# analysis companion to q_source_divergence: KL says HOW FAR a source
+# has drifted, log-odds says WHICH WORDS carry the drift.
+#
+#   δ_w = ln((y_w+1)/(n_i+V-y_w-1)) − ln((r_w+1)/(n_r+V-r_w-1))
+#   z_w = δ_w / sqrt(1/(y_w+1) + 1/(r_w+1))        (add-1 prior, α0=V)
+#
+# Exactness: every input (per-source term count y, rest count r,
+# per-source token total n_i, rest total n_r, vocabulary size V) is an
+# exact BIGINT from one token-count reduce; z is ONE shared-fragment
+# double expression over those integers (identical string evaluated by
+# both engines), floored to e6 BEFORE the rank so ordering never
+# depends on float comparison. Ties break on the term string.
+#
+# Scale: one corpus token scan reduced to (source × vocab) counts
+# (map-side combinable), rest-counts derived by broadcast-joining the
+# GLOBAL term table (vocab-bounded) back — no second corpus pass; the
+# rank window partitions by source over vocab-bounded rows.
+# ---------------------------------------------------------------------------
+
+_LOGODDS_Z = (
+    "((ln((CAST(y AS DOUBLE) + 1.0)"
+    " / (CAST(ni AS DOUBLE) + CAST(v AS DOUBLE) - CAST(y AS DOUBLE) - 1.0))"
+    " - ln((CAST(r AS DOUBLE) + 1.0)"
+    " / (CAST(nr AS DOUBLE) + CAST(v AS DOUBLE) - CAST(r AS DOUBLE) - 1.0)))"
+    " / sqrt(1.0 / (CAST(y AS DOUBLE) + 1.0)"
+    " + 1.0 / (CAST(r AS DOUBLE) + 1.0)))"
+)
+
+_LOG_ODDS_ORACLE = f"""
+WITH tf AS MATERIALIZED (
+  SELECT source, tok AS term, CAST(count(*) AS BIGINT) AS y
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+  GROUP BY 1, 2
+),
+gterm AS MATERIALIZED (
+  SELECT term, CAST(sum(y) AS BIGINT) AS g FROM tf GROUP BY 1
+),
+tot AS (SELECT source, CAST(sum(y) AS BIGINT) AS ni FROM tf GROUP BY 1),
+nall AS (SELECT CAST(sum(g) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v
+         FROM gterm),
+scored AS (
+  SELECT tf.source, tf.term, tf.y,
+         gterm.g - tf.y          AS r,
+         tot.ni                 AS ni,
+         nall.n - tot.ni        AS nr,
+         nall.v                 AS v
+  FROM tf
+  JOIN gterm USING (term)
+  JOIN tot ON tot.source = tf.source
+  CROSS JOIN nall
+),
+z AS (
+  SELECT source, term, y,
+         CAST(floor({_LOGODDS_Z} * 1000000) AS BIGINT) AS z_e6
+  FROM scored
+)
+SELECT source, term, y AS n_uses, z_e6
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY z_e6 DESC, term) AS rk
+      FROM z)
+WHERE rk <= 10
+"""
+
+
+@register("q_log_odds_terms", oracle=_LOG_ODDS_ORACLE)
+def q_log_odds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    glob = tf.groupBy("term").agg(F.sum("y").cast("bigint").alias("g"))
+    tot = tf.groupBy("source").agg(F.sum("y").cast("bigint").alias("ni"))
+    nall = glob.agg(
+        F.sum("g").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    scored = (
+        tf.join(glob, "term")
+        .join(F.broadcast(tot), "source")
+        .crossJoin(F.broadcast(nall))
+        .select(
+            "source",
+            "term",
+            "y",
+            (F.col("g") - F.col("y")).alias("r"),
+            "ni",
+            (F.col("n") - F.col("ni")).alias("nr"),
+            "v",
+        )
+    )
+    z = scored.select(
+        "source",
+        "term",
+        "y",
+        F.expr(f"CAST(floor({_LOGODDS_Z} * 1000000) AS BIGINT)").alias(
+            "z_e6"
+        ),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("z_e6"), F.asc("term"))
+    return (
+        z.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("source", "term", F.col("y").alias("n_uses"), "z_e6")
+    )

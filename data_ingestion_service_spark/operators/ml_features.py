@@ -1927,3 +1927,109 @@ def q_sliced_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("auc_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ols2 — closed-form two-feature ordinary least squares: regress line
+# revenue (whole dollars) on quantity and discount basis points via the
+# centered normal equations. The "does price scale with quantity and
+# how much does discounting bite" baseline model, fit in ONE aggregation
+# pass — the map-side-combinable sufficient-statistics shape that is THE
+# way to fit linear models at 100 TB (no per-row residual pass, no
+# gradient iterations, no collect of anything but 10 scalars).
+#
+# Exactness: all sufficient statistics are exact BIGINTs (y in whole
+# dollars keeps Σy² ≤ ~6e16 at sf1 — cents would overflow BIGINT's
+# 9.2e18 at Σy²); the closed-form solve is ONE double expression per
+# coefficient over those exact integers, with the identical fragment
+# string (_OLS2_*) evaluated by BOTH engines — identical scalar inputs,
+# identical parenthesization, identical IEEE result, floored to e6.
+# Products that could overflow BIGINT (Σy·Σy ~ 3.6e23) are cast to
+# DOUBLE before multiplying, in the shared fragment itself.
+#
+# Scale: one scan, partial-aggregated map-side into a single 10-column
+# row; the solve is driver-free (a projection on the 1-row aggregate).
+# ---------------------------------------------------------------------------
+
+# Shared final-expression fragments — evaluated verbatim by Spark
+# (F.expr) and DuckDB (string-embedded) over the identical exact-BIGINT
+# sufficient statistics, so the doubles are bit-identical.
+_OLS2_C = (
+    "(CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))",
+    "(CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))",
+    "(CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))",
+    "(CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))",
+    "(CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))",
+    "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))",
+)
+_OLS2_DET = f"({_OLS2_C[2]} * {_OLS2_C[0]} - {_OLS2_C[1]} * {_OLS2_C[1]})"
+_OLS2_B1 = (
+    f"(({_OLS2_C[2]} * {_OLS2_C[3]} - {_OLS2_C[1]} * {_OLS2_C[4]}) / {_OLS2_DET})"
+)
+_OLS2_B2 = (
+    f"(({_OLS2_C[0]} * {_OLS2_C[4]} - {_OLS2_C[1]} * {_OLS2_C[3]}) / {_OLS2_DET})"
+)
+_OLS2_B0 = (
+    f"(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" - {_OLS2_B1} * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" - {_OLS2_B2} * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+)
+_OLS2_R2 = f"(({_OLS2_B1} * {_OLS2_C[3]} + {_OLS2_B2} * {_OLS2_C[4]}) / {_OLS2_C[5]})"
+
+_OLS2_STATS = """
+SELECT CAST(count(*) AS BIGINT)          AS n,
+       CAST(sum(x1) AS BIGINT)           AS s1,
+       CAST(sum(x2) AS BIGINT)           AS s2,
+       CAST(sum(y) AS BIGINT)            AS sy,
+       CAST(sum(x1 * x1) AS BIGINT)      AS s11,
+       CAST(sum(x2 * x2) AS BIGINT)      AS s22,
+       CAST(sum(x1 * x2) AS BIGINT)      AS s12,
+       CAST(sum(x1 * y) AS BIGINT)       AS s1y,
+       CAST(sum(x2 * y) AS BIGINT)       AS s2y,
+       CAST(sum(y * y) AS BIGINT)        AS syy
+FROM t
+"""
+
+_OLS2_ORACLE = f"""
+WITH t AS (
+  SELECT CAST(round(l_quantity) AS BIGINT)          AS x1,
+         CAST(round(l_discount * 10000) AS BIGINT)  AS x2,
+         CAST(round(l_extendedprice) AS BIGINT)     AS y
+  FROM lineitem
+),
+s AS ({_OLS2_STATS})
+SELECT n,
+       CAST(floor({_OLS2_B0} * 1000000) AS BIGINT) AS b0_e6,
+       CAST(floor({_OLS2_B1} * 1000000) AS BIGINT) AS b1_e6,
+       CAST(floor({_OLS2_B2} * 1000000) AS BIGINT) AS b2_e6,
+       CAST(floor({_OLS2_R2} * 1000000) AS BIGINT) AS r2_e6
+FROM s
+"""
+
+
+@register("q_ols2", oracle=_OLS2_ORACLE)
+def q_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round("l_quantity").cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 10000).cast("bigint").alias("x2"),
+        F.round("l_extendedprice").cast("bigint").alias("y"),
+    )
+    stats = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum("x2").cast("bigint").alias("s2"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).cast("bigint").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("bigint").alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    return stats.select(
+        "n",
+        F.expr(f"CAST(floor({_OLS2_B0} * 1000000) AS BIGINT)").alias("b0_e6"),
+        F.expr(f"CAST(floor({_OLS2_B1} * 1000000) AS BIGINT)").alias("b1_e6"),
+        F.expr(f"CAST(floor({_OLS2_B2} * 1000000) AS BIGINT)").alias("b2_e6"),
+        F.expr(f"CAST(floor({_OLS2_R2} * 1000000) AS BIGINT)").alias("r2_e6"),
+    )

@@ -26,7 +26,7 @@ shuffle of raw keys. Three surfaces:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_service_spark.catalog import load_table
@@ -227,4 +227,243 @@ def q_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "overestimate"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_kmv_overlap — K-Minimum-Values sketch overlap between source
+# SHINGLE sets (3-gram shingles: the fixture's word vocabulary is ~31
+# tokens, far below any useful k, while the shingle domain is ~16k —
+# the estimator actually estimates), WITH the exact truth beside it
+# (the q_lsh_recall pattern: ship the approximation as an audited
+# metric, not a leap of faith). For every source pair: the KMV
+# union-cardinality estimate (k=64), the Jaccard estimate from the
+# shared fraction of the merged sketch, and the exact distinct-shingle
+# union/intersection for error reading.
+#
+# Why KMV: a per-source sketch is 64 BIGINTs, mergeable by "union, keep
+# k smallest" — cross-slice overlap questions at 100 TB touch kilobytes
+# after the one distinct reduce, and new slices union out of stored
+# per-partition sketches without rescanning. The hash is the repo's
+# standard 15-hex md5 bigint (pure function of the shingle — no RNG,
+# identical literal construction in both engines).
+#
+# Estimator (Beyer et al. 2007): with h ~ uniform on [0, M), the k-th
+# smallest of n distinct hashes ≈ M·k/n, so n̂ = (k−1)·M/kth; when the
+# merged sketch holds FEWER than k values the sketch IS the whole set
+# and the count is exact (the regime the 31-token vocabulary would
+# have hit — guarded explicitly on both engines). Ĵ = shared fraction
+# of the merged sketch (denominator = its actual size, ≤ k).
+#
+# Scale: one distinct-(source, shingle) reduce (map-side combinable;
+# the only corpus-sized pass, shared by sketch and truth sides), a
+# top-k window per source, then ALL pair logic runs on the
+# ≤(sources × 64)-row sketch table. The exact-truth self-join is
+# bounded by the distinct-shingle table, not the corpus, and exists to
+# audit the estimate — at 100 TB you would keep only the sketches.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+# Ceiling of the 15-hex-digit hash domain (2^60), exactly representable
+# as a double.
+_KMV_M = float(1 << 60)
+
+_KMV_VOCAB_SQL = """
+  SELECT DISTINCT source, s
+  FROM (SELECT source,
+               unnest(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 3)
+"""
+
+_KMV_ORACLE = f"""
+WITH vocab AS MATERIALIZED ({_KMV_VOCAB_SQL}),
+st AS (
+  SELECT source, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+  FROM vocab
+),
+sk AS MATERIALIZED (
+  SELECT source, h
+  FROM (SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+        FROM st)
+  WHERE rk <= {_KMV_K}
+),
+merged AS (
+  SELECT src_a, src_b, h,
+         CAST(count(*) AS BIGINT) AS n_sides,
+         row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rk
+  FROM (
+    SELECT a.source AS src_a, b.source AS src_b, a.h
+    FROM sk a JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
+    UNION ALL
+    SELECT a.source AS src_a, b.source AS src_b, b.h
+    FROM (SELECT DISTINCT source FROM sk) a JOIN sk b ON a.source < b.source
+  ) u
+  GROUP BY 1, 2, 3
+),
+kstat AS (
+  SELECT src_a, src_b,
+         max(h)                   AS kth,
+         CAST(count(*) AS BIGINT) AS n_k,
+         CAST(sum(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS shared_mins
+  FROM merged
+  WHERE rk <= {_KMV_K}
+  GROUP BY 1, 2
+),
+vsize AS (SELECT source, CAST(count(*) AS BIGINT) AS v FROM vocab GROUP BY 1),
+inter AS (
+  SELECT t1.source AS src_a, t2.source AS src_b,
+         CAST(count(*) AS BIGINT) AS exact_inter
+  FROM vocab t1 JOIN vocab t2
+    ON t1.s = t2.s AND t1.source < t2.source
+  GROUP BY 1, 2
+)
+SELECT k.src_a, k.src_b,
+       CASE WHEN k.n_k < {_KMV_K} THEN k.n_k
+            ELSE CAST(floor(({_KMV_K} - 1) * {_KMV_M!r}
+                            / CAST(k.kth AS DOUBLE)) AS BIGINT)
+       END                                            AS est_union,
+       k.shared_mins,
+       CAST(floor(CAST(k.shared_mins AS DOUBLE) * 1000000
+                  / CAST(k.n_k AS DOUBLE)) AS BIGINT) AS est_jaccard_e6,
+       va.v + vb.v - i.exact_inter                    AS exact_union,
+       i.exact_inter,
+       CAST(floor(CAST(i.exact_inter AS DOUBLE) * 1000000
+                  / CAST(va.v + vb.v - i.exact_inter AS DOUBLE))
+            AS BIGINT)                                AS exact_jaccard_e6
+FROM kstat k
+JOIN inter i ON i.src_a = k.src_a AND i.src_b = k.src_b
+JOIN vsize va ON va.source = k.src_a
+JOIN vsize vb ON vb.source = k.src_b
+"""
+
+
+@register("q_kmv_overlap", oracle=_KMV_ORACLE)
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_service_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("source", tokens("text").alias("t")).filter(
+        F.size("t") >= 3
+    )
+    # codegen-friendly positional shingling (shingle_rows' pattern,
+    # keyed by source instead of doc_id)
+    vocab = (
+        toked.select(
+            "source",
+            F.explode(F.sequence(F.lit(0), F.size("t") - 3)).alias("i"),
+            "t",
+        )
+        .select(
+            "source",
+            F.concat_ws(
+                " ", F.col("t")[F.col("i")], F.col("t")[F.col("i") + 1],
+                F.col("t")[F.col("i") + 2]
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    st = vocab.select(
+        "source",
+        F.conv(F.substring(F.md5(F.col("s").cast("binary")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    rk = Window.partitionBy("source").orderBy("h")
+    sk = (
+        st.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= _KMV_K)
+        .select("source", "h")
+    )
+    srcs = sk.select("source").distinct()
+    side_a = sk.alias("a").join(
+        F.broadcast(srcs.alias("b")), F.col("a.source") < F.col("b.source")
+    ).select(
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        F.col("a.h").alias("h"),
+    )
+    side_b = srcs.alias("a").join(
+        F.broadcast(sk.alias("b")), F.col("a.source") < F.col("b.source")
+    ).select(
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        F.col("b.h").alias("h"),
+    )
+    merged = (
+        side_a.unionAll(side_b)
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sides"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("src_a", "src_b").orderBy("h")
+            ),
+        )
+        .filter(F.col("rk") <= _KMV_K)
+    )
+    kstat = merged.groupBy("src_a", "src_b").agg(
+        F.max("h").alias("kth"),
+        F.count(F.lit(1)).cast("bigint").alias("n_k"),
+        F.sum(F.when(F.col("n_sides") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("shared_mins"),
+    )
+    vsize = vocab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    inter = (
+        vocab.alias("t1")
+        .join(
+            vocab.alias("t2"),
+            (F.col("t1.s") == F.col("t2.s"))
+            & (F.col("t1.source") < F.col("t2.source")),
+        )
+        .groupBy(
+            F.col("t1.source").alias("src_a"),
+            F.col("t2.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
+    )
+    va = vsize.select(F.col("source").alias("src_a"), F.col("v").alias("va"))
+    vb = vsize.select(F.col("source").alias("src_b"), F.col("v").alias("vb"))
+    out = (
+        kstat.join(inter, ["src_a", "src_b"])
+        .join(F.broadcast(va), "src_a")
+        .join(F.broadcast(vb), "src_b")
+    )
+    return out.select(
+        "src_a",
+        "src_b",
+        F.when(F.col("n_k") < _KMV_K, F.col("n_k"))
+        .otherwise(
+            F.floor(
+                (_KMV_K - 1) * F.lit(_KMV_M) / F.col("kth").cast("double")
+            ).cast("bigint")
+        )
+        .alias("est_union"),
+        "shared_mins",
+        F.floor(
+            F.col("shared_mins").cast("double")
+            * 1000000
+            / F.col("n_k").cast("double")
+        )
+        .cast("bigint")
+        .alias("est_jaccard_e6"),
+        (F.col("va") + F.col("vb") - F.col("exact_inter")).alias(
+            "exact_union"
+        ),
+        "exact_inter",
+        F.floor(
+            F.col("exact_inter").cast("double")
+            * 1000000
+            / (F.col("va") + F.col("vb") - F.col("exact_inter")).cast(
+                "double"
+            )
+        )
+        .cast("bigint")
+        .alias("exact_jaccard_e6"),
     )

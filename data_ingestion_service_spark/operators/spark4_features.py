@@ -408,3 +408,47 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_cust_lat")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_ord_lat")
     return spark.sql(_lateral_sql("v_cust_lat", "v_ord_lat"))
+
+
+# ---------------------------------------------------------------------------
+# q_group_by_all — GROUP BY ALL / ORDER BY ALL (ANSI-adjacent sugar
+# Spark 4 and DuckDB both ship): every non-aggregate select item is a
+# grouping key, every output column an ordering key. Matters for an
+# ingestion engine because generated reporting SQL (dashboards, dbt
+# models) leans on it heavily — the engine must resolve the implicit
+# grouping list identically to the explicit form. The oracle spells
+# the same sugar in DuckDB (where the construct originated), so the
+# key also pins that both engines infer the SAME grouping set.
+# Exactness: money in cents; ORDER BY is irrelevant to the driver's
+# order-insensitive hash but exercises ORDER BY ALL resolution.
+# ---------------------------------------------------------------------------
+
+_GROUP_BY_ALL_ORACLE = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register("q_group_by_all", oracle=_GROUP_BY_ALL_ORACLE)
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "v_orders_gba"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM v_orders_gba
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

@@ -1,0 +1,243 @@
+"""Time-series feature operators: the lag/rolling feature matrix, a
+day-of-week seasonal profile with residual variance, and a per-entity
+rolling exact median.
+
+These are the standard "turn a fact stream into model-ready series
+features" passes (forecasting inputs, seasonality audits, robust
+smoothing) that sit next to the corpus pipeline in a training platform.
+Complements the existing series keys (`q_ewma`, `q_interpolate`,
+`q_resample_ffill`, `q_time_weighted_avg`, `q_regression_trend`) with
+the multi-lag feature-matrix shape, the seasonal decomposition, and a
+windowed ROBUST statistic (exact median, not mean).
+
+Exactness discipline (SURVEY.md §5): money accumulates in cents
+(BIGINT), ratios are e6 fixed-point integer divisions, day-of-week is
+pure epoch-day modular arithmetic (never engine-local DOW builtins,
+whose week origin differs between Spark and DuckDB), and the one
+variance uses a single fixed-parenthesization double expression over
+exact integer sufficient statistics — identical inputs, identical IEEE
+ops, identical result.
+
+Scale shapes (100 TB): q_lag_features windows over a CALENDAR-bounded
+daily rollup (the unpartitioned window is over ~2.4k rows regardless of
+corpus size — days don't grow with data); q_seasonal_dow is one scan
+reduced to a 35-cell sufficient-statistics table; q_rolling_median is
+one user-partitioned window with a constant 5-row frame (state is O(1)
+per row, partitions are per-user — millions of independent partitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_service_spark.catalog import load_table
+from data_ingestion_service_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# q_lag_features — the forecasting feature matrix: daily revenue with
+# lag-1, lag-7, trailing-7-day sum, and week-over-week ratio (e6) in ONE
+# window pass over the daily rollup. This is the table a demand model
+# trains on; building it wrong (e.g. lag over a non-dense or non-
+# deterministically ordered series) is the classic silent feature bug.
+#
+# Scale: the orders scan reduces to a per-day rollup first (calendar-
+# bounded: ~2.4k rows for the 1995–2001 fixture AT ANY CORPUS SIZE), so
+# the single unpartitioned window — normally a red flag — is over a
+# table whose size is fixed by the calendar, not the data. The rollup
+# itself is one day-keyed shuffle with map-side partial aggregation.
+#
+# Exactness: revenue in cents; wow_e6 = cents*1e6 // lag7_cents (both
+# engines' integer division truncates toward zero; values are
+# positive). Lags at the series head stay NULL on both sides.
+# ---------------------------------------------------------------------------
+
+_LAG_FEATURES_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate::DATE AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders
+  GROUP BY 1
+),
+feat AS (
+  SELECT d, revenue_cents,
+         lag(revenue_cents, 1) OVER (ORDER BY d) AS lag1_cents,
+         lag(revenue_cents, 7) OVER (ORDER BY d) AS lag7_cents,
+         CAST(sum(revenue_cents) OVER (
+           ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS roll7_cents
+  FROM daily
+)
+SELECT d::TIMESTAMP AS day, revenue_cents, lag1_cents, lag7_cents,
+       roll7_cents,
+       CASE WHEN lag7_cents IS NULL THEN NULL
+            ELSE revenue_cents * 1000000 // lag7_cents END AS wow_e6
+FROM feat
+"""
+
+
+@register("q_lag_features", oracle=_LAG_FEATURES_ORACLE)
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents")
+    )
+    # Calendar-bounded single window (see module docstring).
+    w = Window.orderBy("d")
+    feat = daily.select(
+        "d",
+        "revenue_cents",
+        F.lag("revenue_cents", 1).over(w).alias("lag1_cents"),
+        F.lag("revenue_cents", 7).over(w).alias("lag7_cents"),
+        F.sum("revenue_cents")
+        .over(w.rowsBetween(-6, 0))
+        .cast("bigint")
+        .alias("roll7_cents"),
+    )
+    return feat.select(
+        F.col("d").cast("timestamp_ntz").alias("day"),
+        "revenue_cents",
+        "lag1_cents",
+        "lag7_cents",
+        "roll7_cents",
+        F.when(
+            F.col("lag7_cents").isNotNull(),
+            F.expr("revenue_cents * 1000000 div lag7_cents"),
+        ).alias("wow_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_seasonal_dow — day-of-week seasonal profile per event type: mean
+# event value and residual variance for each (event_type, dow) cell.
+# The seasonality audit a metrics pipeline runs before fitting any
+# forecaster — if the dow means are flat and the variance is uniform,
+# there is no weekly signal to model.
+#
+# Day-of-week is (epoch_days + 3) % 7 so 0=Monday … 6=Sunday, computed
+# from exact epoch-day integers in BOTH engines — Spark's dayofweek()
+# (1=Sunday) and DuckDB's dow (0=Sunday) / isodow (1=Monday) builtins
+# disagree on the week origin, so neither is used.
+#
+# Exactness: ONE scan accumulates exact sufficient statistics per cell
+# (n, Σcents, Σcents²; Σcents² ≤ ~6e16 at sf1 — BIGINT-safe), then mean
+# = integer division and variance = one fixed-parenthesization double
+# expression over those exact integers, floored to an integer cents²
+# value. Identical scalar inputs → identical IEEE result on both
+# engines.
+#
+# Scale: map-side partial aggregation into ≤35 cells; nothing else.
+# ---------------------------------------------------------------------------
+
+_SEASONAL_DOW_ORACLE = """
+WITH e AS (
+  SELECT event_type,
+         (date_diff('day', DATE '1970-01-01', ts::DATE) + 3) % 7 AS dow,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+cell AS (
+  SELECT event_type, dow,
+         CAST(count(*) AS BIGINT)      AS n_events,
+         CAST(sum(cents) AS BIGINT)    AS s,
+         CAST(sum(cents * cents) AS BIGINT) AS sq
+  FROM e
+  GROUP BY 1, 2
+)
+SELECT event_type, dow, n_events,
+       s // n_events AS mean_cents,
+       CAST(floor(
+         (CAST(sq AS DOUBLE)
+          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_events AS DOUBLE))
+         / CAST(n_events AS DOUBLE)
+       ) AS BIGINT) AS var_cents2
+FROM cell
+"""
+
+
+@register("q_seasonal_dow", oracle=_SEASONAL_DOW_ORACLE)
+def q_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    e = ev.select(
+        "event_type",
+        (
+            (F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) + 3)
+            % 7
+        ).alias("dow"),
+        cents.alias("cents"),
+    )
+    cell = e.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("sq"),
+    )
+    return cell.select(
+        "event_type",
+        "dow",
+        "n_events",
+        F.expr("s div n_events").alias("mean_cents"),
+        F.floor(
+            (
+                F.col("sq").cast("double")
+                - F.col("s").cast("double")
+                * F.col("s").cast("double")
+                / F.col("n_events").cast("double")
+            )
+            / F.col("n_events").cast("double")
+        )
+        .cast("bigint")
+        .alias("var_cents2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_rolling_median — per-user rolling EXACT median of event value over
+# the last 5 events (ROWS frame, ordered by ts with event_id as the
+# total-order tie-break). The robust-smoothing counterpart of q_ewma:
+# medians shrug off the single spiked reading that drags a mean, which
+# is why monitoring pipelines prefer them for alert baselines.
+#
+# Exactness: the median is DISCRETE — the lower-middle element of the
+# sorted 5-row frame (element (n+1)//2), never an interpolated average
+# — so it is an exact integer cents value on both engines. DuckDB's
+# quantile_disc(0.5) over the same frame picks the identical element
+# (probed: frame [10,20,30,40] → 20 = element (4+1)//2).
+#
+# Scale: one user-partitioned window, constant 5-row frame → O(1) state
+# per row; partition count = user count (millions at 100 TB — fully
+# parallel). The collect_list is frame-bounded (≤5 elements), never
+# data-proportional.
+# ---------------------------------------------------------------------------
+
+_ROLLING_MEDIAN_ORACLE = """
+SELECT event_id, user_id,
+       quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+       ) AS med_cents
+FROM events
+"""
+
+
+@register("q_rolling_median", oracle=_ROLLING_MEDIAN_ORACLE)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    arr = F.array_sort(
+        F.collect_list(F.round(F.col("value") * 100).cast("bigint")).over(w)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.element_at(arr, ((F.size(arr) + 1) / 2).cast("int")).alias(
+            "med_cents"
+        ),
+    )

@@ -573,3 +573,66 @@ def q_coldstart_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div greatest(sum(n_valid), 1L) as bigint)"
         ).alias("cold_event_share_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_pit_features — point-in-time feature assembly over the fact table
+# itself: for every order (the label row), features computed ONLY from
+# the same customer's STRICTLY EARLIER orders — prior order count,
+# prior lifetime value in cents, and days since the previous order.
+# This is the feature-store "as-of the label timestamp" join done
+# window-style: because the frame ends at 1 PRECEDING, a feature can
+# never read the label row or anything after it — the non-leakage
+# property is structural, not a convention.
+#
+# Exactness: money in cents; day gaps are exact date differences; the
+# first order per customer has NULL days_since_prev and zero priors on
+# both engines. Ties on o_orderdate are total-ordered by o_orderkey.
+#
+# Scale: ONE custkey-keyed shuffle; all three features come from the
+# same window partitioning (no second pass, no self-join). At 100 TB
+# this is the canonical "training examples from a fact stream" shape —
+# per-entity partitions, O(1) running state per row.
+# ---------------------------------------------------------------------------
+
+_PIT_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_orderdate::DATE AS d,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey, o_custkey,
+       CAST(count(*) OVER prior AS BIGINT)               AS n_prior_orders,
+       CAST(coalesce(sum(cents) OVER prior, 0) AS BIGINT) AS prior_ltv_cents,
+       date_diff('day', lag(d, 1) OVER w, d)              AS days_since_prev,
+       cents                                              AS label_cents
+FROM o
+WINDOW
+  w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey),
+  prior AS (PARTITION BY o_custkey ORDER BY d, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+
+@register("q_pit_features", oracle=_PIT_ORACLE)
+def q_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(prior).cast("bigint").alias("n_prior_orders"),
+        F.coalesce(F.sum("cents").over(prior), F.lit(0))
+        .cast("bigint")
+        .alias("prior_ltv_cents"),
+        F.datediff(F.col("d"), F.lag("d", 1).over(w)).alias(
+            "days_since_prev"
+        ),
+        F.col("cents").alias("label_cents"),
+    )

