@@ -4870,3 +4870,371 @@ def q_log_odds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("source", "term", F.col("y").alias("n_uses"), "z_e6")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_threshold_sweep — the near-dedup THRESHOLD TUNING table: for
+# nine Jaccard thresholds (0.1 … 0.9), how many candidate pairs and how
+# many distinct documents the near-dup stage would touch. Production
+# dedup thresholds are picked from exactly this sweep (too low → mass
+# false-merging, too high → misses mutations); shipping it as data
+# turns the 0.25 constant in q_near_dedup from folklore into a read-off
+# of a measured curve.
+#
+# Exactness: the threshold test is PURE INTEGER — a pair passes t iff
+# n_common * 10000 >= t_e4 * (sz_a + sz_b - n_common) — so no float
+# jaccard is ever compared; counts are exact BIGINTs.
+#
+# Scale: pairs come from the same capped posting-list expansion as
+# q_near_dedup (the _HOT_SHINGLE_CAP guard bounds the k² blow-up), the
+# 9-row threshold dimension is broadcast, and the doc-touch count
+# reduces (threshold, doc) pairs — 18× the pair table at most, never
+# corpus-shaped. The shingle base comes from the session-persisted
+# doc_shingles store (shared with the whole dedup family).
+# ---------------------------------------------------------------------------
+
+_SWEEP_THRESHOLDS_E4 = list(range(1000, 10000, 1000))
+
+_SWEEP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM toks
+    WHERE len(t) >= 3
+  )
+),
+sizes AS MATERIALIZED (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+),
+pairs AS MATERIALIZED (
+  SELECT p.doc_a, p.doc_b, p.n_common, sa.sz AS sz_a, sb.sz AS sz_b
+  FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+),
+th AS (SELECT unnest({_SWEEP_THRESHOLDS_E4}) AS t_e4),
+hits AS MATERIALIZED (
+  SELECT th.t_e4, p.doc_a, p.doc_b
+  FROM pairs p CROSS JOIN th
+  WHERE p.n_common * 10000 >= th.t_e4 * (p.sz_a + p.sz_b - p.n_common)
+)
+SELECT h.t_e4,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       (SELECT CAST(count(DISTINCT d) AS BIGINT)
+        FROM (SELECT doc_a AS d FROM hits h2 WHERE h2.t_e4 = h.t_e4
+              UNION ALL
+              SELECT doc_b AS d FROM hits h2 WHERE h2.t_e4 = h.t_e4))
+         AS n_docs_touched
+FROM hits h
+GROUP BY 1
+"""
+
+
+@register("q_dedup_threshold_sweep", oracle=_SWEEP_ORACLE)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_service_spark.operators.llm import scored_pairs
+
+    scored = scored_pairs(spark, sf_dir)
+    th = F.explode(
+        F.array(*[F.lit(t) for t in _SWEEP_THRESHOLDS_E4])
+    ).alias("t_e4")
+    hits = (
+        scored.select("doc_a", "doc_b", "n_common", "sz_a", "sz_b", th)
+        .filter(
+            F.col("n_common") * 10000
+            >= F.col("t_e4")
+            * (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+        )
+        .select("t_e4", "doc_a", "doc_b")
+    )
+    n_pairs = hits.groupBy("t_e4").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    n_docs = (
+        hits.select(
+            "t_e4", F.explode(F.array("doc_a", "doc_b")).alias("d")
+        )
+        .groupBy("t_e4")
+        .agg(F.countDistinct("d").cast("bigint").alias("n_docs_touched"))
+    )
+    return n_pairs.join(n_docs, "t_e4")
+
+
+# ---------------------------------------------------------------------------
+# q_random_projection — Johnson–Lindenstrauss sign projection with its
+# distortion MEASURED (the q_lsh_recall / q_kmv_overlap discipline):
+# project the 64-dim embeddings onto 8 dims with a deterministic ±1
+# matrix (sign = md5(j|i) parity — a pure function, identical literal
+# construction in both engines), then audit, for the 190 probe pairs
+# (vec_id < 20), the projected squared distance against the original:
+# for a ±1 matrix E[(y_a−y_b)_j²] = ‖x_a−x_b‖², so proj_d2 / (k·orig_d2)
+# concentrates around 1 — the ratio IS the JL guarantee, shipped as
+# data. This is the dim-reduction step a 100 TB ANN pipeline runs
+# before indexing when 64 f32 dims are still too fat to shuffle.
+#
+# Exactness: vectors quantize to e6 BIGINTs (floor(x·1e6 + 0.5) half-up
+# — no round() dialect hazard); projections are exact integer sums of
+# signed e6 values; squared distances are exact BIGINTs (≤ ~1.3e17,
+# BIGINT-safe); the single ratio is one fixed-parenthesization double
+# over two exact integers, floored to e6, with greatest(orig,1)
+# guarding identical vectors.
+#
+# Scale: the projection is MAP-ONLY per vector (explode dims × 8 output
+# dims → one vec_id-keyed partial-agg reduce; at 100 TB the sign matrix
+# would be a 512-row broadcast instead of an inline md5 per row, same
+# result); the audit joins only the probe slice (vec_id < 20 — pushed
+# to the scan). Nothing all-pairs: probe pairs are dimension-bounded.
+# ---------------------------------------------------------------------------
+
+_RP_K = 8  # output dims
+_RP_PROBES = 20
+
+# sign(j, i) = +1 when the first md5 nibble of "j|i" is even
+_RP_SIGN_SQL = (
+    "(CASE WHEN ('0x' || substr(md5(CAST({j} AS VARCHAR) || '|' ||"
+    " CAST({i} AS VARCHAR)), 1, 1))::BIGINT % 2 = 0 THEN 1 ELSE -1 END)"
+)
+
+_RP_ORACLE = f"""
+WITH probes AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS xe
+  FROM embeddings
+  WHERE vec_id < {_RP_PROBES}
+),
+flat AS (
+  SELECT vec_id, i, xe[i] AS x
+  FROM probes, unnest(range(1, {64 + 1})) AS t(i)
+),
+proj AS (
+  SELECT f.vec_id, j.j,
+         CAST(sum({_RP_SIGN_SQL.format(j="j.j", i="f.i")} * f.x) AS BIGINT)
+           AS y
+  FROM flat f CROSS JOIN (SELECT unnest(range(0, {_RP_K})) AS j) j
+  GROUP BY 1, 2
+),
+pd AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         CAST(sum((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS proj_d2
+  FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+od AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         CAST(list_sum(list_transform(range(1, {64 + 1}),
+              i -> (a.xe[i] - b.xe[i]) * (a.xe[i] - b.xe[i]))) AS BIGINT)
+           AS orig_d2
+  FROM probes a JOIN probes b ON a.vec_id < b.vec_id
+)
+SELECT od.a_id, od.b_id, od.orig_d2, pd.proj_d2,
+       CAST(floor(CAST(pd.proj_d2 AS DOUBLE) * 1000000.0
+                  / ({_RP_K}.0 * CAST(greatest(od.orig_d2, 1) AS DOUBLE)))
+            AS BIGINT) AS ratio_e6
+FROM od JOIN pd ON pd.a_id = od.a_id AND pd.b_id = od.b_id
+"""
+
+
+@register("q_random_projection", oracle=_RP_ORACLE)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _RP_PROBES
+    )
+    xe = F.transform(
+        as_double("embedding"),
+        lambda x: F.floor(x * 1000000 + F.lit(0.5)).cast("long"),
+    )
+    probes = emb.select("vec_id", xe.alias("xe"))
+    flat = probes.select(
+        "vec_id",
+        F.posexplode("xe").alias("i0", "x"),
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "x")
+    fanned = flat.select(
+        "vec_id",
+        "i",
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(_RP_K - 1))).alias("j"),
+    )
+    # Same value as _RP_SIGN_SQL, spelled in Spark's dialect: +1 when
+    # the first md5 nibble of "j|i" is even.
+    sign = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("j").cast("string"), F.col("i").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0,
+        1,
+    ).otherwise(-1)
+    proj = (
+        fanned.select("vec_id", "j", (sign * F.col("x")).alias("sx"))
+        .groupBy("vec_id", "j")
+        .agg(F.sum("sx").cast("bigint").alias("y"))
+    )
+    pa = proj.select(
+        F.col("vec_id").alias("a_id"), "j", F.col("y").alias("ya")
+    )
+    pb = proj.select(
+        F.col("vec_id").alias("b_id"), "j", F.col("y").alias("yb")
+    )
+    pd_ = (
+        pa.join(pb, "j")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.sum((F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+            .cast("bigint")
+            .alias("proj_d2")
+        )
+    )
+    oa = probes.select(F.col("vec_id").alias("a_id"), F.col("xe").alias("xa"))
+    ob = probes.select(F.col("vec_id").alias("b_id"), F.col("xe").alias("xb"))
+    od = (
+        oa.join(ob, F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.aggregate(
+                F.zip_with(
+                    "xa", "xb", lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("orig_d2"),
+        )
+    )
+    return od.join(pd_, ["a_id", "b_id"]).select(
+        "a_id",
+        "b_id",
+        "orig_d2",
+        "proj_d2",
+        F.floor(
+            F.col("proj_d2").cast("double")
+            * 1000000.0
+            / (
+                float(_RP_K)
+                * F.greatest(F.col("orig_d2"), F.lit(1)).cast("double")
+            )
+        )
+        .cast("bigint")
+        .alias("ratio_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_quality_prune_curve — the quality-cut PLANNING table: rank documents
+# by an integer quality score (mean token length in e4 — long tokens ≈
+# real words, the cheapest of the Gopher-style signals and exactly
+# integer), cut into score deciles (1 = best), and report per-decile
+# and cumulative docs/tokens retained if the corpus were pruned at that
+# level. q_canary_diff answers "what changes if I apply THIS filter";
+# this key answers the prior question — "where should the cut be to
+# keep X% of tokens" — the curve a data-mix owner reads before fixing
+# any threshold.
+#
+# Exactness: the score is an exact integer division (n_chars·1e4 //
+# n_tokens); decile assignment is ntile(10) ordered (score DESC,
+# doc_id) — total order, engine-identical; counts/cumulative sums are
+# exact BIGINTs; the one share is an e6 integer division.
+#
+# Scale: one scan → doc-dimension rollup; the ntile window is over docs
+# (q_rfm_segments' documented approx-boundary swap applies at 100 TB);
+# the cumulative window runs over 10 rows.
+# ---------------------------------------------------------------------------
+
+_PRUNE_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         n_chars * 10000 // len(string_split(text, ' ')) AS score_e4
+  FROM documents
+),
+scored AS (
+  SELECT n_tokens,
+         ntile(10) OVER (ORDER BY score_e4 DESC, doc_id) AS decile
+  FROM d
+),
+per_decile AS (
+  SELECT decile,
+         CAST(count(*) AS BIGINT)      AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+  FROM scored
+  GROUP BY 1
+)
+SELECT decile, n_docs, n_tokens,
+       CAST(sum(n_docs) OVER w AS BIGINT)   AS cum_docs,
+       CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+       CAST(sum(n_tokens) OVER w AS BIGINT) * 1000000
+         // CAST(sum(n_tokens) OVER all_w AS BIGINT) AS cum_token_share_e6
+FROM per_decile
+WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       all_w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND UNBOUNDED FOLLOWING)
+"""
+
+
+@register("q_quality_prune_curve", oracle=_PRUNE_ORACLE)
+def q_quality_prune_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    d = docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.expr(
+            "n_chars * 10000 div size(split(text, ' '))"
+        ).alias("score_e4"),
+    )
+    scored = d.select(
+        "n_tokens",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("score_e4"), F.asc("doc_id")))
+        .alias("decile"),
+    )
+    per_decile = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    all_w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per_decile.select(
+        "decile",
+        "n_docs",
+        "n_tokens",
+        F.sum("n_docs").over(w).cast("bigint").alias("cum_docs"),
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+        (F.sum("n_tokens").over(w).cast("bigint") * 1000000).alias("_num"),
+        F.sum("n_tokens").over(all_w).cast("bigint").alias("_den"),
+    ).select(
+        # integer div, matching the oracle's `//` (float division here
+        # could flip the floor on exact-boundary shares)
+        "decile",
+        "n_docs",
+        "n_tokens",
+        "cum_docs",
+        "cum_tokens",
+        F.expr("_num div _den").alias("cum_token_share_e6"),
+    )

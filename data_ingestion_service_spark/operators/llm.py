@@ -143,15 +143,38 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     used to be deliberately unpersisted because materializing it blocked
     the pipelined explode in ONE task; with the repartition in
     doc_shingles the build is cluster-wide and sharing it across the
-    four consumers wins — re-measured this round.)"""
+    four consumers wins — re-measured this round.) Since the round-6
+    threshold-sweep key it derives from the UNFILTERED scored_pairs
+    store below (a strict superset: same construction minus the
+    threshold filter), so the two share one pair-expansion job."""
+    jac = F.col("n_common") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    )
     return session_persisted(
         spark,
         ("near_dup_pairs", sf_dir),
-        lambda: _near_dup_pairs_fresh(spark, sf_dir),
+        lambda: scored_pairs(spark, sf_dir)
+        .filter(jac >= _NEAR_DEDUP_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")),
     )
 
 
-def _near_dup_pairs_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL candidate pairs (n_common >= 1 under the hot-shingle cap)
+    with their shingle-overlap sufficient statistics (n_common, sz_a,
+    sz_b) — the threshold-free base both near_dup_pairs (>= 0.25) and
+    q_dedup_threshold_sweep (0.1 … 0.9) cut from. Session-persisted: at
+    sf0.01 this is ~11.5k tiny rows; the posting-list expansion that
+    produces it is the expensive part and now runs once per (session,
+    sf) for the whole family."""
+    return session_persisted(
+        spark,
+        ("scored_pairs", sf_dir),
+        lambda: _scored_pairs_fresh(spark, sf_dir),
+    )
+
+
+def _scored_pairs_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = doc_shingles(spark, sf_dir)
     # countDistinct, not count: sh carries raw rows (see doc_shingles).
     sizes = sh.groupBy("doc_id").agg(F.countDistinct("shingle").alias("sz"))
@@ -190,12 +213,16 @@ def _near_dup_pairs_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
     return (
         pairs.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
-        .filter(jac >= _NEAR_DEDUP_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.col("sz_a").cast("bigint").alias("sz_a"),
+            F.col("sz_b").cast("bigint").alias("sz_b"),
+        )
     )
 
 

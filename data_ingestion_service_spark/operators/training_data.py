@@ -636,3 +636,168 @@ def q_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("cents").alias("label_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_gains_table — the cumulative-gains / lift table for a risk score:
+# rank users by the interpretable score "seconds since last pre-cutoff
+# activity" (long-silent users disengage), cut into risk deciles, and
+# report per-decile positive rate, cumulative share of all positives
+# captured (gains), and lift vs the base rate. This is THE table a
+# retention campaign reads ("contacting the top 2 deciles reaches X% of
+# at-risk users at Y× random") and the standard model-quality audit
+# beside AUC (q_auc_score gives one number; gains give the operating
+# curve).
+#
+# Label: "below-median post-cutoff activity" — the fixture is too dense
+# for literal churn (q_churn_labels measures it: zero churners at every
+# sf, all 150 users stay active), so the positive class is the lower
+# half of post-cutoff engagement, split at the DISCRETE median
+# (lower-middle element, = DuckDB quantile_disc(0.5)); ~half the users
+# are positive by construction at any scale, so the gains curve always
+# has support. Features (gap) read strictly BEFORE the cutoff, the
+# label strictly AFTER — q_churn_labels' leakage discipline.
+#
+# Exactness: decile assignment is ntile(10) with user_id tie-break;
+# the median is picked by integer rank over the user table (1-row
+# broadcast), never interpolated; counts are exact BIGINTs; rates/
+# gains/lift are e6 integer divisions with a greatest(...,1) guard on
+# degenerate label distributions, identical in both engines.
+#
+# Scale: one event scan → user-dimension rollup; the median rank
+# window and ntile run over users (at 100 TB swap exact ntile for
+# approx-percentile boundaries, as q_rfm_segments documents); the
+# gains window runs over 10 rows.
+# ---------------------------------------------------------------------------
+
+_GAINS_ORACLE = f"""
+WITH cutoff AS (
+  SELECT CAST(max(floor(epoch(ts))) AS BIGINT) - {_CHURN_HORIZON_S} AS cut_s
+  FROM events
+),
+per_user AS MATERIALIZED (
+  SELECT user_id,
+         CAST(sum(CASE WHEN t_s < cut_s THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_before,
+         CAST(max(cut_s) - max(CASE WHEN t_s < cut_s THEN t_s END) AS BIGINT)
+           AS last_gap_s,
+         CAST(sum(CASE WHEN t_s >= cut_s THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_after
+  FROM (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t_s FROM events)
+  CROSS JOIN cutoff
+  GROUP BY user_id
+  HAVING sum(CASE WHEN t_s < cut_s THEN 1 ELSE 0 END) > 0
+),
+med AS (SELECT quantile_disc(n_after, 0.5) AS m FROM per_user),
+scored AS (
+  SELECT CASE WHEN p.n_after < med.m THEN 1 ELSE 0 END AS pos,
+         ntile(10) OVER (ORDER BY p.last_gap_s DESC, p.user_id) AS decile
+  FROM per_user p CROSS JOIN med
+),
+per_decile AS (
+  SELECT decile,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(pos) AS BIGINT) AS n_pos
+  FROM scored
+  GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS all_users,
+               CAST(greatest(sum(n_pos), 1) AS BIGINT) AS all_pos
+        FROM per_decile)
+SELECT d.decile, d.n_users, d.n_pos,
+       d.n_pos * 1000000 // d.n_users AS pos_rate_e6,
+       CAST(sum(d.n_pos) OVER (ORDER BY d.decile) AS BIGINT) * 1000000
+         // t.all_pos AS cum_gain_e6,
+       (d.n_pos * t.all_users) * 1000000
+         // (d.n_users * t.all_pos) AS lift_e6
+FROM per_decile d CROSS JOIN tot t
+"""
+
+
+@register("q_gains_table", oracle=_GAINS_ORACLE)
+def q_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").cast("bigint").alias("t_s")
+    )
+    cutoff = ev.agg((F.max("t_s") - F.lit(_CHURN_HORIZON_S)).alias("cut_s"))
+    before = F.col("t_s") < F.col("cut_s")
+    per_user = (
+        ev.join(F.broadcast(cutoff))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(before, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_before"),
+            F.expr(
+                "cast(first(cut_s)"
+                " - max(case when t_s < cut_s then t_s end) as bigint)"
+            ).alias("last_gap_s"),
+            F.sum(F.when(~before, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_after"),
+        )
+        .filter(F.col("n_before") > 0)
+    )
+    # Median, label, and decile all as WINDOWS over the one per_user
+    # lineage — a second DataFrame reference would re-expand the whole
+    # event-scan tree per use (the first cut of this key scanned events
+    # 24×; this shape scans it twice — cutoff agg + rollup — like
+    # q_churn_labels). The unpartitioned windows run over the USER
+    # dimension (q_rfm_segments documents the approx-boundary swap for
+    # 100 TB).
+    w_rank = Window.orderBy("n_after", "user_id")
+    w_all = Window.orderBy("n_after", "user_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    with_med = (
+        per_user.withColumn("rk", F.row_number().over(w_rank))
+        .withColumn("n_u", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "m",
+            F.max(
+                F.when(
+                    F.col("rk") == F.expr("(n_u + 1) div 2"), F.col("n_after")
+                )
+            ).over(w_all),
+        )
+    )
+    scored = with_med.select(
+        F.when(F.col("n_after") < F.col("m"), 1).otherwise(0).alias("pos"),
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("last_gap_s"), F.asc("user_id")))
+        .alias("decile"),
+    )
+    per_decile = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    # Totals and the cumulative sum as windows over the 10-row decile
+    # table (same single-lineage rule).
+    d_all = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    d_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per_decile.withColumn(
+            "all_users", F.sum("n_users").over(d_all).cast("bigint")
+        )
+        .withColumn(
+            "all_pos",
+            F.greatest(F.sum("n_pos").over(d_all), F.lit(1)).cast("bigint"),
+        )
+        .withColumn("cum_pos", F.sum("n_pos").over(d_cum).cast("bigint"))
+        .select(
+            "decile",
+            "n_users",
+            "n_pos",
+            F.expr("n_pos * 1000000 div n_users").alias("pos_rate_e6"),
+            F.expr("cum_pos * 1000000 div all_pos").alias("cum_gain_e6"),
+            F.expr(
+                "(n_pos * all_users) * 1000000 div (n_users * all_pos)"
+            ).alias("lift_e6"),
+        )
+    )

@@ -1405,3 +1405,64 @@ def test_log_odds_top_terms_are_overused(run):
         per_source.setdefault(r.source, 0)
         per_source[r.source] += 1
     assert all(v == 10 for v in per_source.values())
+
+
+def test_threshold_sweep_monotone(run):
+    """Raising the threshold can only shrink the pair set and the
+    touched-doc set — the defining monotonicity of the sweep."""
+    rows = sorted(run("q_dedup_threshold_sweep"), key=lambda r: r.t_e4)
+    assert rows
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi.n_pairs <= lo.n_pairs
+        assert hi.n_docs_touched <= lo.n_docs_touched
+    for r in rows:
+        assert r.n_docs_touched <= 2 * r.n_pairs
+
+
+def test_sweep_agrees_with_near_dedup_at_its_threshold(spark, sf_dir, run):
+    """At t=0.25's neighbors the sweep brackets q_near_dedup's pair
+    count; at exactly 3000/10000 <= 0.25 <= 2000? No — 0.25 sits between
+    2000 and 3000 e4: sweep(3000) <= |near_dedup| <= sweep(2000)."""
+    rows = {r.t_e4: r.n_pairs for r in run("q_dedup_threshold_sweep")}
+    n_nd = QUERIES["q_near_dedup"](spark, sf_dir).count()
+    assert rows[3000] <= n_nd <= rows[2000]
+
+
+def test_gains_table_accounting(run):
+    """Deciles partition the users; cumulative gain ends at 1e6; lift
+    averages to ~1 by construction; positive rate in [0, 1e6]."""
+    rows = sorted(run("q_gains_table"), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert rows[-1].cum_gain_e6 == 1000000
+    cum = 0
+    for r in rows:
+        assert 0 <= r.pos_rate_e6 <= 1000000
+        assert r.cum_gain_e6 >= cum
+        cum = r.cum_gain_e6
+
+
+def test_random_projection_jl_concentration(run):
+    """The distortion ratio concentrates near 1: for k=8 the JL bound is
+    loose, but every measured ratio must stay within [0.05, 5] and the
+    MEAN within [0.7, 1.4] (E[ratio] = 1 exactly for a ±1 matrix)."""
+    rows = run("q_random_projection")
+    assert len(rows) == 190
+    ratios = [r.ratio_e6 / 1e6 for r in rows]
+    for x in ratios:
+        assert 0.05 <= x <= 5.0
+    mean = sum(ratios) / len(ratios)
+    assert 0.7 <= mean <= 1.4, mean
+
+
+def test_quality_prune_curve_accounting(spark, sf_dir, run):
+    """Deciles partition the corpus: cum_docs ends at the doc count,
+    cum_token_share ends at exactly 1e6, and both cumulatives are
+    non-decreasing in decile order."""
+    rows = sorted(run("q_quality_prune_curve"), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert rows[-1].cum_docs == n_docs
+    assert rows[-1].cum_token_share_e6 == 1000000
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi.cum_docs > lo.cum_docs
+        assert hi.cum_tokens > lo.cum_tokens

@@ -1252,3 +1252,33 @@ def test_log_odds_global_table_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
     specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
     assert specs and all("source" in s for s in specs)
+
+
+def test_threshold_sweep_integer_predicate_probes_pair_store(spark, sf_dir):
+    """The sweep never re-expands posting lists per threshold: the 9-row
+    threshold dimension explodes OVER the scored-pair table, and the
+    threshold test is pure integer (no float jaccard in the plan)."""
+    plan = formatted_plan(QUERIES["q_dedup_threshold_sweep"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # integer predicate, not a float division
+    assert "10000" in plan
+
+
+def test_gains_table_windows_are_user_or_decile_sized(spark, sf_dir):
+    """ntile/median windows run over the USER rollup (one event scan
+    feeds it); the cumulative window runs over 10 decile rows."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_gains_table"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans <= 3  # per_user lineage reused; never one scan per stage
+    assert "CartesianProduct" not in plan
+
+
+def test_random_projection_probe_filter_pushed(spark, sf_dir):
+    """The probe slice (vec_id < 20) reaches the parquet scan, so only
+    probe vectors are projected in this audit plan."""
+    plan = formatted_plan(QUERIES["q_random_projection"](spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("vec_id" in l for l in pushed), pushed
+    assert "CartesianProduct" not in plan
