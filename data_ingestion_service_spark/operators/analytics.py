@@ -547,3 +547,64 @@ def q_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_cohort_ltv — the cohort lifetime-value matrix: customers grouped by
+# first-order month (the cohort), revenue accumulated by months-since-
+# first-order (the age), reported as (cohort_month, age_months) cells
+# with active-customer counts and exact cents. THE subscription/
+# retention economics table — q_retention counts returning users; this
+# prices them.
+#
+# Exactness: cohort and age are pure integer month arithmetic
+# (year*12 + month — never engine-local months_between, whose
+# fractional semantics differ); money in cents.
+#
+# Scale: one custkey rollup for cohorts (map-side combinable min), one
+# fact-keyed broadcast-or-shuffle join back, one (cohort, age) rollup —
+# cells are calendar²-bounded (~3.2k for 80 months) regardless of
+# corpus size.
+# ---------------------------------------------------------------------------
+
+_COHORT_LTV_ORACLE = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+cohort AS (
+  SELECT o_custkey, min(m) AS m0 FROM o GROUP BY 1
+)
+SELECT c.m0 AS cohort_month,
+       o.m - c.m0 AS age_months,
+       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+       CAST(sum(o.cents) AS BIGINT) AS revenue_cents
+FROM o JOIN cohort c ON c.o_custkey = o.o_custkey
+GROUP BY 1, 2
+"""
+
+
+@register("q_cohort_ltv", oracle=_COHORT_LTV_ORACLE)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cohort = o.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    return (
+        o.join(cohort, "o_custkey")
+        .groupBy(
+            F.col("m0").alias("cohort_month"),
+            (F.col("m") - F.col("m0")).alias("age_months"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("n_active"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )

@@ -5238,3 +5238,87 @@ def q_quality_prune_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_tokens",
         F.expr("_num div _den").alias("cum_token_share_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dp_counts — differentially-private release machinery for per-source
+# document counts: Laplace(b = 1/ε, ε = 1) noise via the inverse CDF
+# over a DETERMINISTIC md5 uniform (the repo's sampling discipline:
+# noise is a pure function of the release key, so the release is
+# reproducible and oracle-checkable — a production deployment swaps the
+# md5 uniform for a calibrated DRBG and DROPS the exact column; both
+# are kept here because the key's purpose is to verify the MECHANISM:
+# inverse-CDF transform, ±noise symmetry, count+noise composition).
+# Completes the privacy family: k-anonymity / l-diversity gate
+# (equivalence classes), pseudonymization (keyed hashing), GDPR erasure
+# (tombstones) — and now noised aggregate release.
+#
+# Exactness: the uniform is (h + 0.5) / 2^52 with h a 13-hex md5
+# BIGINT — h < 2^52 so the double is EXACT, and u ∈ (0,1) strictly
+# (no ln(0)); the Laplace transform is the identical expression string
+# (_DP_NOISE_EXPR) evaluated by both engines over that exact double;
+# the released value floors count + noise once.
+#
+# Scale: one map-side-combinable count rollup to |sources| rows; the
+# noise is a per-row expression. Sensitivity 1 (a document contributes
+# to exactly one source count).
+# ---------------------------------------------------------------------------
+
+# Shared Laplace inverse-CDF fragment (b = 1.0): evaluated verbatim by
+# both engines over the exact double column u.
+_DP_NOISE_EXPR = (
+    "(CASE WHEN u < 0.5 THEN ln(2.0 * u) ELSE -ln(2.0 - 2.0 * u) END)"
+)
+_DP_2_52 = float(1 << 52)
+
+_DP_ORACLE = f"""
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS exact_count
+  FROM documents
+  GROUP BY 1
+),
+n AS (
+  SELECT source, exact_count,
+         (CAST(('0x' || substr(md5('dp|' || source), 1, 13))::BIGINT
+               AS DOUBLE) + 0.5) / {_DP_2_52!r} AS u
+  FROM c
+)
+SELECT source, exact_count,
+       CAST(floor({_DP_NOISE_EXPR} * 1000000) AS BIGINT) AS noise_e6,
+       CAST(floor(CAST(exact_count AS DOUBLE) + {_DP_NOISE_EXPR}) AS BIGINT)
+         AS released_count
+FROM n
+"""
+
+
+@register("q_dp_counts", oracle=_DP_ORACLE)
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dp|"), F.col("source")).cast("binary")),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    n = c.select(
+        "source",
+        "exact_count",
+        ((h.cast("double") + 0.5) / F.lit(_DP_2_52)).alias("u"),
+    )
+    return n.select(
+        "source",
+        "exact_count",
+        F.expr(f"CAST(floor({_DP_NOISE_EXPR} * 1000000) AS BIGINT)").alias(
+            "noise_e6"
+        ),
+        F.expr(
+            f"CAST(floor(CAST(exact_count AS DOUBLE) + {_DP_NOISE_EXPR})"
+            " AS BIGINT)"
+        ).alias("released_count"),
+    )

@@ -1687,3 +1687,162 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         sample_frames, schema="doc_id bigint, frame_idx bigint, checksum bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# q_band_tuning — the LSH BANDING tradeoff measured: from the SAME 16
+# min-hashes, evaluate three band layouts — 8 bands × 2 rows, 4 × 4,
+# 2 × 8 — against the exact Jaccard ≥ 0.25 truth, reporting candidate
+# volume, recall, and precision per layout. q_lsh_recall audits the ONE
+# shipped layout (8×2); this key is the tuning table that justifies it:
+# more bands/shorter rows → higher recall & more candidates (the
+# S-curve P(cand) = 1 − (1 − J^r)^b moves left), and the crossover is a
+# data property you MEASURE, not a constant you assume.
+#
+# Exactness: band signatures are md5 over in-order min-hash concats
+# (byte-identical to the oracle's ORDER BY string_agg); the truth set
+# uses the pure-integer Jaccard test 4·n_common ≥ union (exactly
+# q_near_dedup's 0.25); recall/precision are e6 integer divisions.
+#
+# Scale: everything derives from two session-persisted stores — the
+# 16-minhash signature table (docs × 16) and scored_pairs (near-dup-
+# density-sized) — so the three layouts cost three cheap projections +
+# band-bucket self-joins over the index, never a corpus rescan. The
+# band join is the q_minhash_pairs shape (skew-bounded by band-bucket
+# population).
+# ---------------------------------------------------------------------------
+
+_BAND_CONFIGS = [(8, 2), (4, 4), (2, 8)]  # (bands, rows per band)
+
+
+def _band_tuning_oracle() -> str:
+    per_cfg = []
+    for b, r in _BAND_CONFIGS:
+        per_cfg.append(
+            f"""
+SELECT '{b}x{r}' AS layout, a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands_{b}x{r} a
+JOIN bands_{b}x{r} b ON a.band = b.band AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id
+GROUP BY 1, 2, 3"""
+        )
+    band_ctes = ",\n".join(
+        f"""bands_{b}x{r} AS (
+  SELECT doc_id, i // {r} AS band,
+         md5(string_agg(mh, '' ORDER BY i)) AS band_hash
+  FROM hashes
+  GROUP BY doc_id, i // {r}
+)"""
+        for b, r in _BAND_CONFIGS
+    )
+    cand_union = "\nUNION ALL".join(per_cfg)
+    return (
+        _SHINGLE_SQL
+        + _BAND_SQL.split(",\nbands AS")[0]  # reuse the `hashes` CTE only
+        + f""",
+{band_ctes},
+sizes AS MATERIALIZED (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1
+),
+truth AS MATERIALIZED (
+  SELECT p.doc_a, p.doc_b
+  FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  WHERE 4 * p.n_common >= sa.sz + sb.sz - p.n_common
+),
+cand AS MATERIALIZED ({cand_union}),
+agg AS (
+  SELECT c.layout,
+         CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits
+  FROM cand c
+  LEFT JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+  GROUP BY 1
+)
+SELECT a.layout, a.n_candidates,
+       (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+       a.n_hits,
+       a.n_hits * 1000000 // greatest((SELECT count(*) FROM truth), 1)
+         AS recall_e6,
+       a.n_hits * 1000000 // greatest(a.n_candidates, 1) AS precision_e6
+FROM agg a
+"""
+    )
+
+
+@register("q_band_tuning", oracle=_band_tuning_oracle())
+def q_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_service_spark.operators.llm import scored_pairs
+
+    sigs = minhash_signatures(spark, sf_dir)
+    truth = (
+        scored_pairs(spark, sf_dir)
+        .filter(
+            4 * F.col("n_common")
+            >= F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+        )
+        .select("doc_a", "doc_b", F.lit(1).alias("is_true"))
+    )
+    per_cfg = []
+    for b, r in _BAND_CONFIGS:
+        wide = sigs.select(
+            "doc_id",
+            *[
+                F.md5(
+                    F.concat(*[F.col(f"mh{r * i + j}") for j in range(r)])
+                ).alias(f"bh{i}")
+                for i in range(b)
+            ],
+        )
+        stack_args = ", ".join(f"{i}L, bh{i}" for i in range(b))
+        bands = wide.select(
+            "doc_id",
+            F.expr(f"stack({b}, {stack_args}) AS (band, band_hash)"),
+        )
+        cand = (
+            bands.alias("a")
+            .join(bands.alias("b"), ["band", "band_hash"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .withColumn("layout", F.lit(f"{b}x{r}"))
+        )
+        per_cfg.append(cand)
+    cand_all = per_cfg[0]
+    for c in per_cfg[1:]:
+        cand_all = cand_all.unionAll(c)
+    n_truth = truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth")
+    )
+    agg = (
+        cand_all.join(F.broadcast(truth), ["doc_a", "doc_b"], "left")
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum(F.coalesce(F.col("is_true"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+    )
+    return agg.crossJoin(F.broadcast(n_truth)).select(
+        "layout",
+        "n_candidates",
+        "n_truth",
+        "n_hits",
+        F.expr("n_hits * 1000000 div greatest(n_truth, 1L)").alias(
+            "recall_e6"
+        ),
+        F.expr("n_hits * 1000000 div greatest(n_candidates, 1L)").alias(
+            "precision_e6"
+        ),
+    )

@@ -1891,3 +1891,90 @@ def q_itemsets3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "b1", "b2", "b3")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_weighted_quantile — exact WEIGHTED median: per (returnflag, ship
+# year), the smallest price whose cumulative quantity weight reaches
+# half the group's total — "the price at which half the shipped UNITS
+# (not half the line items) are cheaper". The unweighted median
+# (q_group_median / q_latency_percentiles) answers a different question
+# whenever weights correlate with value, which is exactly when pricing
+# analyses go wrong.
+#
+# Exactness: weights are exact integer quantities; the cumulative
+# window orders by (cents, orderkey, linenumber) — a total order — and
+# the defining inequality 2·cumw ≥ totw is pure integer; the answer is
+# min(cents) over qualifying rows. No interpolation anywhere.
+#
+# Scale: ONE shuffle on the group key shared by both windows (the
+# cumulative sum and the group total are the same partitioning); group
+# count is (3 flags × ~7 years) so per-group sort tasks are fact-sized
+# — at 100 TB swap the exact in-group sort for a two-pass histogram
+# bracket + exact scan of the winning bucket (same answer; the
+# inequality is reused as the bucket predicate).
+# ---------------------------------------------------------------------------
+
+_WQ_ORACLE = """
+WITH t AS (
+  SELECT l_returnflag AS flag,
+         CAST(year(l_shipdate) AS INTEGER) AS yr,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(round(l_quantity) AS BIGINT) AS w,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+cum AS (
+  SELECT flag, yr, cents, w,
+         CAST(sum(w) OVER (PARTITION BY flag, yr
+                           ORDER BY cents, l_orderkey, l_linenumber
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cumw,
+         CAST(sum(w) OVER (PARTITION BY flag, yr) AS BIGINT) AS totw
+  FROM t
+)
+SELECT flag, yr,
+       CAST(min(totw) AS BIGINT)  AS total_weight,
+       CAST(min(cents) AS BIGINT) AS wmedian_cents
+FROM cum
+WHERE 2 * cumw >= totw
+GROUP BY 1, 2
+"""
+
+
+@register("q_weighted_quantile", oracle=_WQ_ORACLE)
+def q_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.year("l_shipdate").cast("int").alias("yr"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.round("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_cum = (
+        Window.partitionBy("flag", "yr")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = (
+        Window.partitionBy("flag", "yr")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    cum = t.select(
+        "flag",
+        "yr",
+        "cents",
+        F.sum("w").over(w_cum).cast("bigint").alias("cumw"),
+        F.sum("w").over(w_tot).cast("bigint").alias("totw"),
+    )
+    return (
+        cum.filter(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("flag", "yr")
+        .agg(
+            F.min("totw").cast("bigint").alias("total_weight"),
+            F.min("cents").cast("bigint").alias("wmedian_cents"),
+        )
+    )

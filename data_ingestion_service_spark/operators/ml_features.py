@@ -2033,3 +2033,105 @@ def q_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(floor({_OLS2_B2} * 1000000) AS BIGINT)").alias("b2_e6"),
         F.expr(f"CAST(floor({_OLS2_R2} * 1000000) AS BIGINT)").alias("r2_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_label_noise — kNN label-disagreement audit (the confident-learning /
+# Cleanlab screen): for each probe vector, find its 3 nearest neighbors
+# by cosine and flag the probe when the neighbors have a MAJORITY label
+# that disagrees with the probe's own label — the standard cheap pass
+# for surfacing mislabeled training examples before a classifier ever
+# sees them. Complements q_embed_outliers (distance-to-own-centroid
+# lens) with the local-neighborhood lens.
+#
+# Determinism: cosine accumulates f64 left-to-right over identical f32
+# inputs (bit-identical across engines — q_knn_self's discipline);
+# neighbor rank ties break on vec_id; the majority of a sorted 3-label
+# list is its middle element when that element repeats, else a -1
+# "no majority" sentinel — pure integer logic.
+#
+# Scale: the 200-probe slice is broadcast against ONE embedding scan
+# (probe-bounded work, linear in the corpus — q_dim_truncation's audit
+# shape); the rank window partitions per probe. At 100 TB the full-
+# corpus version swaps the brute scan for the IVF/LSH shortlist
+# (q_knn_ivf / q_knn_lsh) with identical downstream vote logic.
+# ---------------------------------------------------------------------------
+
+_LN_PROBES = 200
+_LN_K = 3
+
+_LABEL_NOISE_ORACLE = f"""
+WITH p AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id < {_LN_PROBES}
+),
+scored AS (
+  SELECT p.vec_id, p.label AS true_label, e.label AS nn_label,
+         row_number() OVER (
+           PARTITION BY p.vec_id
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], p.v) DESC,
+                    e.vec_id
+         ) AS rk
+  FROM p JOIN embeddings e ON e.vec_id <> p.vec_id
+),
+votes AS (
+  SELECT vec_id, true_label,
+         list_sort(list(nn_label)) AS ls
+  FROM scored
+  WHERE rk <= {_LN_K}
+  GROUP BY 1, 2
+)
+SELECT vec_id, true_label,
+       CASE WHEN ls[1] = ls[2] OR ls[2] = ls[3] THEN ls[2]
+            ELSE -1 END AS maj_label,
+       CAST(CASE WHEN (CASE WHEN ls[1] = ls[2] OR ls[2] = ls[3]
+                       THEN ls[2] ELSE -1 END) NOT IN (-1, true_label)
+            THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM votes
+"""
+
+
+@register("q_label_noise", oracle=_LABEL_NOISE_ORACLE)
+def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < _LN_PROBES).select(
+        F.col("vec_id").alias("p_id"),
+        F.col("label").alias("true_label"),
+        as_double("embedding").alias("v"),
+    )
+    scored = (
+        emb.alias("e")
+        .join(F.broadcast(probes), F.col("e.vec_id") != F.col("p_id"))
+        .select(
+            "p_id",
+            "true_label",
+            F.col("e.label").alias("nn_label"),
+            F.col("e.vec_id").alias("nn_id"),
+            cosine(as_double("e.embedding"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("p_id").orderBy(F.desc("cos"), F.asc("nn_id"))
+    votes = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _LN_K)
+        .groupBy("p_id", "true_label")
+        .agg(F.array_sort(F.collect_list("nn_label")).alias("ls"))
+    )
+    maj = F.when(
+        (F.element_at("ls", 1) == F.element_at("ls", 2))
+        | (F.element_at("ls", 2) == F.element_at("ls", 3)),
+        F.element_at("ls", 2),
+    ).otherwise(F.lit(-1))
+    return votes.select(
+        F.col("p_id").alias("vec_id"),
+        "true_label",
+        maj.cast("int").alias("maj_label"),
+        F.when(
+            maj.isin(-1) | (maj == F.col("true_label")), 0
+        )
+        .otherwise(1)
+        .cast("bigint")
+        .alias("flagged"),
+    )

@@ -1466,3 +1466,107 @@ def test_quality_prune_curve_accounting(spark, sf_dir, run):
     for lo, hi in zip(rows, rows[1:]):
         assert hi.cum_docs > lo.cum_docs
         assert hi.cum_tokens > lo.cum_tokens
+
+
+def test_label_noise_flag_consistent(run):
+    """flagged=1 requires a real majority label differing from the true
+    label; 200 probes in, 200 rows out."""
+    rows = run("q_label_noise")
+    assert len(rows) == 200
+    for r in rows:
+        if r.flagged:
+            assert r.maj_label != -1 and r.maj_label != r.true_label
+        else:
+            assert r.maj_label == -1 or r.maj_label == r.true_label
+
+
+def test_dp_noise_is_laplace_shaped(run):
+    """Released = floor(exact + noise); noise is symmetric-ish and
+    bounded for 20 uniform draws (|noise| <= ln(2^53) ~ 36.7); at least
+    one source gets negative noise and one positive (20 draws)."""
+    rows = run("q_dp_counts")
+    assert len(rows) >= 2
+    import math
+
+    for r in rows:
+        noise = r.noise_e6 / 1e6
+        assert abs(noise) < 37
+        assert r.released_count == math.floor(r.exact_count + noise)
+    signs = {r.noise_e6 > 0 for r in rows}
+    assert signs == {True, False}
+
+
+def test_weighted_quantile_brackets_half_weight(spark, sf_dir, run):
+    """For each group, the weight strictly below the weighted median is
+    < half the total, and the weight at-or-below is >= half — the
+    defining bracket."""
+    from pyspark.sql import functions as F
+
+    rows = run("q_weighted_quantile")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.year("l_shipdate").cast("int").alias("yr"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.round("l_quantity").cast("bigint").alias("w"),
+    )
+    agg = {
+        (r.flag, r.yr): r
+        for r in li.groupBy("flag", "yr").agg(F.sum("w").alias("tot")).collect()
+    }
+    by_key = {(r.flag, r.yr): r for r in rows}
+    assert set(by_key) == set(agg)
+    # spot-check three groups exactly
+    import itertools
+
+    for key in itertools.islice(sorted(by_key), 3):
+        r = by_key[key]
+        below = (
+            li.filter(
+                (F.col("flag") == key[0])
+                & (F.col("yr") == key[1])
+                & (F.col("cents") < r.wmedian_cents)
+            )
+            .agg(F.coalesce(F.sum("w"), F.lit(0)))
+            .collect()[0][0]
+        )
+        at_or_below = (
+            li.filter(
+                (F.col("flag") == key[0])
+                & (F.col("yr") == key[1])
+                & (F.col("cents") <= r.wmedian_cents)
+            )
+            .agg(F.sum("w"))
+            .collect()[0][0]
+        )
+        assert 2 * below < r.total_weight <= 2 * at_or_below
+
+
+def test_cohort_ltv_reconciles_to_orders(spark, sf_dir, run):
+    """Cells partition all orders: revenue sums to total order cents and
+    age-0 active counts sum to the customer count with orders."""
+    from pyspark.sql import functions as F
+
+    rows = run("q_cohort_ltv")
+    orders = load_table(spark, sf_dir, "orders")
+    total = orders.agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+    ).collect()[0][0]
+    assert sum(r.revenue_cents for r in rows) == total
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r.n_active for r in rows if r.age_months == 0) == n_cust
+    assert all(r.age_months >= 0 for r in rows)
+
+
+def test_band_tuning_monotone_recall(run):
+    """More bands with shorter rows can only widen the candidate set:
+    recall(8x2) >= recall(4x4) >= recall(2x8), and every candidate set
+    contains all its hits."""
+    rows = {r.layout: r for r in run("q_band_tuning")}
+    assert set(rows) == {"8x2", "4x4", "2x8"}
+    assert (
+        rows["8x2"].recall_e6 >= rows["4x4"].recall_e6 >= rows["2x8"].recall_e6
+    )
+    for r in rows.values():
+        assert r.n_hits <= r.n_candidates
+        assert r.n_hits <= r.n_truth
+        assert 0 <= r.precision_e6 <= 1000000

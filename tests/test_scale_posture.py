@@ -1282,3 +1282,66 @@ def test_random_projection_probe_filter_pushed(spark, sf_dir):
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("vec_id" in l for l in pushed), pushed
     assert "CartesianProduct" not in plan
+
+
+def test_label_noise_probes_broadcast(spark, sf_dir):
+    """The 200-probe slice broadcasts against one embedding scan; the
+    rank window partitions per probe."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_label_noise"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs and all("p_id" in s for s in specs)
+
+
+def test_weighted_quantile_one_sort_two_windows(spark, sf_dir):
+    """Cumulative and total windows share one (flag, yr) partitioning:
+    a single Sort feeds both."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_weighted_quantile"](spark, sf_dir))
+    n_sorts = len(re.findall(r"\(\d+\) Sort", plan))
+    assert n_sorts == 1, f"expected one shared sort, saw {n_sorts}"
+    assert "Join" not in plan
+
+
+def test_cohort_ltv_single_fact_lineage(spark, sf_dir):
+    """Cohorts come from a rollup of the same scan joined back — two
+    scans max, no cartesian."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_cohort_ltv"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_band_tuning_probes_stores_not_corpus(spark, sf_dir):
+    """All three layouts derive from the signature store and
+    scored_pairs — the documents table is never rescanned per layout
+    (persisted stores appear as InMemoryTableScan, parquet scans stay
+    bounded)."""
+    import re
+
+    # warm both stores (pair store + signature store)
+    QUERIES["q_near_dedup"](spark, sf_dir).collect()
+    QUERIES["q_minhash_pairs"](spark, sf_dir).collect()
+    plan = formatted_plan(QUERIES["q_band_tuning"](spark, sf_dir))
+    assert plan.count("InMemoryTableScan") >= 2  # stores probed
+    assert "CartesianProduct" not in plan
+    # Every printed "Scan parquet" must live INSIDE a cached relation's
+    # stored build lineage (an InMemoryRelation ancestor at smaller
+    # indentation) — a scan outside one would be a real corpus rescan.
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    for idx, line in enumerate(lines):
+        if "Scan parquet" not in line:
+            continue
+        indent = len(line) - len(line.lstrip())
+        ancestors = [
+            l
+            for l in lines[:idx]
+            if "InMemoryRelation" in l
+            and (len(l) - len(l.lstrip())) < indent
+        ]
+        assert ancestors, f"uncached corpus scan in band tuning: {line!r}"
