@@ -5322,3 +5322,173 @@ def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("released_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_zipf_fit — corpus NATURALNESS audit via the Zipf rank-frequency
+# slope: regress ln(freq) on ln(rank) over the term table and report
+# the slope (natural language sits near −1; heavily templated or
+# synthetic corpora flatten or steepen it) plus R². The one-number
+# screen a data-mix owner reads next to q_vocab_growth (Heaps) — Zipf
+# is the static law, Heaps the growth law, and corpora that fake one
+# usually break the other.
+#
+# Exactness: ranks are exact integers (freq DESC, term tie-break);
+# ln(rank)/ln(freq) are floored to e6 BIGINTs per term BEFORE summing
+# (the repo's distributed-sum discipline: integer sums are order-
+# independent, double sums are not); the closed-form slope/intercept/R²
+# are single fixed-parenthesization double expressions over those exact
+# integer sums (q_ols2's solve, 1 feature).
+#
+# Scale: one token-count reduce (vocabulary-bounded), one rank window
+# over the vocab table, one sufficient-statistics aggregate to a 1-row
+# output. The corpus is scanned once.
+# ---------------------------------------------------------------------------
+
+_ZIPF_SLOPE = (
+    "((CAST(sxy AS DOUBLE) / 1000000.0 / 1000000.0"
+    " - (CAST(sx AS DOUBLE) / 1000000.0) * (CAST(sy AS DOUBLE) / 1000000.0)"
+    " / CAST(n AS DOUBLE))"
+    " / (CAST(sxx AS DOUBLE) / 1000000.0 / 1000000.0"
+    " - (CAST(sx AS DOUBLE) / 1000000.0) * (CAST(sx AS DOUBLE) / 1000000.0)"
+    " / CAST(n AS DOUBLE)))"
+)
+_ZIPF_R2 = (
+    f"(({_ZIPF_SLOPE} * {_ZIPF_SLOPE})"
+    " * (CAST(sxx AS DOUBLE) / 1000000.0 / 1000000.0"
+    " - (CAST(sx AS DOUBLE) / 1000000.0) * (CAST(sx AS DOUBLE) / 1000000.0)"
+    " / CAST(n AS DOUBLE))"
+    " / (CAST(syy AS DOUBLE) / 1000000.0 / 1000000.0"
+    " - (CAST(sy AS DOUBLE) / 1000000.0) * (CAST(sy AS DOUBLE) / 1000000.0)"
+    " / CAST(n AS DOUBLE)))"
+)
+
+_ZIPF_ORACLE = f"""
+WITH tf AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+  GROUP BY 1
+),
+ranked AS (
+  SELECT CAST(floor(ln(row_number() OVER (ORDER BY freq DESC, tok))
+                    * 1000000) AS BIGINT) AS x_e6,
+         CAST(floor(ln(freq) * 1000000) AS BIGINT) AS y_e6
+  FROM tf
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT)           AS n,
+         CAST(sum(x_e6) AS BIGINT)          AS sx,
+         CAST(sum(y_e6) AS BIGINT)          AS sy,
+         CAST(sum(x_e6 * x_e6 // 1000000) AS BIGINT) AS sxx,
+         CAST(sum(y_e6 * y_e6 // 1000000) AS BIGINT) AS syy,
+         CAST(sum(x_e6 * y_e6 // 1000000) AS BIGINT) AS sxy
+  FROM ranked
+)
+SELECT n,
+       CAST(floor({_ZIPF_SLOPE.replace("/ 1000000.0 / 1000000.0", "/ 1000000.0 / 1.0")} * 1000000) AS BIGINT) AS slope_e6,
+       CAST(floor({_ZIPF_R2.replace("/ 1000000.0 / 1000000.0", "/ 1000000.0 / 1.0")} * 1000000) AS BIGINT) AS r2_e6
+FROM s
+"""
+
+
+@register("q_zipf_fit", oracle=_ZIPF_ORACLE)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    rk = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    ranked = tf.select(
+        F.floor(F.log(F.row_number().over(rk).cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("x_e6"),
+        F.floor(F.log(F.col("freq").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("y_e6"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x_e6").cast("bigint").alias("sx"),
+        F.sum("y_e6").cast("bigint").alias("sy"),
+        F.sum(F.expr("x_e6 * x_e6 div 1000000")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("y_e6 * y_e6 div 1000000")).cast("bigint").alias("syy"),
+        F.sum(F.expr("x_e6 * y_e6 div 1000000")).cast("bigint").alias("sxy"),
+    )
+    slope = _ZIPF_SLOPE.replace("/ 1000000.0 / 1000000.0", "/ 1000000.0 / 1.0")
+    r2 = _ZIPF_R2.replace("/ 1000000.0 / 1000000.0", "/ 1000000.0 / 1.0")
+    return s.select(
+        "n",
+        F.expr(f"CAST(floor({slope} * 1000000) AS BIGINT)").alias("slope_e6"),
+        F.expr(f"CAST(floor({r2} * 1000000) AS BIGINT)").alias("r2_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_prefix_cache_hits — inference KV-cache SHARING audit: group
+# documents by their first-8-token prefix and report, per source, how
+# many docs share a prefix with at least one other doc (cache hits if
+# prefixes were cached), the distinct prefix count, and the hit share.
+# Serving stacks (vLLM-style prefix caching, system-prompt reuse) win
+# exactly when this number is high; a corpus/prompt-log owner reads it
+# to size the cache before provisioning.
+#
+# Exactness: the prefix is a deterministic md5 over the joined first 8
+# tokens; counts are exact BIGINTs; the share is an e6 integer
+# division.
+#
+# Scale: one scan → (source, prefix-digest) reduce (map-side
+# combinable) → source rollup. The digest keeps shuffle rows at 16
+# bytes regardless of prefix text length.
+# ---------------------------------------------------------------------------
+
+_PREFIX_ORACLE = """
+WITH p AS (
+  SELECT source,
+         md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS pfx
+  FROM documents
+),
+g AS (
+  SELECT source, pfx, CAST(count(*) AS BIGINT) AS n
+  FROM p
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(n) AS BIGINT)                     AS n_docs,
+       CAST(count(*) AS BIGINT)                   AS n_prefixes,
+       CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
+         AS n_shared_docs,
+       CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT) * 1000000
+         // CAST(sum(n) AS BIGINT)                AS shared_share_e6
+FROM g
+GROUP BY 1
+"""
+
+
+@register("q_prefix_cache_hits", oracle=_PREFIX_ORACLE)
+def q_prefix_cache_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pfx = F.md5(
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)).cast("binary")
+    )
+    g = (
+        docs.select("source", pfx.alias("pfx"))
+        .groupBy("source", "pfx")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return g.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_prefixes"),
+        F.sum(F.when(F.col("n") >= 2, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_shared_docs"),
+        F.expr(
+            "cast(sum(case when n >= 2 then n else 0 end) * 1000000"
+            " div sum(n) as bigint)"
+        ).alias("shared_share_e6"),
+    )

@@ -1570,3 +1570,27 @@ def test_band_tuning_monotone_recall(run):
         assert r.n_hits <= r.n_candidates
         assert r.n_hits <= r.n_truth
         assert 0 <= r.precision_e6 <= 1000000
+
+
+def test_zipf_slope_negative(run):
+    """A rank-frequency fit must slope downward (slope < 0); the word-
+    soup fixture draws ~uniformly from a tiny vocabulary, so the fit is
+    weak — assert direction and R² ∈ [0, 1], not naturalness."""
+    [row] = run("q_zipf_fit")
+    assert row.slope_e6 < 0
+    assert 0 <= row.r2_e6 <= 1000000
+    assert row.n > 0
+
+
+def test_prefix_cache_accounting(spark, sf_dir, run):
+    """Per source: shared docs never exceed total docs, prefixes never
+    exceed docs, and doc counts reconcile to the corpus."""
+    rows = run("q_prefix_cache_hits")
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.n_shared_docs <= r.n_docs
+        assert r.n_prefixes <= r.n_docs
+        assert 0 <= r.shared_share_e6 <= 1000000
+        # docs sharing a prefix come in groups of >= 2
+        assert r.n_shared_docs != 1

@@ -1345,3 +1345,75 @@ def test_band_tuning_probes_stores_not_corpus(spark, sf_dir):
             and (len(l) - len(l.lstrip())) < indent
         ]
         assert ancestors, f"uncached corpus scan in band tuning: {line!r}"
+
+
+def test_cbo_stats_flip_join_order(spark, sf_dir):
+    """Cost-based join reorder end-to-end (the round-2 backlog item):
+    with column stats ANALYZEd and CBO on, the textual order
+    fact⋈orders⋈customer is re-planned to join the two SELECTIVE
+    dimension tables first (orders⋈customer) before touching the fact —
+    without CBO the textual order survives. Results must be identical
+    either way. At 100 TB this reorder is the difference between
+    shuffling the fact table once and twice."""
+    import re
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("cbo_l", "cbo_o", "cbo_c"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    from data_ingestion_service_spark.catalog import load_table as lt
+
+    lt(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    ).write.saveAsTable("cbo_l")
+    lt(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).write.saveAsTable("cbo_o")
+    lt(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment").filter(
+        "c_mktsegment = 'BUILDING'"
+    ).write.saveAsTable("cbo_c")
+    for t in ("cbo_l", "cbo_o", "cbo_c"):
+        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS")
+    q = """SELECT count(*) AS n FROM cbo_l l
+           JOIN cbo_o o ON o.o_orderkey = l.l_orderkey
+           JOIN cbo_c c ON c.c_custkey = o.o_custkey"""
+
+    def first_seen_order(plan: str) -> list[str]:
+        seen: list[str] = []
+        for name in re.findall(r"cbo_[loc]", plan):
+            if name not in seen:
+                seen.append(name)
+        return seen
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.cbo.enabled",
+            "spark.sql.cbo.joinReorder.enabled",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        plain_plan = spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+        plain_n = spark.sql(q).collect()[0].n
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        cbo_plan = spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+        cbo_n = spark.sql(q).collect()[0].n
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        for t in ("cbo_l", "cbo_o", "cbo_c"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    assert cbo_n == plain_n
+    assert first_seen_order(plain_plan) == ["cbo_l", "cbo_o", "cbo_c"]
+    assert first_seen_order(cbo_plan) != ["cbo_l", "cbo_o", "cbo_c"], cbo_plan
+    # the selective dims meet before the fact table
+    assert first_seen_order(cbo_plan)[0] in ("cbo_o", "cbo_c")
