@@ -608,3 +608,137 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("revenue_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_peak_concurrency — peak concurrent sessions per day via the classic
+# sweep-line (+1 at session start, −1 after session end, running max):
+# the capacity-planning number ("how many simultaneous users must the
+# serving tier hold") that per-hour event counts (q_hourly_matrix)
+# cannot give, because concurrency depends on session OVERLAP, not
+# arrival volume. Sessions are the 30-minute-gap islands of
+# q_sessionize_gap; multi-day sessions are clipped per day so each
+# day's sweep is self-contained and exact.
+#
+# Exactness: all times are exact epoch seconds; the sweep order is the
+# total order (t, delta, user_id) with −1 sorting before +1 at equal
+# timestamps (a session ending exactly when another starts does NOT
+# overlap it — the half-open [start, end) convention, applied
+# identically in both engines); the running sum and max are exact
+# integers.
+#
+# Scale: sessionization is one user-partitioned window (millions of
+# independent partitions); the sweep partitions per DAY — at 100 TB a
+# day's deltas still fit one task comfortably (2 rows per session),
+# and finer sharding would add an hour-level carry-in aggregation
+# (documented swap, same sweep).
+# ---------------------------------------------------------------------------
+
+_PEAK_GAP_S = 1800
+
+_PEAK_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t_s FROM events
+),
+gaps AS (
+  SELECT user_id, t_s,
+         CASE WHEN t_s - lag(t_s) OVER (PARTITION BY user_id ORDER BY t_s)
+                   > {_PEAK_GAP_S} THEN 1
+              WHEN lag(t_s) OVER (PARTITION BY user_id ORDER BY t_s)
+                   IS NULL THEN 1
+              ELSE 0 END AS is_start
+  FROM e
+),
+sess AS (
+  SELECT user_id,
+         min(t_s) AS s_start,
+         max(t_s) + 1 AS s_end
+  FROM (SELECT user_id, t_s,
+               sum(is_start) OVER (PARTITION BY user_id ORDER BY t_s
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM gaps)
+  GROUP BY user_id, sid
+),
+days AS (
+  SELECT sess.user_id,
+         d.d AS day_s,
+         greatest(sess.s_start, d.d) AS c_start,
+         least(sess.s_end, d.d + 86400) AS c_end
+  FROM sess
+  JOIN (SELECT DISTINCT (t_s // 86400) * 86400 AS d FROM e) d
+    ON sess.s_start < d.d + 86400 AND sess.s_end > d.d
+),
+pts AS (
+  SELECT day_s, c_start AS t, CAST(1 AS BIGINT) AS delta, user_id FROM days
+  UNION ALL
+  SELECT day_s, c_end, CAST(-1 AS BIGINT), user_id FROM days
+),
+sweep AS (
+  SELECT day_s,
+         sum(delta) OVER (PARTITION BY day_s ORDER BY t, delta, user_id
+                          ROWS UNBOUNDED PRECEDING) AS conc
+  FROM pts
+)
+SELECT day_s,
+       CAST(max(conc) AS BIGINT) AS peak_concurrency
+FROM sweep
+GROUP BY day_s
+"""
+
+
+@register("q_peak_concurrency", oracle=_PEAK_ORACLE)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").cast("bigint").alias("t_s")
+    )
+    w_u = Window.partitionBy("user_id").orderBy("t_s")
+    gaps = e.select(
+        "user_id",
+        "t_s",
+        F.when(
+            F.lag("t_s").over(w_u).isNull()
+            | (F.col("t_s") - F.lag("t_s").over(w_u) > _PEAK_GAP_S),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sess = (
+        gaps.withColumn(
+            "sid",
+            F.sum("is_start").over(w_u.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("t_s").alias("s_start"),
+            (F.max("t_s") + 1).alias("s_end"),
+        )
+    )
+    days = e.select(
+        F.expr("(t_s div 86400) * 86400").alias("d")
+    ).distinct()
+    clipped = sess.join(
+        F.broadcast(days),
+        (F.col("s_start") < F.col("d") + 86400) & (F.col("s_end") > F.col("d")),
+    ).select(
+        "user_id",
+        F.col("d").alias("day_s"),
+        F.greatest("s_start", F.col("d")).alias("c_start"),
+        F.least("s_end", F.col("d") + 86400).alias("c_end"),
+    )
+    pts = clipped.select(
+        "day_s", F.col("c_start").alias("t"), F.lit(1).cast("bigint").alias("delta"), "user_id"
+    ).unionAll(
+        clipped.select(
+            "day_s", F.col("c_end").alias("t"), F.lit(-1).cast("bigint").alias("delta"), "user_id"
+        )
+    )
+    w_d = Window.partitionBy("day_s").orderBy("t", "delta", "user_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sweep = pts.select("day_s", F.sum("delta").over(w_d).alias("conc"))
+    return sweep.groupBy("day_s").agg(
+        F.max("conc").cast("bigint").alias("peak_concurrency")
+    )

@@ -1978,3 +1978,128 @@ def q_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("cents").cast("bigint").alias("wmedian_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_sample_quantile_audit — quantiles from a deterministic hash sample
+# with the error MEASURED (the q_kmv_overlap / q_lsh_recall
+# discipline): take the 1,024 orders with the smallest md5(o_orderkey)
+# (a uniform, reproducible sample — no RNG, no reservoir state), read
+# the sample's discrete median and p90 of order value, and report them
+# NEXT TO the exact population quantiles with e6 relative errors. This
+# is the scalable quantile pattern at 100 TB — the min-k sample is
+# mergeable (union, keep k smallest) exactly like the KMV sketch, so a
+# cluster computes it map-side in one pass — and the audit answers the
+# only question that matters: how wrong is it on THIS data.
+#
+# Exactness: sample membership is a rank over md5 hashes (total order,
+# hash ties broken by the key itself); quantiles are DISCRETE — the
+# element at integer rank ceil(q·n) — never interpolated; errors are
+# e6 integer arithmetic over exact cents.
+#
+# Scale: the sample side is one top-k (TakeOrdered-shaped, map-side
+# partial); the exact side is the full sort this key exists to avoid —
+# kept here as the audit truth, dropped in production.
+# ---------------------------------------------------------------------------
+
+_SQA_K = 1024
+
+_SQA_ORACLE = f"""
+WITH o AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         md5(CAST(o_orderkey AS VARCHAR)) AS h
+  FROM orders
+),
+samp AS (
+  SELECT cents FROM
+    (SELECT cents, row_number() OVER (ORDER BY h, o_orderkey) AS rk FROM o)
+  WHERE rk <= {_SQA_K}
+),
+sq AS (
+  SELECT max(CASE WHEN rk = CAST(ceil(n * 0.5) AS BIGINT) THEN cents END)
+           AS med_sample,
+         max(CASE WHEN rk = CAST(ceil(n * 0.9) AS BIGINT) THEN cents END)
+           AS p90_sample
+  FROM (SELECT cents,
+               row_number() OVER (ORDER BY cents) AS rk,
+               count(*) OVER () AS n
+        FROM samp)
+),
+eq AS (
+  SELECT max(CASE WHEN rk = CAST(ceil(n * 0.5) AS BIGINT) THEN cents END)
+           AS med_exact,
+         max(CASE WHEN rk = CAST(ceil(n * 0.9) AS BIGINT) THEN cents END)
+           AS p90_exact
+  FROM (SELECT cents,
+               row_number() OVER (ORDER BY cents, o_orderkey) AS rk,
+               count(*) OVER () AS n
+        FROM o)
+)
+SELECT sq.med_sample, eq.med_exact,
+       abs(sq.med_sample - eq.med_exact) * 1000000 // eq.med_exact
+         AS med_err_e6,
+       sq.p90_sample, eq.p90_exact,
+       abs(sq.p90_sample - eq.p90_exact) * 1000000 // eq.p90_exact
+         AS p90_err_e6
+FROM sq CROSS JOIN eq
+"""
+
+
+@register("q_sample_quantile_audit", oracle=_SQA_ORACLE)
+def q_sample_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.md5(F.col("o_orderkey").cast("string").cast("binary")).alias("h"),
+    )
+    samp = (
+        o.withColumn(
+            "rk", F.row_number().over(Window.orderBy("h", "o_orderkey"))
+        )
+        .filter(F.col("rk") <= _SQA_K)
+        .select("cents")
+    )
+
+    def disc_quantiles(df: DataFrame, order_cols) -> DataFrame:
+        w = Window.orderBy(*order_cols)
+        w_all = Window.orderBy(*order_cols).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        ranked = df.select(
+            "cents",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(w_all).alias("n"),
+        )
+        return ranked.agg(
+            F.max(
+                F.when(
+                    F.col("rk") == F.ceil(F.col("n") * 0.5).cast("bigint"),
+                    F.col("cents"),
+                )
+            ).alias("q50"),
+            F.max(
+                F.when(
+                    F.col("rk") == F.ceil(F.col("n") * 0.9).cast("bigint"),
+                    F.col("cents"),
+                )
+            ).alias("q90"),
+        )
+
+    sq = disc_quantiles(samp, ["cents"]).select(
+        F.col("q50").alias("med_sample"), F.col("q90").alias("p90_sample")
+    )
+    eq = disc_quantiles(
+        o.select("cents", "o_orderkey"), ["cents", "o_orderkey"]
+    ).select(F.col("q50").alias("med_exact"), F.col("q90").alias("p90_exact"))
+    return sq.crossJoin(eq).select(
+        "med_sample",
+        "med_exact",
+        F.expr(
+            "abs(med_sample - med_exact) * 1000000 div med_exact"
+        ).alias("med_err_e6"),
+        "p90_sample",
+        "p90_exact",
+        F.expr(
+            "abs(p90_sample - p90_exact) * 1000000 div p90_exact"
+        ).alias("p90_err_e6"),
+    )

@@ -1594,3 +1594,39 @@ def test_prefix_cache_accounting(spark, sf_dir, run):
         assert 0 <= r.shared_share_e6 <= 1000000
         # docs sharing a prefix come in groups of >= 2
         assert r.n_shared_docs != 1
+
+
+def test_peak_concurrency_bounds(spark, sf_dir, run):
+    """Peak concurrency per day is at least 1 and at most the number of
+    distinct users active that day (a user contributes one session at a
+    time by construction)."""
+    from pyspark.sql import functions as F
+
+    rows = {r.day_s: r.peak_concurrency for r in run("q_peak_concurrency")}
+    assert rows
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(
+            "(cast(unix_timestamp(ts) as bigint) div 86400) * 86400"
+        ).alias("day_s"),
+        "user_id",
+    )
+    per_day = {
+        r.day_s: r.n
+        for r in ev.groupBy("day_s")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(rows) == set(per_day)
+    for d, peak in rows.items():
+        assert 1 <= peak <= per_day[d], (d, peak, per_day[d])
+
+
+def test_sample_quantiles_close_to_exact(run):
+    """1,024 uniform samples put the discrete sample median within ~5%
+    of the exact (binomial 3σ at n=1024 is ~4.7 percentile points; the
+    order-value distribution is smooth enough that 5% of value bounds
+    it on this fixture — measured ~1%)."""
+    [r] = run("q_sample_quantile_audit")
+    assert r.med_err_e6 <= 50000
+    assert r.p90_err_e6 <= 50000
+    assert r.med_sample <= r.p90_sample
