@@ -159,6 +159,33 @@ ML_FEATURE_OPS = [
 ]
 
 
+# Round-6 fifth-session additions: time-series/feature keys, sketch
+# audits, and the dedup tuning tables. Separate group so every prior
+# total stays comparable.
+SESSION5_OPS = [
+    "q_lag_features",
+    "q_seasonal_dow",
+    "q_rolling_median",
+    "q_pit_features",
+    "q_ols2",
+    "q_kmv_overlap",
+    "q_log_odds_terms",
+    "q_dedup_threshold_sweep",
+    "q_gains_table",
+    "q_random_projection",
+    "q_quality_prune_curve",
+    "q_label_noise",
+    "q_dp_counts",
+    "q_weighted_quantile",
+    "q_cohort_ltv",
+    "q_band_tuning",
+    "q_zipf_fit",
+    "q_prefix_cache_hits",
+    "q_peak_concurrency",
+    "q_sample_quantile_audit",
+]
+
+
 def _median(vals: list[float]) -> float:
     s = sorted(vals)
     n = len(s)
@@ -267,6 +294,7 @@ def main() -> None:
     r6_timings = _time_group(CORPUS_OPS_R6)
     mining_timings = _time_group(MINING_OPS)
     mlf_timings = _time_group(ML_FEATURE_OPS)
+    s5_timings = _time_group(SESSION5_OPS)
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -293,6 +321,8 @@ def main() -> None:
                 "mining_ops_total": round(sum(mining_timings.values()), 4),
                 "ml_feature_ops": mlf_timings,
                 "ml_feature_ops_total": round(sum(mlf_timings.values()), 4),
+                "session5_ops": s5_timings,
+                "session5_ops_total": round(sum(s5_timings.values()), 4),
                 "n_registered_queries": len(QUERIES),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

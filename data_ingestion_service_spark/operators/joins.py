@@ -282,3 +282,95 @@ def q_null_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_asof_nearest — NEAREST-in-time as-of: for each error event, the
+# same user's temporally closest purchase event in EITHER direction
+# ("what was the user buying around the failure"). Completes the as-of
+# family: q_asof_enrich is backward-only, q_asof_cogroup is the pandas
+# merge_asof surface — nearest-direction needs both sides and a
+# deterministic tie rule, which is exactly what goes wrong in naive
+# implementations.
+#
+# Semantics: prev = latest purchase at-or-before the error, next =
+# earliest strictly-after; pick the smaller |gap|, ties to PREV (the
+# past is causally safer), gap reported signed (negative = purchase
+# preceded the error). Events sharing a timestamp order by event_id.
+#
+# Exactness: epoch-second integer gaps; the prev/next scan is ONE
+# user-partitioned window pass using conditional last/first values
+# (ignoreNulls) over the mixed event stream — no self-join, no
+# union of two as-ofs.
+#
+# Scale: one shuffle on user_id; O(1) running state per row (the
+# window's last-non-null); millions of independent user partitions.
+# ---------------------------------------------------------------------------
+
+_ASOF_NEAREST_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t_s
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_id, event_type, t_s,
+         last_value(CASE WHEN event_type = 'purchase' THEN t_s END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t_s, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+         first_value(CASE WHEN event_type = 'purchase' THEN t_s END
+                     IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t_s, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_t
+  FROM e
+)
+SELECT event_id, user_id,
+       CASE
+         WHEN prev_t IS NULL AND next_t IS NULL THEN NULL
+         WHEN next_t IS NULL THEN prev_t - t_s
+         WHEN prev_t IS NULL THEN next_t - t_s
+         WHEN t_s - prev_t <= next_t - t_s THEN prev_t - t_s
+         ELSE next_t - t_s
+       END AS nearest_gap_s
+FROM marked
+WHERE event_type = 'error'
+"""
+
+
+@register("q_asof_nearest", oracle=_ASOF_NEAREST_ORACLE)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("bigint").alias("t_s"),
+    )
+    purchase_t = F.when(F.col("event_type") == "purchase", F.col("t_s"))
+    w = Window.partitionBy("user_id").orderBy("t_s", "event_id")
+    marked = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "t_s",
+        F.last(purchase_t, ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("prev_t"),
+        F.first(purchase_t, ignorenulls=True)
+        .over(w.rowsBetween(1, Window.unboundedFollowing))
+        .alias("next_t"),
+    )
+    prev_gap = F.col("prev_t") - F.col("t_s")
+    next_gap = F.col("next_t") - F.col("t_s")
+    nearest = (
+        F.when(F.col("prev_t").isNull() & F.col("next_t").isNull(), F.lit(None))
+        .when(F.col("next_t").isNull(), prev_gap)
+        .when(F.col("prev_t").isNull(), next_gap)
+        .when(F.col("t_s") - F.col("prev_t") <= next_gap, prev_gap)
+        .otherwise(next_gap)
+    )
+    return marked.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", nearest.cast("bigint").alias("nearest_gap_s")
+    )

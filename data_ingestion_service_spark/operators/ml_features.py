@@ -2135,3 +2135,76 @@ def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_wilson_ci — Wilson score interval for per-event-type purchase-value
+# "high ticket" rates (share of events with value > 100): the
+# binomial CI that stays inside [0,1] and behaves at small n, which is
+# why experiment dashboards use it over the naive ±1.96√(pq/n).
+# Completes the testing family: q_ab_test compares two proportions,
+# q_bootstrap_ci resamples a mean, this one intervals a single rate.
+#
+# Exactness: successes/trials are exact BIGINTs; the interval is ONE
+# shared-fragment double expression (z = 1.96 embedded as a literal)
+# over those integers, floored to e6 — identical inputs, identical
+# parenthesization, identical IEEE result in both engines.
+#
+# Scale: one map-side-combinable rollup to |event types| rows.
+# ---------------------------------------------------------------------------
+
+_WILSON_Z2 = "3.8416"  # 1.96^2, exact decimal literal in both engines
+
+_WILSON_CENTER = (
+    f"((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" + {_WILSON_Z2} / (2.0 * CAST(n AS DOUBLE)))"
+    f" / (1.0 + {_WILSON_Z2} / CAST(n AS DOUBLE)))"
+)
+_WILSON_HALF = (
+    f"((1.96 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+    f" * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)"
+    f" + {_WILSON_Z2} / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))"
+    f" / (1.0 + {_WILSON_Z2} / CAST(n AS DOUBLE)))"
+)
+
+_WILSON_ORACLE = f"""
+WITH s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM events
+  GROUP BY 1
+)
+SELECT event_type, n, k,
+       k * 1000000 // n AS rate_e6,
+       CAST(floor(({_WILSON_CENTER} - {_WILSON_HALF}) * 1000000) AS BIGINT)
+         AS ci_lo_e6,
+       CAST(floor(({_WILSON_CENTER} + {_WILSON_HALF}) * 1000000) AS BIGINT)
+         AS ci_hi_e6
+FROM s
+"""
+
+
+@register("q_wilson_ci", oracle=_WILSON_ORACLE)
+def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("value") > 100, 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        "k",
+        F.expr("k * 1000000 div n").alias("rate_e6"),
+        F.expr(
+            f"CAST(floor(({_WILSON_CENTER} - {_WILSON_HALF}) * 1000000)"
+            " AS BIGINT)"
+        ).alias("ci_lo_e6"),
+        F.expr(
+            f"CAST(floor(({_WILSON_CENTER} + {_WILSON_HALF}) * 1000000)"
+            " AS BIGINT)"
+        ).alias("ci_hi_e6"),
+    )

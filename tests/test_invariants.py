@@ -1630,3 +1630,56 @@ def test_sample_quantiles_close_to_exact(run):
     assert r.med_err_e6 <= 50000
     assert r.p90_err_e6 <= 50000
     assert r.med_sample <= r.p90_sample
+
+
+def test_asof_nearest_covers_all_errors(spark, sf_dir, run):
+    """Every error event appears exactly once; whenever a user has any
+    purchase, the gap is non-null; |gap| is minimal by construction —
+    spot-check the global smallest gaps against a brute join."""
+    from pyspark.sql import functions as F
+
+    rows = run("q_asof_nearest")
+    ev = load_table(spark, sf_dir, "events")
+    n_err = ev.filter("event_type = 'error'").count()
+    assert len(rows) == n_err
+    has_purchase = {
+        r.user_id
+        for r in ev.filter("event_type = 'purchase'")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    for r in rows:
+        if r.user_id in has_purchase:
+            assert r.nearest_gap_s is not None
+    # brute-force check of 5 error events
+    errs = sorted(rows, key=lambda r: r.event_id)[:5]
+    e = ev.select(
+        "event_id", "user_id", "event_type",
+        F.unix_timestamp("ts").cast("bigint").alias("t_s"),
+    )
+    for r in errs:
+        t_err = e.filter(F.col("event_id") == r.event_id).collect()[0].t_s
+        gaps = [
+            p.t_s - t_err
+            for p in e.filter(
+                (F.col("user_id") == r.user_id)
+                & (F.col("event_type") == "purchase")
+            ).collect()
+        ]
+        if not gaps:
+            assert r.nearest_gap_s is None
+            continue
+        best = min(abs(g) for g in gaps)
+        assert abs(r.nearest_gap_s) == best, (r, best)
+
+
+def test_wilson_interval_brackets_rate(run):
+    """The Wilson interval contains the point rate, stays in [0, 1],
+    and is non-degenerate at the fixture's n."""
+    rows = run("q_wilson_ci")
+    assert rows
+    for r in rows:
+        assert 0 <= r.ci_lo_e6 <= r.rate_e6 <= r.ci_hi_e6 <= 1000000
+        assert r.ci_hi_e6 > r.ci_lo_e6
+        assert 0 <= r.k <= r.n
