@@ -322,3 +322,43 @@ def q_group_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mad_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_percentile_cont — CONTINUOUS (interpolated) percentiles per event
+# type, pinning Spark's exact `percentile()` against DuckDB's
+# `quantile_cont`: both implement the ANSI percentile_cont linear
+# interpolation lo + frac·(hi − lo) over the sorted group, and on
+# integer-cents inputs the doubles come out bit-identical (probed:
+# 11201.000000000004 on BOTH engines) — rounded at 4dp in-query anyway
+# per SURVEY §5. The interpolated complement of the discrete-quantile
+# keys (q_group_median / q_weighted_quantile / q_sample_quantile_audit
+# pick elements; this one interpolates between them).
+#
+# Scale: Spark's exact percentile buffers each GROUP's values — fine
+# at |event types| groups; for high-cardinality groups the swap is
+# approx_percentile (sketch-mergeable), documented not shipped.
+# ---------------------------------------------------------------------------
+
+_PCTL_CONT_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5), 4)
+         AS p50_cents,
+       round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9), 4)
+         AS p90_cents,
+       round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.99), 4)
+         AS p99_cents
+FROM events
+GROUP BY 1
+"""
+
+
+@register("q_percentile_cont", oracle=_PCTL_CONT_ORACLE)
+def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = "cast(round(value * 100) as bigint)"
+    return ev.groupBy("event_type").agg(
+        F.expr(f"round(percentile({cents}, 0.5), 4)").alias("p50_cents"),
+        F.expr(f"round(percentile({cents}, 0.9), 4)").alias("p90_cents"),
+        F.expr(f"round(percentile({cents}, 0.99), 4)").alias("p99_cents"),
+    )

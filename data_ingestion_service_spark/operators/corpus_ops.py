@@ -5492,3 +5492,89 @@ def q_prefix_cache_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div sum(n) as bigint)"
         ).alias("shared_share_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_vocab_coverage — tokenizer vocabulary sizing curve: what share of
+# corpus TOKEN OCCURRENCES the top-k most frequent word types cover,
+# for k ∈ {8, 16, 24, 31} (the fixture vocabulary is ~31 types; at
+# production scale the ks would be 2^13…2^17). This is the curve that
+# sizes a word-level vocab (or decides BPE is needed): coverage@k
+# flattening early means a small vocab suffices; a long tail means
+# subword units. Companion to q_zipf_fit (the law) and q_bpe_tokenize
+# (the subword answer).
+#
+# Exactness: frequencies and the rank are exact integers (freq DESC,
+# token tie-break); coverage is an e6 integer division of exact sums.
+#
+# Scale: one token-count reduce (vocabulary-bounded), one rank window
+# over the vocab table, a 4-row threshold explode over it. The corpus
+# is scanned once.
+# ---------------------------------------------------------------------------
+
+_VC_KS = [8, 16, 24, 31]
+
+_VOCAB_COVERAGE_ORACLE = f"""
+WITH tf AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+  GROUP BY 1
+),
+ranked AS (
+  SELECT freq,
+         row_number() OVER (ORDER BY freq DESC, tok) AS rk,
+         CAST(sum(freq) OVER () AS BIGINT) AS total
+  FROM tf
+),
+ks AS (SELECT unnest({_VC_KS}) AS k)
+SELECT ks.k,
+       CAST(sum(CASE WHEN rk <= ks.k THEN freq ELSE 0 END) AS BIGINT)
+         AS covered_tokens,
+       CAST(min(total) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN rk <= ks.k THEN freq ELSE 0 END) AS BIGINT)
+         * 1000000 // CAST(min(total) AS BIGINT) AS coverage_e6
+FROM ranked CROSS JOIN ks
+GROUP BY ks.k
+"""
+
+
+@register("q_vocab_coverage", oracle=_VOCAB_COVERAGE_ORACLE)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    w_rk = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    w_all = Window.orderBy(F.desc("freq"), F.asc("tok")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = tf.select(
+        "freq",
+        F.row_number().over(w_rk).alias("rk"),
+        F.sum("freq").over(w_all).cast("bigint").alias("total"),
+    )
+    ks = F.explode(F.array(*[F.lit(k) for k in _VC_KS])).alias("k")
+    return (
+        ranked.select("freq", "rk", "total", ks)
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("rk") <= F.col("k"), F.col("freq")).otherwise(0))
+            .cast("bigint")
+            .alias("covered_tokens"),
+            F.min("total").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            "k",
+            "covered_tokens",
+            "total_tokens",
+            F.expr("covered_tokens * 1000000 div total_tokens").alias(
+                "coverage_e6"
+            ),
+        )
+    )

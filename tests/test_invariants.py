@@ -1683,3 +1683,23 @@ def test_wilson_interval_brackets_rate(run):
         assert 0 <= r.ci_lo_e6 <= r.rate_e6 <= r.ci_hi_e6 <= 1000000
         assert r.ci_hi_e6 > r.ci_lo_e6
         assert 0 <= r.k <= r.n
+
+
+def test_percentile_cont_ordered(run):
+    """p50 <= p90 <= p99 per type, all within the observed value range."""
+    rows = run("q_percentile_cont")
+    assert rows
+    for r in rows:
+        assert r.p50_cents <= r.p90_cents <= r.p99_cents
+        assert r.p50_cents > 0
+
+
+def test_vocab_coverage_monotone_to_one(run):
+    """Coverage is monotone in k and reaches 1e6 when k spans the whole
+    vocabulary (the fixture has ~31 types; the last k covers all)."""
+    rows = sorted(run("q_vocab_coverage"), key=lambda r: r.k)
+    assert [r.k for r in rows] == [8, 16, 24, 31]
+    cov = [r.coverage_e6 for r in rows]
+    assert cov == sorted(cov)
+    assert cov[-1] == 1000000
+    assert all(r.covered_tokens <= r.total_tokens for r in rows)
