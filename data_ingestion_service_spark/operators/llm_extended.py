@@ -1846,3 +1846,258 @@ def q_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "precision_e6"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_embed_standardize — per-DIMENSION z-score standardization of the
+# embedding column (x → (x − μ_d)/σ_d): the feature-scaling pass run
+# before distance-based ML (k-means, kNN) whenever dimensions carry
+# different variances — unscaled dimensions silently dominate every
+# euclidean distance downstream. Reports, per vector, the e6 checksum
+# of the standardized values plus min/max standardized entries, so the
+# TRANSFORM (not just its moments) is hash-verified.
+#
+# Exactness: per-dimension moments come from e6-quantized integer
+# sums (order-independent); σ_d and each standardized value are
+# fixed-parenthesization double expressions over those exact integers,
+# floored to e6 per ENTRY before the checksum sum (the distributed-sum
+# discipline).
+#
+# Scale: one explode pass reduced to 64 dimension rows (map-side
+# combinable), broadcast back onto a second map-only pass. At 100 TB
+# this is the canonical two-pass standardizer; nothing is collected.
+# ---------------------------------------------------------------------------
+
+_STD_ORACLE = """
+WITH flat AS (
+  SELECT vec_id, i,
+         CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT) AS xe
+  FROM embeddings, unnest(range(1, 65)) AS t(i)
+),
+dims AS (
+  SELECT i,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xe) AS BIGINT) AS s,
+         CAST(sum(xe * xe) AS BIGINT) AS sq
+  FROM flat
+  GROUP BY 1
+),
+z AS (
+  SELECT f.vec_id,
+         CAST(floor(
+           (CAST(f.xe AS DOUBLE) - CAST(d.s AS DOUBLE) / CAST(d.n AS DOUBLE))
+           / sqrt(CAST(d.sq AS DOUBLE) / CAST(d.n AS DOUBLE)
+                  - (CAST(d.s AS DOUBLE) / CAST(d.n AS DOUBLE))
+                  * (CAST(d.s AS DOUBLE) / CAST(d.n AS DOUBLE)))
+           * 1000000) AS BIGINT) AS z_e6
+  FROM flat f JOIN dims d ON d.i = f.i
+)
+SELECT vec_id,
+       CAST(sum(z_e6) AS BIGINT) AS z_checksum_e6,
+       CAST(min(z_e6) AS BIGINT) AS z_min_e6,
+       CAST(max(z_e6) AS BIGINT) AS z_max_e6
+FROM z
+GROUP BY 1
+"""
+
+
+@register("q_embed_standardize", oracle=_STD_ORACLE)
+def q_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    xe = F.floor(
+        F.element_at(as_double("embedding"), F.col("i")) * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    flat = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.explode(F.sequence(F.lit(1), F.lit(64))).alias("i"),
+        )
+        .withColumn("xe", xe)
+        .drop("embedding")
+    )
+    dims = flat.groupBy("i").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xe").cast("bigint").alias("s"),
+        F.sum(F.col("xe") * F.col("xe")).cast("bigint").alias("sq"),
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("sq").cast("double") / F.col("n").cast("double") - mean * mean
+    )
+    z = flat.join(F.broadcast(dims), "i").select(
+        "vec_id",
+        F.floor(
+            (F.col("xe").cast("double") - mean) / F.sqrt(var) * 1000000
+        )
+        .cast("long")
+        .alias("z_e6"),
+    )
+    return z.groupBy("vec_id").agg(
+        F.sum("z_e6").cast("bigint").alias("z_checksum_e6"),
+        F.min("z_e6").cast("bigint").alias("z_min_e6"),
+        F.max("z_e6").cast("bigint").alias("z_max_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_ndcg — NDCG@10 of the INT8-QUANTIZED cosine ranking against the
+# exact-cosine ranking, per probe: the rank-weighted answer to "what
+# does 4× embedding compression cost at the top of the list".
+# q_ann_recall counts how many of the true top-k survive; NDCG weights
+# WHERE they land (a true #1 demoted to #10 is nearly free in recall
+# and expensive here) — the standard IR metric, applied to the
+# quantizer the way production vector stores actually evaluate it.
+#
+# Construction: relevance of an item = 11 − its EXACT rank (top-10
+# graded 10..1, everything else 0); system list = top-10 by integer
+# int8×int8 dot product (exact arithmetic, vec_id tie-break); DCG
+# discounts 1/log2(i+1) are COMPILE-TIME integer constants (floor(1e6/
+# log2(i+1)) computed once in Python and embedded as literals in both
+# engines — runtime log2 could differ by 1 ulp between libms and flip
+# a floor). NDCG = Σrel·disc // Σideal·disc — fully integer end to end.
+#
+# Scale: both rankings are probe-bounded (5 broadcast probes against
+# one embedding scan — q_knn_self's brute-audit shape; the production
+# swap is the IVF shortlist); the quantized dot is exact integer
+# arithmetic on 1-byte codes, which is the entire point of shipping
+# int8 at 100 TB.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_NDCG_K = 10
+_NDCG_PROBES = 5
+# floor(1e6 / log2(i+1)) for ranks i = 1..10 — compile-time literals.
+_NDCG_DISC = [int(1_000_000 // _math.log2(i + 1)) for i in range(1, 11)]
+
+
+def _ndcg_oracle() -> str:
+    disc_rows = ", ".join(f"({i + 1}, {d})" for i, d in enumerate(_NDCG_DISC))
+    return f"""
+WITH q AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+           AS scale
+  FROM embeddings
+),
+codes AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> greatest(-127, least(127,
+           CAST(floor(x / scale + 0.5) AS BIGINT)))) AS code
+  FROM q WHERE scale > 0
+),
+probes AS (SELECT * FROM codes WHERE vec_id < {_NDCG_PROBES}),
+exact AS (
+  SELECT p.vec_id AS p_id, e.vec_id,
+         11 - row_number() OVER (
+           PARTITION BY p.vec_id
+           ORDER BY list_cosine_similarity(e.v, p.v) DESC, e.vec_id
+         ) AS rel
+  FROM probes p JOIN codes e ON e.vec_id <> p.vec_id
+  QUALIFY rel >= 1
+),
+sys AS (
+  SELECT p.vec_id AS p_id, e.vec_id,
+         row_number() OVER (
+           PARTITION BY p.vec_id
+           ORDER BY list_sum(list_transform(range(1, len(e.code) + 1),
+                    i -> e.code[i] * p.code[i])) DESC, e.vec_id
+         ) AS rk
+  FROM probes p JOIN codes e ON e.vec_id <> p.vec_id
+  QUALIFY rk <= {_NDCG_K}
+),
+disc(rk, d) AS (VALUES {disc_rows}),
+dcg AS (
+  SELECT s.p_id,
+         CAST(sum(coalesce(x.rel, 0) * disc.d) AS BIGINT) AS dcg_int
+  FROM sys s
+  JOIN disc ON disc.rk = s.rk
+  LEFT JOIN exact x ON x.p_id = s.p_id AND x.vec_id = s.vec_id
+  GROUP BY 1
+),
+idcg AS (
+  SELECT CAST(sum((11 - rk) * d) AS BIGINT) AS idcg_int FROM disc
+)
+SELECT d.p_id AS probe_id, d.dcg_int, i.idcg_int,
+       d.dcg_int * 1000000 // i.idcg_int AS ndcg_e6
+FROM dcg d CROSS JOIN idcg i
+"""
+
+
+@register("q_ndcg", oracle=_ndcg_oracle())
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double("embedding")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    code = F.transform(
+        F.col("v"),
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.floor(x / F.col("scale") + F.lit(0.5)).cast("long"),
+            ),
+        ),
+    )
+    codes = (
+        emb.select("vec_id", v.alias("v"), scale.alias("scale"))
+        .filter(F.col("scale") > 0)
+        .select("vec_id", "v", code.alias("code"))
+    )
+    probes = codes.filter(F.col("vec_id") < _NDCG_PROBES).select(
+        F.col("vec_id").alias("p_id"),
+        F.col("v").alias("pv"),
+        F.col("code").alias("pcode"),
+    )
+    joined = codes.join(
+        F.broadcast(probes), F.col("vec_id") != F.col("p_id")
+    )
+    w_exact = Window.partitionBy("p_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    exact = (
+        joined.select(
+            "p_id", "vec_id", cosine(F.col("v"), F.col("pv")).alias("cos")
+        )
+        .withColumn("rel", 11 - F.row_number().over(w_exact))
+        .filter(F.col("rel") >= 1)
+        .select("p_id", "vec_id", "rel")
+    )
+    qdot = F.aggregate(
+        F.zip_with("code", "pcode", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w_sys = Window.partitionBy("p_id").orderBy(F.desc("qdot"), F.asc("vec_id"))
+    sys_rank = (
+        joined.select("p_id", "vec_id", qdot.alias("qdot"))
+        .withColumn("rk", F.row_number().over(w_sys))
+        .filter(F.col("rk") <= _NDCG_K)
+        .select("p_id", "vec_id", "rk")
+    )
+    disc = F.create_map(
+        *[F.lit(x) for pair in enumerate(_NDCG_DISC, 1) for x in pair]
+    )
+    idcg_int = sum((11 - rk) * d for rk, d in enumerate(_NDCG_DISC, 1))
+    dcg = (
+        sys_rank.join(exact, ["p_id", "vec_id"], "left")
+        .select(
+            "p_id",
+            (
+                F.coalesce(F.col("rel"), F.lit(0))
+                * F.element_at(disc, F.col("rk"))
+            ).alias("term"),
+        )
+        .groupBy("p_id")
+        .agg(F.sum("term").cast("bigint").alias("dcg_int"))
+    )
+    return dcg.select(
+        F.col("p_id").alias("probe_id"),
+        "dcg_int",
+        F.lit(idcg_int).cast("bigint").alias("idcg_int"),
+        F.expr(f"dcg_int * 1000000 div {idcg_int}L").alias("ndcg_e6"),
+    )

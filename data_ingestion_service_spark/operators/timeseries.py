@@ -241,3 +241,92 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "med_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_rolling_corr — 14-day rolling Pearson correlation between daily
+# revenue and daily order count: the co-movement monitor ("is average
+# ticket size drifting?") that a static q_corr_stats cannot give,
+# because the relationship is only meaningful locally in time. Window
+# sufficient statistics (Σx, Σy, Σxy, Σx², Σy², n over the frame) are
+# exact BIGINTs; each day's correlation is ONE fixed-parenthesization
+# double expression over them, floored to e6 — the q_ols2 discipline
+# applied per-frame. Frames shorter than 3 days emit NULL (too few
+# points), and zero-variance frames emit NULL on both engines.
+#
+# Scale: the rollup is calendar-bounded (~2.4k rows at any corpus
+# size — q_lag_features' argument); six window sums share ONE sort.
+# At 100 TB the corpus-sized work is only the daily rollup shuffle.
+# ---------------------------------------------------------------------------
+
+_RC_EXPR = (
+    "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+    " / CAST(nn AS DOUBLE))"
+    " / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+    " / CAST(nn AS DOUBLE))"
+    " * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+    " / CAST(nn AS DOUBLE)))"
+)
+
+_ROLLING_CORR_ORACLE = f"""
+WITH daily AS (
+  SELECT o_orderdate::DATE AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100000
+              AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM orders
+  GROUP BY 1
+),
+framed AS (
+  SELECT d,
+         CAST(count(*) OVER w AS BIGINT)      AS nn,
+         CAST(sum(x) OVER w AS BIGINT)        AS sx,
+         CAST(sum(y) OVER w AS BIGINT)        AS sy,
+         CAST(sum(x * y) OVER w AS BIGINT)    AS sxy,
+         CAST(sum(x * x) OVER w AS BIGINT)    AS sxx,
+         CAST(sum(y * y) OVER w AS BIGINT)    AS syy
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT d::TIMESTAMP AS day,
+       CASE WHEN nn < 3 THEN NULL
+            WHEN nn * sxx = sx * sx OR nn * syy = sy * sy THEN NULL
+            ELSE CAST(floor({_RC_EXPR} * 1000000) AS BIGINT)
+       END AS corr_e6
+FROM framed
+"""
+
+
+@register("q_rolling_corr", oracle=_ROLLING_CORR_ORACLE)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.expr(
+            "cast(sum(cast(round(o_totalprice * 100) as bigint))"
+            " div 100000 as bigint)"
+        ).alias("x"),
+        F.count(F.lit(1)).cast("bigint").alias("y"),
+    )
+    w = Window.orderBy("d").rowsBetween(-13, 0)
+    framed = daily.select(
+        "d",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("nn"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("bigint").alias("syy"),
+    )
+    return framed.select(
+        F.col("d").cast("timestamp_ntz").alias("day"),
+        F.when(F.col("nn") < 3, F.lit(None).cast("bigint"))
+        .when(
+            (F.col("nn") * F.col("sxx") == F.col("sx") * F.col("sx"))
+            | (F.col("nn") * F.col("syy") == F.col("sy") * F.col("sy")),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(
+            F.expr(f"CAST(floor({_RC_EXPR} * 1000000) AS BIGINT)")
+        )
+        .alias("corr_e6"),
+    )

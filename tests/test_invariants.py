@@ -1703,3 +1703,39 @@ def test_vocab_coverage_monotone_to_one(run):
     assert cov == sorted(cov)
     assert cov[-1] == 1000000
     assert all(r.covered_tokens <= r.total_tokens for r in rows)
+
+
+def test_embed_standardize_checksum_bounds(run, spark, sf_dir):
+    """Standardized entries are z-scores: per-vector min < 0 < max is
+    typical but not guaranteed; what IS guaranteed is |z| bounded by
+    sqrt(n) and one row per vector."""
+    rows = run("q_embed_standardize")
+    n_vec = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n_vec
+    import math
+
+    bound = int(math.sqrt(n_vec) * 1e6) + 1000000
+    for r in rows:
+        assert -bound <= r.z_min_e6 <= r.z_max_e6 <= bound
+
+
+def test_rolling_corr_in_unit_range(run):
+    """Correlations live in [-1, 1] (e6); head rows (frame < 3) are
+    NULL; most of the series carries a value."""
+    rows = run("q_rolling_corr")
+    non_null = [r.corr_e6 for r in rows if r.corr_e6 is not None]
+    assert len(non_null) > len(rows) * 0.9
+    for v in non_null:
+        assert -1000000 <= v <= 1000001
+
+
+def test_ndcg_bounds_and_recall_consistency(run):
+    """NDCG ∈ [0, 1e6] per probe; a probe's NDCG is 1e6 iff the
+    quantized top-10 equals the exact top-10 in order — on this
+    fixture int8 keeps NDCG high (> 0.5) for every probe."""
+    rows = run("q_ndcg")
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r.ndcg_e6 <= 1000000
+        assert r.ndcg_e6 > 500000, r
+        assert r.idcg_int > 0
