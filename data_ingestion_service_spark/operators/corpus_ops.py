@@ -5578,3 +5578,94 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_score_calibrate — per-source QUANTILE NORMALIZATION of the quality
+# score: each doc's score becomes its percent-rank WITHIN its source
+# (e6). The calibration step before any global quality threshold:
+# sources differ systematically (boilerplate style, length norms), so
+# one absolute cutoff over-prunes some sources and under-prunes others
+# — rank-normalizing first makes "keep the top 60%" mean the same
+# thing in every source. Output keeps raw score beside the calibrated
+# one plus each doc's global percentile for the audit diff.
+#
+# Exactness: the score is the exact integer mean-token-length e4
+# (q_quality_prune_curve's score); percent-rank is (rank−1)/(n−1)
+# computed as an e6 integer division of exact window counts with a
+# deterministic (score, doc_id) tie-break — the builtin percent_rank
+# ties differently across engines, so it is built from row_number
+# explicitly.
+#
+# Scale: two windows (per-source, global) over the doc-dimension
+# score table; at 100 TB the global rank swaps to approx-percentile
+# boundaries (q_rfm_segments' documented swap), the per-source one
+# partitions by source.
+# ---------------------------------------------------------------------------
+
+_CALIBRATE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source,
+         n_chars * 10000 // len(string_split(text, ' ')) AS score_e4
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, score_e4,
+         row_number() OVER (PARTITION BY source ORDER BY score_e4, doc_id)
+           AS rk_src,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src,
+         row_number() OVER (ORDER BY score_e4, doc_id) AS rk_all,
+         CAST(count(*) OVER () AS BIGINT) AS n_all
+  FROM d
+)
+SELECT doc_id, source, score_e4,
+       CASE WHEN n_src = 1 THEN 1000000
+            ELSE (rk_src - 1) * 1000000 // (n_src - 1) END AS calibrated_e6,
+       CASE WHEN n_all = 1 THEN 1000000
+            ELSE (rk_all - 1) * 1000000 // (n_all - 1) END AS global_e6
+FROM r
+"""
+
+
+@register("q_score_calibrate", oracle=_CALIBRATE_ORACLE)
+def q_score_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.expr("n_chars * 10000 div size(split(text, ' '))").alias(
+            "score_e4"
+        ),
+    )
+    w_src = Window.partitionBy("source").orderBy("score_e4", "doc_id")
+    w_src_all = Window.partitionBy("source").orderBy(
+        "score_e4", "doc_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_all = Window.orderBy("score_e4", "doc_id")
+    w_all_full = Window.orderBy("score_e4", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = d.select(
+        "doc_id",
+        "source",
+        "score_e4",
+        # row_number() is INT in Spark; the e6 multiply below needs LONG
+        # (500k docs * 1e6 overflows int32 at sf1)
+        F.row_number().over(w_src).cast("bigint").alias("rk_src"),
+        F.count(F.lit(1)).over(w_src_all).cast("bigint").alias("n_src"),
+        F.row_number().over(w_all).cast("bigint").alias("rk_all"),
+        F.count(F.lit(1)).over(w_all_full).cast("bigint").alias("n_all"),
+    )
+    return r.select(
+        "doc_id",
+        "source",
+        "score_e4",
+        F.when(F.col("n_src") == 1, F.lit(1000000).cast("bigint"))
+        .otherwise(F.expr("(rk_src - 1) * 1000000 div (n_src - 1)"))
+        .alias("calibrated_e6"),
+        F.when(F.col("n_all") == 1, F.lit(1000000).cast("bigint"))
+        .otherwise(F.expr("(rk_all - 1) * 1000000 div (n_all - 1)"))
+        .alias("global_e6"),
+    )

@@ -1739,3 +1739,22 @@ def test_ndcg_bounds_and_recall_consistency(run):
         assert 0 <= r.ndcg_e6 <= 1000000
         assert r.ndcg_e6 > 500000, r
         assert r.idcg_int > 0
+
+
+def test_score_calibrate_uniformizes(spark, sf_dir, run):
+    """Calibrated ranks are uniform within every source: per source the
+    max is 1e6, the min is 0 (n_src > 1 in the fixture), and the mean
+    sits near 5e5 — while raw global percentiles need not be uniform
+    per source (that asymmetry is the key's reason to exist)."""
+    rows = run("q_score_calibrate")
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r.calibrated_e6)
+        assert 0 <= r.calibrated_e6 <= 1000000
+        assert 0 <= r.global_e6 <= 1000000
+    for src, vals in per_src.items():
+        assert min(vals) == 0 and max(vals) == 1000000, src
+        mean = sum(vals) / len(vals)
+        assert 400000 < mean < 600000, (src, mean)
