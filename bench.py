@@ -183,6 +183,14 @@ SESSION5_OPS = [
     "q_prefix_cache_hits",
     "q_peak_concurrency",
     "q_sample_quantile_audit",
+    "q_asof_nearest",
+    "q_wilson_ci",
+    "q_percentile_cont",
+    "q_vocab_coverage",
+    "q_embed_standardize",
+    "q_rolling_corr",
+    "q_ndcg",
+    "q_score_calibrate",
 ]
 
 

@@ -5386,8 +5386,10 @@ s AS (
   FROM ranked
 )
 SELECT n,
-       CAST(floor({_ZIPF_SLOPE.replace("/ 1000000.0 / 1000000.0", "/ 1000000.0 / 1.0")} * 1000000) AS BIGINT) AS slope_e6,
-       CAST(floor({_ZIPF_R2.replace("/ 1000000.0 / 1000000.0", "/ 1000000.0 / 1.0")} * 1000000) AS BIGINT) AS r2_e6
+       CASE WHEN n < 2 THEN NULL ELSE
+       CAST(floor({_ZIPF_SLOPE.replace("/ 1000000.0 / 1000000.0", "/ 1000000.0 / 1.0")} * 1000000) AS BIGINT) END AS slope_e6,
+       CASE WHEN n < 2 THEN NULL ELSE
+       CAST(floor({_ZIPF_R2.replace("/ 1000000.0 / 1000000.0", "/ 1000000.0 / 1.0")} * 1000000) AS BIGINT) END AS r2_e6
 FROM s
 """
 
@@ -5422,10 +5424,18 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     slope = _ZIPF_SLOPE.replace("/ 1000000.0 / 1000000.0", "/ 1000000.0 / 1.0")
     r2 = _ZIPF_R2.replace("/ 1000000.0 / 1000000.0", "/ 1000000.0 / 1.0")
+    # n < 2 leaves the regression undefined (zero x-variance): NULL on
+    # both engines rather than a 0/0 NaN→cast crash on degenerate data.
     return s.select(
         "n",
-        F.expr(f"CAST(floor({slope} * 1000000) AS BIGINT)").alias("slope_e6"),
-        F.expr(f"CAST(floor({r2} * 1000000) AS BIGINT)").alias("r2_e6"),
+        F.expr(
+            f"CASE WHEN n < 2 THEN NULL ELSE"
+            f" CAST(floor({slope} * 1000000) AS BIGINT) END"
+        ).alias("slope_e6"),
+        F.expr(
+            f"CASE WHEN n < 2 THEN NULL ELSE"
+            f" CAST(floor({r2} * 1000000) AS BIGINT) END"
+        ).alias("r2_e6"),
     )
 
 

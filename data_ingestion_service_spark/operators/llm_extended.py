@@ -1884,12 +1884,16 @@ dims AS (
 ),
 z AS (
   SELECT f.vec_id,
+         CASE WHEN CAST(d.sq AS DOUBLE) / CAST(d.n AS DOUBLE)
+                   - (CAST(d.s AS DOUBLE) / CAST(d.n AS DOUBLE))
+                   * (CAST(d.s AS DOUBLE) / CAST(d.n AS DOUBLE)) <= 0.0
+              THEN 0 ELSE
          CAST(floor(
            (CAST(f.xe AS DOUBLE) - CAST(d.s AS DOUBLE) / CAST(d.n AS DOUBLE))
            / sqrt(CAST(d.sq AS DOUBLE) / CAST(d.n AS DOUBLE)
                   - (CAST(d.s AS DOUBLE) / CAST(d.n AS DOUBLE))
                   * (CAST(d.s AS DOUBLE) / CAST(d.n AS DOUBLE)))
-           * 1000000) AS BIGINT) AS z_e6
+           * 1000000) AS BIGINT) END AS z_e6
   FROM flat f JOIN dims d ON d.i = f.i
 )
 SELECT vec_id,
@@ -1926,10 +1930,16 @@ def q_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = (
         F.col("sq").cast("double") / F.col("n").cast("double") - mean * mean
     )
+    # A zero-variance dimension standardizes to 0 (not a 0/0 NaN→cast
+    # crash); the guard compares the SAME double expression both engines
+    # evaluate (an integer sq·n product would itself overflow first).
     z = flat.join(F.broadcast(dims), "i").select(
         "vec_id",
-        F.floor(
-            (F.col("xe").cast("double") - mean) / F.sqrt(var) * 1000000
+        F.when(var <= 0.0, F.lit(0))
+        .otherwise(
+            F.floor(
+                (F.col("xe").cast("double") - mean) / F.sqrt(var) * 1000000
+            ).cast("long")
         )
         .cast("long")
         .alias("z_e6"),
