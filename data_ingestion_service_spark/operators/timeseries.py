@@ -330,3 +330,205 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("corr_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_seasonal_anomalies — the monitoring rule built ON TOP of the
+# q_seasonal_dow profile: per event type, z-test each calendar day's
+# mean against its day-of-week profile (z² = (daily_mean − dow_mean)²
+# · n_day / dow_var — the √n scaling matters: a daily MEAN over ~400
+# events is 20× tighter than a single event) and report the anomaly
+# count plus the most extreme day. On the uniform fixture the honest
+# answer is ZERO anomalies with max z² ≈ 1-4 (the audit verifying
+# calm data is calm — q_expectations' clean-fixture precedent); the
+# output is the per-type SUMMARY, never empty, so the driver hash
+# checks real values either way.
+#
+# Exactness: z²_e6 = (dm−mean)²·n·1e6 // var — all-BIGINT (deviations
+# are bounded by the cents domain; (dm−mean)² ≤ ~1e8, ·n_day ~1e3,
+# ·1e6 → ~1e17, BIGINT-safe); days with var = 0 are skipped by both
+# engines identically.
+#
+# Scale: one scan → (type, day) rollup (calendar-bounded), broadcast
+# join of the 35-row dow profile, 5-row summary.
+# ---------------------------------------------------------------------------
+
+_SEASONAL_ANOM_ORACLE = """
+WITH e AS (
+  SELECT event_type,
+         (date_diff('day', DATE '1970-01-01', ts::DATE) + 3) % 7 AS dow,
+         date_diff('day', DATE '1970-01-01', ts::DATE) AS epoch_day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+cell AS (
+  SELECT event_type, dow,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s,
+         CAST(sum(cents * cents) AS BIGINT) AS sq
+  FROM e GROUP BY 1, 2
+),
+prof AS (
+  SELECT event_type, dow,
+         s // n AS mean_cents,
+         CAST(floor((CAST(sq AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                       / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+              AS BIGINT) AS var_cents2
+  FROM cell
+),
+daily AS (
+  SELECT event_type, epoch_day, dow,
+         CAST(sum(cents) // count(*) AS BIGINT) AS dm,
+         CAST(count(*) AS BIGINT) AS nd
+  FROM e GROUP BY 1, 2, 3
+),
+z AS (
+  SELECT d.event_type,
+         CASE WHEN p.var_cents2 <= 0 THEN NULL
+              ELSE (d.dm - p.mean_cents) * (d.dm - p.mean_cents)
+                   * d.nd * 1000000 // p.var_cents2 END AS z2_e6
+  FROM daily d
+  JOIN prof p ON p.event_type = d.event_type AND p.dow = d.dow
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(CASE WHEN z2_e6 > 9000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies,
+       CAST(max(z2_e6) AS BIGINT) AS max_z2_e6
+FROM z
+GROUP BY 1
+"""
+
+
+@register("q_seasonal_anomalies", oracle=_SEASONAL_ANOM_ORACLE)
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "epoch_day"
+        ),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).withColumn("dow", (F.col("epoch_day") + 3) % 7)
+    cell = e.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("sq"),
+    )
+    prof = cell.select(
+        "event_type",
+        "dow",
+        F.expr("s div n").alias("mean_cents"),
+        F.floor(
+            (
+                F.col("sq").cast("double")
+                - F.col("s").cast("double")
+                * F.col("s").cast("double")
+                / F.col("n").cast("double")
+            )
+            / F.col("n").cast("double")
+        )
+        .cast("bigint")
+        .alias("var_cents2"),
+    )
+    daily = e.groupBy("event_type", "epoch_day", "dow").agg(
+        F.expr("cast(sum(cents) div count(*) as bigint)").alias("dm"),
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+    )
+    z = daily.join(F.broadcast(prof), ["event_type", "dow"]).select(
+        "event_type",
+        F.when(F.col("var_cents2") <= 0, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.expr(
+                "(dm - mean_cents) * (dm - mean_cents) * nd * 1000000"
+                " div var_cents2"
+            )
+        )
+        .alias("z2_e6"),
+    )
+    return z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.when(F.col("z2_e6") > 9000000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_anomalies"),
+        F.max("z2_e6").cast("bigint").alias("max_z2_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_out_of_order_audit — late-arrival audit over the event stream:
+# treating event_id as arrival order (the fixture generator assigns
+# ids in generation order) and ts as event time, measure per user the
+# fraction of events that arrived AFTER a later-timestamped event had
+# already arrived (inversions against the running max-ts) and the
+# worst lateness in seconds. This is THE statistic that sizes a
+# streaming watermark: q_stream_watermark asserts a delay works;
+# this key measures the delay the data actually needs (max_late_s is
+# the smallest watermark that drops nothing).
+#
+# Exactness: running max over exact epoch seconds with (event_id)
+# total order; counts and gaps are exact integers; the global rollup
+# reports per-type fractions e6.
+#
+# Scale: one user-partitioned window (running max is O(1) state),
+# one rollup. Nothing global until the 5-row summary.
+# ---------------------------------------------------------------------------
+
+_OOO_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t_s
+  FROM events
+),
+m AS (
+  SELECT event_type, t_s,
+         max(t_s) OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prior_max
+  FROM e
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN prior_max > t_s THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       CAST(sum(CASE WHEN prior_max > t_s THEN 1 ELSE 0 END) AS BIGINT)
+         * 1000000 // CAST(count(*) AS BIGINT) AS late_share_e6,
+       CAST(coalesce(max(CASE WHEN prior_max > t_s
+                              THEN prior_max - t_s END), 0) AS BIGINT)
+         AS max_late_s
+FROM m
+GROUP BY 1
+"""
+
+
+@register("q_out_of_order_audit", oracle=_OOO_ORACLE)
+def q_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("bigint").alias("t_s"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = e.select(
+        "event_type", "t_s", F.max("t_s").over(w).alias("prior_max")
+    )
+    late = F.col("prior_max") > F.col("t_s")
+    return m.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("bigint").alias("n_late"),
+        F.expr(
+            "cast(sum(case when prior_max > t_s then 1 else 0 end)"
+            " * 1000000 div count(*) as bigint)"
+        ).alias("late_share_e6"),
+        F.coalesce(
+            F.max(F.when(late, F.col("prior_max") - F.col("t_s"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("max_late_s"),
+    )

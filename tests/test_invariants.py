@@ -1758,3 +1758,28 @@ def test_score_calibrate_uniformizes(spark, sf_dir, run):
         assert min(vals) == 0 and max(vals) == 1000000, src
         mean = sum(vals) / len(vals)
         assert 400000 < mean < 600000, (src, mean)
+
+
+def test_seasonal_anomalies_calm_fixture(run):
+    """The uniform fixture is calm: zero 3σ anomalies per type, with a
+    finite, small max z² (the audit verifying calm data reads calm —
+    the q_expectations clean-fixture discipline). n_days reconciles to
+    30 fixture days per type."""
+    rows = run("q_seasonal_anomalies")
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_anomalies == 0
+        assert r.max_z2_e6 is not None and 0 <= r.max_z2_e6 < 9000000
+        assert r.n_days == 30
+
+
+def test_out_of_order_matches_watermark_need(spark, sf_dir, run):
+    """late share ∈ [0, 1]; max_late_s = 0 exactly when n_late = 0; and
+    the per-type totals reconcile to the event count."""
+    rows = run("q_out_of_order_audit")
+    ev_n = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == ev_n
+    for r in rows:
+        assert 0 <= r.n_late <= r.n_events
+        assert 0 <= r.late_share_e6 <= 1000000
+        assert (r.max_late_s == 0) == (r.n_late == 0)
