@@ -5679,3 +5679,123 @@ def q_score_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr("(rk_all - 1) * 1000000 div (n_all - 1)"))
         .alias("global_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dup_quality_bias — does duplication correlate with quality? Every
+# doc is assigned its dedup tier — 'exact' (shares a full-text digest),
+# else 'near' (member of a shingle-Jaccard ≥ 0.25 pair), else 'unique'
+# — and each tier reports doc count and mean quality score. The
+# question decides WHERE the quality filter runs in the waterfall: if
+# dups skew low-quality, dedup-first wastes quality-scoring compute on
+# doomed docs; if they don't, order is free. A real mix-owner question
+# answered by joining two existing families (dedup stores × quality
+# score) — no new corpus passes.
+#
+# Exactness: tier assignment is exact set membership with fixed
+# precedence (exact > near > unique); the mean is an integer division
+# of exact e4 score sums.
+#
+# Scale: digest groups are one reduce; near members come from the
+# session-persisted scored_pairs store (near-dup-density-sized,
+# broadcast); the score is a map-side expression on the one doc scan.
+# ---------------------------------------------------------------------------
+
+_DUP_QUALITY_ORACLE = """
+WITH d AS MATERIALIZED (
+  SELECT doc_id, md5(text) AS digest,
+         n_chars * 10000 // len(string_split(text, ' ')) AS score_e4
+  FROM documents
+),
+dup_digests AS (
+  SELECT digest FROM d GROUP BY digest HAVING count(*) >= 2
+),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    WHERE len(t) >= 3
+  )
+),
+sizes AS MATERIALIZED (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1
+),
+np AS MATERIALIZED (
+  SELECT p.doc_a, p.doc_b
+  FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  WHERE 4 * p.n_common >= sa.sz + sb.sz - p.n_common
+),
+near_members AS (
+  SELECT DISTINCT m FROM (
+    SELECT doc_a AS m FROM np UNION ALL SELECT doc_b FROM np
+  )
+)
+SELECT CASE WHEN dd.digest IS NOT NULL THEN 'exact'
+            WHEN nm.m IS NOT NULL THEN 'near'
+            ELSE 'unique' END AS tier,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d.score_e4) // count(*) AS BIGINT) AS mean_score_e4
+FROM d
+LEFT JOIN dup_digests dd ON dd.digest = d.digest
+LEFT JOIN near_members nm ON nm.m = d.doc_id
+GROUP BY 1
+"""
+
+
+@register("q_dup_quality_bias", oracle=_DUP_QUALITY_ORACLE)
+def q_dup_quality_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_service_spark.operators.llm import scored_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+        F.expr("n_chars * 10000 div size(split(text, ' '))").alias(
+            "score_e4"
+        ),
+    )
+    dup_digests = (
+        d.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("digest", F.lit(1).alias("is_exact"))
+    )
+    near = scored_pairs(spark, sf_dir).filter(
+        4 * F.col("n_common")
+        >= F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    )
+    near_members = (
+        near.select(F.col("doc_a").alias("m"))
+        .unionAll(near.select(F.col("doc_b").alias("m")))
+        .distinct()
+        .select("m", F.lit(1).alias("is_near"))
+    )
+    tier = (
+        F.when(F.col("is_exact").isNotNull(), "exact")
+        .when(F.col("is_near").isNotNull(), "near")
+        .otherwise("unique")
+    )
+    return (
+        d.join(F.broadcast(dup_digests), "digest", "left")
+        .join(
+            F.broadcast(near_members),
+            d["doc_id"] == near_members["m"],
+            "left",
+        )
+        .groupBy(tier.alias("tier"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr("cast(sum(score_e4) div count(*) as bigint)").alias(
+                "mean_score_e4"
+            ),
+        )
+    )

@@ -1783,3 +1783,15 @@ def test_out_of_order_matches_watermark_need(spark, sf_dir, run):
         assert 0 <= r.n_late <= r.n_events
         assert 0 <= r.late_share_e6 <= 1000000
         assert (r.max_late_s == 0) == (r.n_late == 0)
+
+
+def test_dup_quality_bias_partitions_corpus(spark, sf_dir, run):
+    """Tiers partition all docs; exact-tier size matches q_dedup_docs'
+    accounting (docs sharing a digest = n_docs - n_unique + dup-group
+    leaders); every tier's mean score is a plausible e4 token length."""
+    rows = {r.tier: r for r in run("q_dup_quality_bias")}
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows.values()) == n_docs
+    assert set(rows) <= {"exact", "near", "unique"}
+    for r in rows.values():
+        assert 10000 <= r.mean_score_e4 <= 200000  # 1..20 chars/token
