@@ -298,13 +298,22 @@ def q_null_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # past is causally safer), gap reported signed (negative = purchase
 # preceded the error). Events sharing a timestamp order by event_id.
 #
-# Exactness: epoch-second integer gaps; the prev/next scan is ONE
-# user-partitioned window pass using conditional last/first values
-# (ignoreNulls) over the mixed event stream — no self-join, no
-# union of two as-ofs.
+# Exactness: epoch-second integer gaps; the prev/next scan is TWO
+# running last-non-null window passes over the mixed event stream (the
+# forward one and a REVERSED-order one) — no self-join, no union of
+# two as-ofs.
 #
-# Scale: one shuffle on user_id; O(1) running state per row (the
-# window's last-non-null); millions of independent user partitions.
+# Scale: one shuffle on user_id shared by both window sorts; O(1)
+# running state per row. The obvious spelling of "next purchase" —
+# first_value over (1 FOLLOWING, UNBOUNDED FOLLOWING) — is a trap:
+# Spark's UnboundedFollowing frame RECOMPUTES the aggregate per row
+# (O(n²) per partition; the 80%-one-user skew tier wedged on it for
+# minutes with 800k rows in one partition). The reversed-order running
+# frame computes the identical value in O(n): in DESC (ts, event_id)
+# order, the frame (UNBOUNDED PRECEDING, 1 PRECEDING) holds exactly the
+# strictly-later rows, and last_value(ignoreNulls) of it is the nearest
+# future purchase. DuckDB's segment-tree window engine handles the
+# direct spelling fine, so the oracle keeps it — same values.
 # ---------------------------------------------------------------------------
 
 _ASOF_NEAREST_ORACLE = """
@@ -349,17 +358,22 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("ts").cast("bigint").alias("t_s"),
     )
     purchase_t = F.when(F.col("event_type") == "purchase", F.col("t_s"))
-    w = Window.partitionBy("user_id").orderBy("t_s", "event_id")
+    w_fwd = Window.partitionBy("user_id").orderBy("t_s", "event_id")
+    w_rev = Window.partitionBy("user_id").orderBy(
+        F.desc("t_s"), F.desc("event_id")
+    )
     marked = e.select(
         "event_id",
         "user_id",
         "event_type",
         "t_s",
         F.last(purchase_t, ignorenulls=True)
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .over(w_fwd.rowsBetween(Window.unboundedPreceding, 0))
         .alias("prev_t"),
-        F.first(purchase_t, ignorenulls=True)
-        .over(w.rowsBetween(1, Window.unboundedFollowing))
+        # reversed running last == first strictly-later purchase (see
+        # docstring: the UNBOUNDED FOLLOWING spelling is O(n²) in Spark)
+        F.last(purchase_t, ignorenulls=True)
+        .over(w_rev.rowsBetween(Window.unboundedPreceding, -1))
         .alias("next_t"),
     )
     prev_gap = F.col("prev_t") - F.col("t_s")

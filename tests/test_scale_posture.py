@@ -1417,3 +1417,17 @@ def test_cbo_stats_flip_join_order(spark, sf_dir):
     assert first_seen_order(cbo_plan) != ["cbo_l", "cbo_o", "cbo_c"], cbo_plan
     # the selective dims meet before the fact table
     assert first_seen_order(cbo_plan)[0] in ("cbo_o", "cbo_c")
+
+
+def test_asof_nearest_no_unbounded_following_frame(spark, sf_dir):
+    """q_asof_nearest must never regress to a (k FOLLOWING, UNBOUNDED
+    FOLLOWING) frame: Spark recomputes that frame PER ROW (O(n²) per
+    partition — the 80%-one-user skew tier wedged on it). Both window
+    frames must be running frames ending at or before the current row."""
+    plan = formatted_plan(QUERIES["q_asof_nearest"](spark, sf_dir))
+    import re
+
+    frames = re.findall(r"specifiedwindowframe\(RowFrame, ([^)]+)\)", plan)
+    assert frames, plan
+    for f in frames:
+        assert "unboundedfollowing" not in f.lower(), f
