@@ -2285,3 +2285,118 @@ def q_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_out_of_order — the STREAMING twin of q_out_of_order_audit:
+# during an ordered 4-file replay (chunks = event_id % 4, staged with
+# explicit mtimes so the file source consumes them in order), each
+# micro-batch reports how many of its events are LATE versus the
+# maximum event time already seen in prior batches, and the running
+# max itself. This is the arrival-side measurement a pipeline uses to
+# SET its watermark delay (the batch audit measures per-user lateness
+# in the data; this one measures cross-batch lateness the stream
+# actually experiences — the number processAllAvailable hides).
+#
+# Determinism: the chunk split is a pure function of event_id, the
+# replay order is pinned by mtimes, and every metric is an exact
+# integer (epoch seconds, counts) — so the oracle reproduces the
+# batches exactly: prior_max of chunk k = max ts over chunks < k.
+#
+# Driver state: one scalar (the running max) per batch — the benign
+# sentinel pattern (adjudicated in r5 for the watermark replays).
+#
+# Scale: per-batch work is a count + max over the batch (map-side);
+# the result is 4 rows.
+# ---------------------------------------------------------------------------
+
+_SOO_CHUNKS = 4
+
+_STREAM_OOO_ORACLE = f"""
+WITH e AS (
+  SELECT event_id % {_SOO_CHUNKS} AS chunk,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t_s
+  FROM events
+),
+per_chunk AS (
+  SELECT chunk,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(max(t_s) AS BIGINT) AS chunk_max_s
+  FROM e GROUP BY 1
+),
+with_prior AS (
+  SELECT chunk, n_events, chunk_max_s,
+         max(chunk_max_s) OVER (ORDER BY chunk
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prior_max_s
+  FROM per_chunk
+)
+SELECT w.chunk AS batch_id, w.n_events,
+       CAST(coalesce(sum(CASE WHEN e.t_s < w.prior_max_s THEN 1 END), 0)
+            AS BIGINT) AS n_late,
+       greatest(w.chunk_max_s, coalesce(w.prior_max_s, 0)) AS running_max_s
+FROM with_prior w
+JOIN e ON e.chunk = w.chunk
+GROUP BY 1, 2, w.chunk_max_s, w.prior_max_s
+"""
+
+
+@register("q_stream_out_of_order", oracle=_STREAM_OOO_ORACLE)
+def q_stream_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
+    kind = _events_ts_kind(spark, sf_dir)
+    schema = _events_raw_schema(kind)
+    work = tempfile.mkdtemp(prefix="ingest_soo_")
+    raw0 = spark.read.schema(schema).parquet(table_path(sf_dir, "events"))
+    os.makedirs(f"{work}/replay")
+    now = time.time()
+    for k in range(_SOO_CHUNKS):
+        raw0.filter(F.col("event_id") % _SOO_CHUNKS == k).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{work}/c{k}")
+        [p] = glob.glob(f"{work}/c{k}/part-*.parquet")
+        dst = f"{work}/replay/{chr(ord('a') + k)}_chunk.parquet"
+        shutil.copy(p, dst)
+        os.utime(dst, (now - 60 * (_SOO_CHUNKS - k), now - 60 * (_SOO_CHUNKS - k)))
+    raw_s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/replay")
+    )
+    ev = _normalize_ts(raw_s, kind)
+    state = {"max_s": None}
+    rows: list[tuple[int, int, int, int]] = []
+
+    def audit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t_s = F.unix_timestamp("ts").cast("bigint")
+        prior = state["max_s"]
+        agg = batch_df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.max(t_s).alias("mx"),
+            F.sum(
+                F.when(
+                    t_s < F.lit(prior if prior is not None else -(1 << 62)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_late"),
+        ).collect()[0]
+        if agg["n"] == 0:
+            return
+        running = agg["mx"] if prior is None else max(prior, agg["mx"])
+        rows.append((int(batch_id), int(agg["n"]), int(agg["n_late"]), int(running)))
+        state["max_s"] = running
+
+    q = (
+        ev.writeStream.foreachBatch(audit_batch)
+        .option("checkpointLocation", f"{work}/checkpoint")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.createDataFrame(
+        rows, "batch_id bigint, n_events bigint, n_late bigint, running_max_s bigint"
+    )

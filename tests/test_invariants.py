@@ -1795,3 +1795,18 @@ def test_dup_quality_bias_partitions_corpus(spark, sf_dir, run):
     assert set(rows) <= {"exact", "near", "unique"}
     for r in rows.values():
         assert 10000 <= r.mean_score_e4 <= 200000  # 1..20 chars/token
+
+
+def test_stream_out_of_order_running_max_monotone(spark, sf_dir, run):
+    """Four batches, counts reconcile to the event table, the running
+    max is non-decreasing, and batch 0 can have no late rows (nothing
+    arrived before it)."""
+    rows = sorted(run("q_stream_out_of_order"), key=lambda r: r.batch_id)
+    assert [r.batch_id for r in rows] == [0, 1, 2, 3]
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == n_events
+    assert rows[0].n_late == 0
+    maxes = [r.running_max_s for r in rows]
+    assert maxes == sorted(maxes)
+    for r in rows:
+        assert 0 <= r.n_late <= r.n_events
