@@ -362,3 +362,79 @@ def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"round(percentile({cents}, 0.9), 4)").alias("p90_cents"),
         F.expr(f"round(percentile({cents}, 0.99), 4)").alias("p99_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_equi_depth_histogram — 10 equal-FREQUENCY buckets of order value:
+# boundary = the exact cents value at rank ceil(k·n/10), plus each
+# bucket's row count and integer-cents mean. This is the histogram a
+# cost-based optimizer keeps (equi-depth bounds worst-case selectivity
+# error, unlike the equi-WIDTH q_histogram whose hot buckets go blind),
+# and the discrete-rank construction is engine-exact where quantile
+# interpolation would not be.
+#
+# Exactness: boundaries are elements picked by integer rank over the
+# (cents, o_orderkey) total order; bucket membership = rank intervals;
+# counts/means are exact integers.
+#
+# Scale: one rank window over orders (swap to approx boundaries at
+# 100 TB — q_rfm_segments' documented trade), then a 10-cell rollup.
+# ---------------------------------------------------------------------------
+
+_EQUIDEPTH_ORACLE = """
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+  FROM orders
+),
+r AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, o_orderkey) AS rk,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM o
+),
+b AS (
+  SELECT cents, rk, n,
+         least(((rk - 1) * 10) // n + 1, 10) AS bucket
+  FROM r
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(cents) AS BIGINT) AS lo_cents,
+       CAST(max(cents) AS BIGINT) AS hi_cents,
+       CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents
+FROM b
+GROUP BY 1
+"""
+
+
+@register("q_equi_depth_histogram", oracle=_EQUIDEPTH_ORACLE)
+def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.orderBy("cents", "o_orderkey")
+    w_all = Window.orderBy("cents", "o_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = o.select(
+        "cents",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+    )
+    b = r.select(
+        "cents",
+        F.least(
+            F.expr("((rk - 1) * 10) div n + 1"), F.lit(10).cast("bigint")
+        ).alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("cents").cast("bigint").alias("lo_cents"),
+        F.max("cents").cast("bigint").alias("hi_cents"),
+        F.expr("cast(sum(cents) div count(*) as bigint)").alias(
+            "mean_cents"
+        ),
+    )

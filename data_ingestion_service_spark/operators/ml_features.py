@@ -2208,3 +2208,91 @@ def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("ci_hi_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_mutual_nn — reciprocal nearest neighbors within the probe slice
+# (vec_id < 200): pairs where each vector is the OTHER's single nearest
+# neighbor by cosine. Mutual-NN is the high-precision matcher used in
+# bitext mining (Artetxe & Schwenk's margin criterion starts here) and
+# in dedup verification — a one-directional NN can be a hub artifact
+# (many points' NN is the same hub; reciprocity kills hubs
+# structurally, no threshold needed).
+#
+# Determinism: cosine accumulates f64 left-to-right over identical f32
+# inputs (q_knn_self's bit-identical discipline); NN rank ties break
+# on vec_id; the pair emits once as (lo, hi).
+#
+# Scale: probe-bounded brute (200 × 200 within the slice — the filter
+# is pushed to the scan); at corpus scale the same reciprocity test
+# runs over the IVF/LSH shortlist NN table (q_knn_* family), identical
+# downstream logic.
+# ---------------------------------------------------------------------------
+
+_MNN_PROBES = 200
+
+_MUTUAL_NN_ORACLE = f"""
+WITH p AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id < {_MNN_PROBES}
+),
+nn AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(b.v, a.v) DESC, b.vec_id
+         ) AS rk,
+         round(list_cosine_similarity(b.v, a.v), 4) AS cos_sim
+  FROM p a JOIN p b ON a.vec_id <> b.vec_id
+),
+best AS (SELECT src, dst, cos_sim FROM nn WHERE rk = 1)
+SELECT x.src AS vec_a, x.dst AS vec_b, x.cos_sim
+FROM best x JOIN best y ON y.src = x.dst AND y.dst = x.src
+WHERE x.src < x.dst
+"""
+
+
+@register("q_mutual_nn", oracle=_MUTUAL_NN_ORACLE)
+def q_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _MNN_PROBES
+    )
+    p = emb.select("vec_id", as_double("embedding").alias("v"))
+    a = p.select(F.col("vec_id").alias("src"), F.col("v").alias("va"))
+    b = p.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb"))
+    nn = (
+        a.join(F.broadcast(b), F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            cosine(F.col("vb"), F.col("va")).alias("cos"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy(
+                    F.desc("cos"), F.asc("dst")
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("src", "dst", F.round("cos", 4).alias("cos_sim"))
+    )
+    x = nn.alias("x")
+    y = nn.select(
+        F.col("src").alias("y_src"), F.col("dst").alias("y_dst")
+    ).alias("y")
+    return (
+        x.join(
+            F.broadcast(y),
+            (F.col("y_src") == F.col("dst")) & (F.col("y_dst") == F.col("src")),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("vec_a"),
+            F.col("dst").alias("vec_b"),
+            "cos_sim",
+        )
+    )

@@ -1810,3 +1810,30 @@ def test_stream_out_of_order_running_max_monotone(spark, sf_dir, run):
     assert maxes == sorted(maxes)
     for r in rows:
         assert 0 <= r.n_late <= r.n_events
+
+
+def test_equi_depth_buckets_balanced(spark, sf_dir, run):
+    """Equal-frequency property: bucket sizes differ by at most 1 from
+    n/10 rounding; ranges tile the value domain without overlap."""
+    rows = sorted(run("q_equi_depth_histogram"), key=lambda r: r.bucket)
+    assert [r.bucket for r in rows] == list(range(1, 11))
+    n = load_table(spark, sf_dir, "orders").count()
+    for r in rows:
+        assert abs(r.n_rows - n / 10) <= 1
+        assert r.lo_cents <= r.mean_cents <= r.hi_cents
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.hi_cents <= hi.lo_cents
+
+
+def test_mutual_nn_is_symmetric_subset(run):
+    """Every mutual pair is unique, ordered, and strictly fewer pairs
+    exist than probes (reciprocity prunes hubs)."""
+    rows = run("q_mutual_nn")
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.vec_a < r.vec_b
+        assert -1.0 <= r.cos_sim <= 1.0
+        assert (r.vec_a, r.vec_b) not in seen
+        seen.add((r.vec_a, r.vec_b))
+    assert len(rows) <= 100  # <= probes/2 by exclusivity of the NN slot
