@@ -191,6 +191,12 @@ SESSION5_OPS = [
     "q_rolling_corr",
     "q_ndcg",
     "q_score_calibrate",
+    "q_seasonal_anomalies",
+    "q_out_of_order_audit",
+    "q_dup_quality_bias",
+    "q_equi_depth_histogram",
+    "q_mutual_nn",
+    "q_winsorized_stats",
 ]
 
 

@@ -2103,3 +2103,122 @@ def q_sample_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs(p90_sample - p90_exact) * 1000000 div p90_exact"
         ).alias("p90_err_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_winsorized_stats — winsorized mean and variance per event type:
+# clamp values to the exact rank-based [p5, p95] elements, then take
+# moments. The third member of the robust trio — q_trimmed_mean DROPS
+# the tails, winsorizing CLAMPS them (keeps n, bounds influence), the
+# raw q_stats keeps everything — and the one ML preprocessing actually
+# ships as "feature clipping". Reporting all three lets a feature owner
+# read how much tail influence each choice removes.
+#
+# Exactness: p5/p95 are exact elements picked by integer rank over the
+# (cents, event_id) total order per type; clamped sums/squares are
+# exact BIGINTs (clamped |v| ≤ p95 keeps Σv² far under overflow); the
+# variance is one fixed-parenthesization double over exact integers.
+#
+# Scale: one rank window per event type (the same shape as every
+# exact-percentile key; approx boundaries at 100 TB per
+# q_rfm_segments' documented swap), then a map-side clamp + rollup.
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH t AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rk,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM t
+),
+bounds AS (
+  SELECT event_type,
+         max(CASE WHEN rk = greatest(1, (n * 5) // 100) THEN cents END)
+           AS lo,
+         max(CASE WHEN rk = least(n, (n * 95) // 100 + 1) THEN cents END)
+           AS hi
+  FROM r GROUP BY 1
+),
+clamped AS (
+  SELECT r.event_type,
+         least(greatest(r.cents, b.lo), b.hi) AS v,
+         r.n
+  FROM r JOIN bounds b ON b.event_type = r.event_type
+)
+SELECT event_type,
+       CAST(min(n) AS BIGINT) AS n_events,
+       CAST(min(v) AS BIGINT) AS lo_cents,
+       CAST(max(v) AS BIGINT) AS hi_cents,
+       CAST(sum(v) // count(*) AS BIGINT) AS winsor_mean_cents,
+       CAST(floor((CAST(sum(v * v) AS DOUBLE)
+                   - CAST(sum(v) AS DOUBLE) * CAST(sum(v) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE)) / CAST(count(*) AS DOUBLE))
+            AS BIGINT) AS winsor_var_cents2
+FROM clamped
+GROUP BY 1
+"""
+
+
+@register("q_winsorized_stats", oracle=_WINSOR_ORACLE)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    w_all = Window.partitionBy("event_type").orderBy(
+        "cents", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    r = t.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+    )
+    bounds = r.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rk") == F.greatest(F.lit(1).cast("bigint"), F.expr("(n * 5) div 100")),
+                F.col("cents"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rk") == F.least(F.col("n"), F.expr("(n * 95) div 100 + 1")),
+                F.col("cents"),
+            )
+        ).alias("hi"),
+    )
+    clamped = r.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi")).alias(
+            "v"
+        ),
+        "n",
+    )
+    return clamped.groupBy("event_type").agg(
+        F.min("n").cast("bigint").alias("n_events"),
+        F.min("v").cast("bigint").alias("lo_cents"),
+        F.max("v").cast("bigint").alias("hi_cents"),
+        F.expr("cast(sum(v) div count(*) as bigint)").alias(
+            "winsor_mean_cents"
+        ),
+        F.floor(
+            (
+                F.sum(F.col("v") * F.col("v")).cast("double")
+                - F.sum("v").cast("double")
+                * F.sum("v").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            )
+            / F.count(F.lit(1)).cast("double")
+        )
+        .cast("bigint")
+        .alias("winsor_var_cents2"),
+    )

@@ -1837,3 +1837,26 @@ def test_mutual_nn_is_symmetric_subset(run):
         assert (r.vec_a, r.vec_b) not in seen
         seen.add((r.vec_a, r.vec_b))
     assert len(rows) <= 100  # <= probes/2 by exclusivity of the NN slot
+
+
+def test_winsorized_stats_bounded_by_raw(spark, sf_dir, run):
+    """Winsorized variance never exceeds the raw variance (clamping
+    only removes spread); the winsorized mean sits inside [lo, hi];
+    counts reconcile."""
+    from pyspark.sql import functions as F
+
+    rows = {r.event_type: r for r in run("q_winsorized_stats")}
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("c")
+    )
+    raw = {
+        r.event_type: (r.n, float(r.var))
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.var_pop("c").alias("var"))
+        .collect()
+    }
+    assert set(rows) == set(raw)
+    for t, r in rows.items():
+        assert r.n_events == raw[t][0]
+        assert r.lo_cents <= r.winsor_mean_cents <= r.hi_cents
+        assert r.winsor_var_cents2 <= raw[t][1] + 1
