@@ -4895,6 +4895,18 @@ def q_log_odds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SWEEP_THRESHOLDS_E4 = list(range(1000, 10000, 1000))
 
+# The shared scored_pairs store is persisted pre-filtered at the
+# family's minimum threshold; a sweep rung below it would silently
+# read a truncated store.
+from data_ingestion_service_spark.operators.llm import (  # noqa: E402
+    _SCORED_PAIRS_MIN_T_E4 as _STORE_FLOOR_E4,
+)
+
+assert min(_SWEEP_THRESHOLDS_E4) >= _STORE_FLOOR_E4, (
+    "q_dedup_threshold_sweep's lowest rung is below the scored_pairs "
+    "persist floor — raise llm._SCORED_PAIRS_MIN_T_E4 consumers first"
+)
+
 _SWEEP_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents

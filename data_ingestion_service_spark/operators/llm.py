@@ -159,14 +159,26 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The LOWEST Jaccard any scored_pairs consumer ever cuts at:
+# near_dup_pairs uses 0.25, band-tuning truth 0.25, the threshold
+# sweep's lowest rung 0.10. Persisting the store pre-filtered at this
+# floor keeps it near-dup-density-sized: at sf0.1 the UNFILTERED
+# candidate set is 1.13M pairs of which 260 clear 0.10 — a 4,000×
+# smaller persist for identical consumer outputs. A sweep rung below
+# 0.10 would silently read a truncated store, so the sweep module
+# asserts its min threshold against this constant at import time.
+_SCORED_PAIRS_MIN_T_E4 = 1000
+
+
 def scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ALL candidate pairs (n_common >= 1 under the hot-shingle cap)
-    with their shingle-overlap sufficient statistics (n_common, sz_a,
-    sz_b) — the threshold-free base both near_dup_pairs (>= 0.25) and
-    q_dedup_threshold_sweep (0.1 … 0.9) cut from. Session-persisted: at
-    sf0.01 this is ~11.5k tiny rows; the posting-list expansion that
-    produces it is the expensive part and now runs once per (session,
-    sf) for the whole family."""
+    """Candidate pairs at Jaccard >= _SCORED_PAIRS_MIN_T_E4/1e4 (under
+    the hot-shingle cap) with their shingle-overlap sufficient
+    statistics (n_common, sz_a, sz_b) — the shared base near_dup_pairs
+    (>= 0.25), q_dedup_threshold_sweep (0.1 … 0.9), q_band_tuning's
+    truth set, and q_dup_quality_bias all cut from. Session-persisted;
+    the posting-list expansion that produces it runs once per
+    (session, sf) for the whole family, and the store itself stays
+    near-dup-density-sized (see _SCORED_PAIRS_MIN_T_E4)."""
     return session_persisted(
         spark,
         ("scored_pairs", sf_dir),
@@ -216,6 +228,12 @@ def _scored_pairs_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
+        # persist floor: pure-integer Jaccard >= min consumer threshold
+        .filter(
+            F.col("n_common") * 10000
+            >= _SCORED_PAIRS_MIN_T_E4
+            * (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+        )
         .select(
             "doc_a",
             "doc_b",
