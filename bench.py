@@ -253,14 +253,25 @@ def main() -> None:
     # shape-compatible with every prior BENCH_r*.json) plus min/median/max
     # of the per-round totals so the spread itself is on record.
     N_SAMPLES = 3
+    from data_ingestion_service_spark.streaming import stream_queries as _sq
+
     samples: dict[str, list[float]] = {k: [] for k in keys}
     round_totals: list[float] = []
+    # Per-sample replay-harness split for the streamed headline key
+    # (VERDICT r6 item 4): setup = writeStream.start() wall, drain =
+    # processAllAvailable() wall. Additive detail only — the headline
+    # total still charges the streamed query its full wall time.
+    stream_setup: list[float] = []
+    stream_drain: list[float] = []
     for _ in range(N_SAMPLES):
         rt0 = time.monotonic()
         for key in keys:
             t0 = time.monotonic()
             QUERIES[key](spark, sf_dir).collect()
             samples[key].append(time.monotonic() - t0)
+            if key == "q_events_tumbling" and _sq.LAST_STREAM_TIMINGS:
+                stream_setup.append(_sq.LAST_STREAM_TIMINGS["setup_sec"])
+                stream_drain.append(_sq.LAST_STREAM_TIMINGS["drain_sec"])
         round_totals.append(round(time.monotonic() - rt0, 4))
     timings = {k: round(_median(v), 4) for k, v in samples.items()}
 
@@ -293,55 +304,114 @@ def main() -> None:
     # honest round-over-round comparable for those ops.
     llm_cold = {k: round(v[0], 4) for k, v in llm_samples.items()}
 
-    def _time_group(group: list[str]) -> dict[str, float]:
-        out: dict[str, float] = {}
+    def _time_group(
+        group: list[str],
+    ) -> tuple[dict[str, float], dict[str, float]]:
+        """Per-key (median, cold-first-sample) walls for a bench group.
+
+        Cold walls matter for every group whose keys probe session-
+        persisted stores (scored_pairs, minhash signatures, band index,
+        substring posting lists): the store build lands on whichever key
+        touches it first, and samples 2-3 are warm — so the median alone
+        hides the build cost (VERDICT r6 item 5).
+        """
+        med: dict[str, float] = {}
+        cold: dict[str, float] = {}
         for key in [k for k in group if k in QUERIES]:
             vals = []
             for _ in range(N_SAMPLES):
                 t0 = time.monotonic()
                 QUERIES[key](spark, sf_dir).collect()
                 vals.append(time.monotonic() - t0)
-            out[key] = round(_median(vals), 4)
-        return out
+            med[key] = round(_median(vals), 4)
+            cold[key] = round(vals[0], 4)
+        return med, cold
 
-    variant_timings = _time_group(VARIANT_OPS)
-    r6_timings = _time_group(CORPUS_OPS_R6)
-    mining_timings = _time_group(MINING_OPS)
-    mlf_timings = _time_group(ML_FEATURE_OPS)
-    s5_timings = _time_group(SESSION5_OPS)
+    variant_timings, _ = _time_group(VARIANT_OPS)
+    r6_timings, r6_cold = _time_group(CORPUS_OPS_R6)
+    mining_timings, _ = _time_group(MINING_OPS)
+    mlf_timings, _ = _time_group(ML_FEATURE_OPS)
+    s5_timings, s5_cold = _time_group(SESSION5_OPS)
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "n_samples": N_SAMPLES,
-                "queries": timings,
-                "round_totals_min_med_max": _spread(round_totals),
-                "llm_round_totals_min_med_max": _spread(llm_round_totals),
-                "concurrent_total_8_threads": concurrent_total,
-                "cold_python_worker_warmup_sec": python_worker_warmup,
-                "llm_ops": llm_timings,
-                "llm_ops_total": round(sum(llm_timings.values()), 4),
-                "llm_ops_cold": llm_cold,
-                "llm_ops_cold_total": round(sum(llm_cold.values()), 4),
-                "variants": variant_timings,
-                "corpus_ops_r6": r6_timings,
-                "corpus_ops_r6_total": round(sum(r6_timings.values()), 4),
-                "mining_ops": mining_timings,
-                "mining_ops_total": round(sum(mining_timings.values()), 4),
-                "ml_feature_ops": mlf_timings,
-                "ml_feature_ops_total": round(sum(mlf_timings.values()), 4),
-                "session5_ops": s5_timings,
-                "session5_ops_total": round(sum(s5_timings.values()), 4),
-                "n_registered_queries": len(QUERIES),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Two-tier output (VERDICT r6 item 1): the per-query detail dict grew
+    # past the driver's ~2KB output-tail capture in round 6, so the round's
+    # official record lost its headline ("parsed": null). The FINAL printed
+    # line is now a compact (<1KB) summary — headline value + spreads +
+    # group totals — guaranteed to survive tail capture; the full per-query
+    # detail goes on the PRECEDING line and into bench_detail.json.
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "n_samples": N_SAMPLES,
+        "queries": timings,
+        "round_totals_min_med_max": _spread(round_totals),
+        "llm_round_totals_min_med_max": _spread(llm_round_totals),
+        "concurrent_total_8_threads": concurrent_total,
+        "cold_python_worker_warmup_sec": python_worker_warmup,
+        "stream_setup_sec": round(_median(stream_setup), 4) if stream_setup else None,
+        "stream_drain_sec": round(_median(stream_drain), 4) if stream_drain else None,
+        "llm_ops": llm_timings,
+        "llm_ops_total": round(sum(llm_timings.values()), 4),
+        "llm_ops_cold": llm_cold,
+        "llm_ops_cold_total": round(sum(llm_cold.values()), 4),
+        "variants": variant_timings,
+        "corpus_ops_r6": r6_timings,
+        "corpus_ops_r6_total": round(sum(r6_timings.values()), 4),
+        "corpus_ops_r6_cold": r6_cold,
+        "corpus_ops_r6_cold_total": round(sum(r6_cold.values()), 4),
+        "mining_ops": mining_timings,
+        "mining_ops_total": round(sum(mining_timings.values()), 4),
+        "ml_feature_ops": mlf_timings,
+        "ml_feature_ops_total": round(sum(mlf_timings.values()), 4),
+        "session5_ops": s5_timings,
+        "session5_ops_total": round(sum(s5_timings.values()), 4),
+        "session5_ops_cold": s5_cold,
+        "session5_ops_cold_total": round(sum(s5_cold.values()), 4),
+        "n_registered_queries": len(QUERIES),
+        "sf": sf_val,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
     )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass  # detail file is best-effort; the printed lines are the record
+    print(json.dumps(detail))
+
+    # Compact summary — MUST stay the last line and well under 1KB. Field
+    # names match prior rounds' records for round-over-round comparability.
+    summary = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "n_samples": N_SAMPLES,
+        "queries": timings,
+        "round_totals_min_med_max": _spread(round_totals),
+        "concurrent_total_8_threads": concurrent_total,
+        "stream_setup_sec": detail["stream_setup_sec"],
+        "stream_drain_sec": detail["stream_drain_sec"],
+        "llm_ops_total": detail["llm_ops_total"],
+        "llm_ops_cold_total": detail["llm_ops_cold_total"],
+        "corpus_ops_r6_total": detail["corpus_ops_r6_total"],
+        "corpus_ops_r6_cold_total": detail["corpus_ops_r6_cold_total"],
+        "mining_ops_total": detail["mining_ops_total"],
+        "ml_feature_ops_total": detail["ml_feature_ops_total"],
+        "session5_ops_total": detail["session5_ops_total"],
+        "session5_ops_cold_total": detail["session5_ops_cold_total"],
+        "n_registered_queries": len(QUERIES),
+        "sf": sf_val,
+        "detail": "bench_detail.json",
+    }
+    line = json.dumps(summary)
+    assert len(line) < 1024, f"summary line {len(line)}B breaches 1KB budget"
+    print(line)
     spark.stop()
 
 

@@ -905,6 +905,11 @@ sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  -- mirror the Spark side's hot-shingle posting-list cap so the two
+  -- definitions stay identical at ANY scale (ADVICE r6)
+  WHERE a.shingle IN (SELECT shingle FROM sh
+                      GROUP BY shingle
+                      HAVING count(DISTINCT doc_id) <= {_HOT_SHINGLE_CAP})
   GROUP BY 1, 2
 ),
 directed AS (
@@ -2941,6 +2946,11 @@ sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  -- mirror the Spark side's hot-shingle posting-list cap so the two
+  -- definitions stay identical at ANY scale (ADVICE r6)
+  WHERE a.shingle IN (SELECT shingle FROM sh
+                      GROUP BY shingle
+                      HAVING count(DISTINCT doc_id) <= {_HOT_SHINGLE_CAP})
   GROUP BY 1, 2
 ),
 exact_pairs AS (
@@ -4902,10 +4912,16 @@ from data_ingestion_service_spark.operators.llm import (  # noqa: E402
     _SCORED_PAIRS_MIN_T_E4 as _STORE_FLOOR_E4,
 )
 
-assert min(_SWEEP_THRESHOLDS_E4) >= _STORE_FLOOR_E4, (
-    "q_dedup_threshold_sweep's lowest rung is below the scored_pairs "
-    "persist floor — raise llm._SCORED_PAIRS_MIN_T_E4 consumers first"
-)
+# Explicit raise, not a bare `assert` (which python -O strips): reading
+# past the persist floor would silently truncate every rung below it.
+if min(_SWEEP_THRESHOLDS_E4) < _STORE_FLOOR_E4:
+    raise ValueError(
+        "q_dedup_threshold_sweep's lowest rung "
+        f"({min(_SWEEP_THRESHOLDS_E4)}) is below the scored_pairs "
+        f"persist floor ({_STORE_FLOOR_E4}) — LOWER "
+        "llm._SCORED_PAIRS_MIN_T_E4 to the new minimum (or raise the "
+        "rung); the store is persisted pre-filtered at the floor"
+    )
 
 _SWEEP_ORACLE = f"""
 WITH toks AS (
@@ -4930,6 +4946,11 @@ pairs AS MATERIALIZED (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(count(*) AS BIGINT) AS n_common
     FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  -- mirror the Spark side's hot-shingle posting-list cap so the two
+  -- definitions stay identical at ANY scale (ADVICE r6)
+  WHERE a.shingle IN (SELECT shingle FROM sh
+                      GROUP BY shingle
+                      HAVING count(DISTINCT doc_id) <= {_HOT_SHINGLE_CAP})
     GROUP BY 1, 2
   ) p
   JOIN sizes sa ON sa.doc_id = p.doc_a
@@ -5713,7 +5734,7 @@ def q_score_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broadcast); the score is a map-side expression on the one doc scan.
 # ---------------------------------------------------------------------------
 
-_DUP_QUALITY_ORACLE = """
+_DUP_QUALITY_ORACLE = f"""
 WITH d AS MATERIALIZED (
   SELECT doc_id, md5(text) AS digest,
          n_chars * 10000 // len(string_split(text, ' ')) AS score_e4
@@ -5740,6 +5761,11 @@ np AS MATERIALIZED (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(count(*) AS BIGINT) AS n_common
     FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  -- mirror the Spark side's hot-shingle posting-list cap so the two
+  -- definitions stay identical at ANY scale (ADVICE r6)
+  WHERE a.shingle IN (SELECT shingle FROM sh
+                      GROUP BY shingle
+                      HAVING count(DISTINCT doc_id) <= {_HOT_SHINGLE_CAP})
     GROUP BY 1, 2
   ) p
   JOIN sizes sa ON sa.doc_id = p.doc_a

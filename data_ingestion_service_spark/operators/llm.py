@@ -60,6 +60,9 @@ def q_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NEAR_DEDUP_THRESHOLD = 0.25
 
+# Posting lists longer than this are stop-listed (k² pair-blow-up guard).
+_HOT_SHINGLE_CAP = 64
+
 _NEAR_DEDUP_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -80,6 +83,11 @@ sizes AS (
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  -- mirror the Spark side's hot-shingle posting-list cap so the two
+  -- definitions stay identical at ANY scale (ADVICE r6)
+  WHERE a.shingle IN (SELECT shingle FROM sh
+                      GROUP BY shingle
+                      HAVING count(DISTINCT doc_id) <= {_HOT_SHINGLE_CAP})
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT
@@ -93,8 +101,6 @@ WHERE p.n_common * 1.0 / (sa.sz + sb.sz - p.n_common) >= {_NEAR_DEDUP_THRESHOLD}
 """
 
 
-# Posting lists longer than this are stop-listed (k² pair-blow-up guard).
-_HOT_SHINGLE_CAP = 64
 
 
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -144,9 +150,13 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pipelined explode in ONE task; with the repartition in
     doc_shingles the build is cluster-wide and sharing it across the
     four consumers wins — re-measured this round.) Since the round-6
-    threshold-sweep key it derives from the UNFILTERED scored_pairs
-    store below (a strict superset: same construction minus the
-    threshold filter), so the two share one pair-expansion job."""
+    threshold-sweep key it derives from the scored_pairs store below,
+    which is persisted PRE-FILTERED at the family floor
+    (_SCORED_PAIRS_MIN_T_E4 / 1e4 = 0.10) — a superset of every
+    consumer's cut, NOT of all candidate pairs. Any new consumer that
+    wants to cut below 0.10 must lower the floor constant first; guard
+    your threshold against it at import time the way
+    q_dedup_threshold_sweep does (corpus_ops, persist-floor check)."""
     jac = F.col("n_common") / (
         F.col("sz_a") + F.col("sz_b") - F.col("n_common")
     )

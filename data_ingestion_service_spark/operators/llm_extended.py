@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from data_ingestion_service_spark.catalog import load_table
 from data_ingestion_service_spark.functions.text import shingle_rows, tokens
 from data_ingestion_service_spark.operators.llm import (
+    _HOT_SHINGLE_CAP,
     _NEAR_DEDUP_THRESHOLD,
     doc_shingles,
     near_dup_pairs,
@@ -1163,6 +1164,11 @@ sizes AS (
 cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  -- mirror the Spark side's hot-shingle posting-list cap so the two
+  -- definitions stay identical at ANY scale (ADVICE r6)
+  WHERE a.shingle IN (SELECT shingle FROM sh
+                      GROUP BY shingle
+                      HAVING count(DISTINCT doc_id) <= {_HOT_SHINGLE_CAP})
   GROUP BY a.doc_id, b.doc_id
 ),
 pairs AS (
@@ -1750,6 +1756,11 @@ truth AS MATERIALIZED (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(count(*) AS BIGINT) AS n_common
     FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  -- mirror the Spark side's hot-shingle posting-list cap so the two
+  -- definitions stay identical at ANY scale (ADVICE r6)
+  WHERE a.shingle IN (SELECT shingle FROM sh
+                      GROUP BY shingle
+                      HAVING count(DISTINCT doc_id) <= {_HOT_SHINGLE_CAP})
     GROUP BY 1, 2
   ) p
   JOIN sizes sa ON sa.doc_id = p.doc_a

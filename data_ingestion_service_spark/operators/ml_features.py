@@ -1290,6 +1290,7 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _modality_diff_oracle() -> str:
     from data_ingestion_service_spark.operators.llm import (
+        _HOT_SHINGLE_CAP,
         _NEAR_DEDUP_THRESHOLD,
     )
     from data_ingestion_service_spark.operators.llm_extended import (
@@ -1321,6 +1322,11 @@ tp AS (
   FROM (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
     FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  -- mirror the Spark side's hot-shingle posting-list cap so the two
+  -- definitions stay identical at ANY scale (ADVICE r6)
+  WHERE a.shingle IN (SELECT shingle FROM sh
+                      GROUP BY shingle
+                      HAVING count(DISTINCT doc_id) <= {_HOT_SHINGLE_CAP})
     GROUP BY 1, 2
   ) p
   JOIN sizes sa ON sa.doc_id = p.doc_a
