@@ -1284,15 +1284,32 @@ def test_random_projection_probe_filter_pushed(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_label_noise_probes_broadcast(spark, sf_dir):
-    """The 200-probe slice broadcasts against one embedding scan; the
-    rank window partitions per probe."""
+def test_label_noise_kernel_shape(spark, sf_dir):
+    """Round-7 shape: ONE embedding scan through the Arrow kernel
+    (mapInPandas local top-k; probes ride the closure), no join at all
+    before the bounded per-batch candidate rows, rank window per probe."""
     import re
 
     plan = formatted_plan(QUERIES["q_label_noise"](spark, sf_dir))
-    assert "BroadcastExchange" in plan
+    assert "MapInPandas" in plan
+    # The r6 N×200 scored-pair join is gone — nothing joins data-sized
+    # inputs; the kernel output is <= partitions×probes×k rows.
+    assert "Join" not in plan, plan
     specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
     assert specs and all("p_id" in s for s in specs)
+
+
+def test_label_noise_kernel_matches_brute(spark, sf_dir):
+    """The vectorized fold kernel must agree row-for-row with the r6
+    brute broadcast-join path (same left-to-right f64 fold, so ranks —
+    not just votes — are bit-identical)."""
+    from data_ingestion_service_spark.operators.ml_features import (
+        _q_label_noise_brute,
+    )
+
+    fast = sorted(map(tuple, QUERIES["q_label_noise"](spark, sf_dir).collect()))
+    brute = sorted(map(tuple, _q_label_noise_brute(spark, sf_dir).collect()))
+    assert fast == brute and len(fast) > 0
 
 
 def test_weighted_quantile_one_sort_two_windows(spark, sf_dir):
