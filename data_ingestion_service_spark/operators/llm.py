@@ -156,7 +156,7 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer's cut, NOT of all candidate pairs. Any new consumer that
     wants to cut below 0.10 must lower the floor constant first; guard
     your threshold against it at import time the way
-    q_dedup_threshold_sweep does (corpus_ops, persist-floor check)."""
+    q_dedup_threshold_sweep does (corpus_dedup, persist-floor check)."""
     jac = F.col("n_common") / (
         F.col("sz_a") + F.col("sz_b") - F.col("n_common")
     )

@@ -54,7 +54,9 @@ def load_all_operators() -> None:
         advanced,
         aggregation,
         analytics,
-        corpus_ops,
+        corpus_dedup,
+        corpus_quality,
+        corpus_retrieval,
         engine_features,
         joins,
         llm,

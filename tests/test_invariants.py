@@ -390,7 +390,7 @@ def test_pointer_jump_converges_logarithmically(spark):
     must converge in O(log n) pointer-jumping rounds — the property that
     makes q_dup_clusters_pj the right variant for long-chain duplicate
     clusters at scale."""
-    from data_ingestion_service_spark.operators.corpus_ops import (
+    from data_ingestion_service_spark.operators.corpus_dedup import (
         pointer_jump_components,
     )
 
@@ -720,7 +720,7 @@ def test_k_anonymity_reconciles(spark, sf_dir, run):
     class size >= k must report zero violations (and vice versa)."""
     rows = run("q_k_anonymity")
     assert rows
-    from data_ingestion_service_spark.operators.corpus_ops import _K_ANON_K
+    from data_ingestion_service_spark.operators.corpus_quality import _K_ANON_K
 
     for r in rows:
         assert r.n_violating_classes <= r.n_classes

@@ -504,7 +504,7 @@ def test_triangle_wedges_are_degree_ordered(spark, sf_dir):
     fan-out where id-ordering would keep all O(d²) pairs."""
     from pyspark.sql import functions as F
 
-    from data_ingestion_service_spark.operators.corpus_ops import (
+    from data_ingestion_service_spark.operators.corpus_retrieval import (
         _degree_directed_edges,
     )
 
@@ -607,7 +607,7 @@ def test_substring_dup_pairs_session_persisted(spark, sf_dir):
     """The qualifying-pair list is shared: after q_substring_dup runs,
     the waterfall's substring rung probes the same persisted store
     instead of re-running the fingerprint shuffle."""
-    from data_ingestion_service_spark.operators.corpus_ops import (
+    from data_ingestion_service_spark.operators.corpus_dedup import (
         substring_dup_pairs,
     )
 
