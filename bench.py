@@ -329,8 +329,9 @@ def main() -> None:
 
     variant_timings, _ = _time_group(VARIANT_OPS)
     r6_timings, r6_cold = _time_group(CORPUS_OPS_R6)
+    # mining_ops keys build no session stores — median-only is honest there.
     mining_timings, _ = _time_group(MINING_OPS)
-    mlf_timings, _ = _time_group(ML_FEATURE_OPS)
+    mlf_timings, mlf_cold = _time_group(ML_FEATURE_OPS)
     s5_timings, s5_cold = _time_group(SESSION5_OPS)
 
     total = round(sum(timings.values()), 4)
@@ -368,6 +369,8 @@ def main() -> None:
         "mining_ops_total": round(sum(mining_timings.values()), 4),
         "ml_feature_ops": mlf_timings,
         "ml_feature_ops_total": round(sum(mlf_timings.values()), 4),
+        "ml_feature_ops_cold": mlf_cold,
+        "ml_feature_ops_cold_total": round(sum(mlf_cold.values()), 4),
         "session5_ops": s5_timings,
         "session5_ops_total": round(sum(s5_timings.values()), 4),
         "session5_ops_cold": s5_cold,
@@ -403,6 +406,7 @@ def main() -> None:
         "corpus_ops_r6_cold_total": detail["corpus_ops_r6_cold_total"],
         "mining_ops_total": detail["mining_ops_total"],
         "ml_feature_ops_total": detail["ml_feature_ops_total"],
+        "ml_feature_ops_cold_total": detail["ml_feature_ops_cold_total"],
         "session5_ops_total": detail["session5_ops_total"],
         "session5_ops_cold_total": detail["session5_ops_cold_total"],
         "n_registered_queries": len(QUERIES),
@@ -410,7 +414,9 @@ def main() -> None:
         "detail": "bench_detail.json",
     }
     line = json.dumps(summary)
-    assert len(line) < 1024, f"summary line {len(line)}B breaches 1KB budget"
+    # Budget: the driver captures only the LAST ~2KB of output; the final
+    # line must fit with headroom even if every value grows a digit.
+    assert len(line) < 1400, f"summary line {len(line)}B breaches budget"
     print(line)
     spark.stop()
 

@@ -284,7 +284,13 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale: the 32× fan-out is a map-side explode of a broadcast literal
 # range (no shuffle growth — partial aggregation combines per (b) before
 # the 32-row exchange). 100 TB changes Σ magnitudes (cents ≤ 6·10⁷ per
-# order ⇒ Σ m·cents < 2⁶³ until ~10¹³ orders), not the plan.
+# order ⇒ Σ m·cents < 2⁶³ until ~10¹³ orders), not the plan. The input
+# is repartitioned to cluster parallelism BEFORE the fan-out: the
+# fixture is one parquet split, so without it all 4.8M md5 evaluations
+# ran in ONE task (measured 3.3s of the key's 4.0s at sf0.1; 0.35s
+# cluster-wide — the doc_shingles round-3 lesson applied to compute-
+# amplifying fan-outs, not just explodes of text). At 100 TB the input
+# arrives pre-split and the repartition is a no-op-shaped rebalance.
 # ---------------------------------------------------------------------------
 
 _BOOT_B = 32
@@ -334,9 +340,14 @@ FROM ranked
 
 @register("q_bootstrap_ci", oracle=_BOOTSTRAP_ORACLE)
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    par = spark.sparkContext.defaultParallelism
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .repartition(par)
     )
     fanned = orders.select(
         "o_orderkey",

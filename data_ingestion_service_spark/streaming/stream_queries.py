@@ -117,6 +117,35 @@ def events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFram
 LAST_STREAM_TIMINGS: dict[str, float] = {}
 
 
+def run_to_parquet(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Drain an append-mode streaming DataFrame into a parquet sink and
+    return the written table. For result sets that scale with the DATA
+    (the stream-stream joins: a hot user × 1h interval is ~36M matched
+    pairs on the skewed-sf1 tier) the memory sink is the wrong tool — it
+    materializes every row on the driver, then the consumer collects a
+    second copy. The parquet sink writes distributed and the read-back
+    scans like any other table; this is also the only sink shape that
+    exists at 100 TB."""
+    work = tempfile.mkdtemp(prefix="ingest_sink_")
+    t0 = time.monotonic()
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .outputMode("append")
+        .start()
+    )
+    t1 = time.monotonic()
+    try:
+        q.processAllAvailable()
+        t2 = time.monotonic()
+    finally:
+        q.stop()
+    LAST_STREAM_TIMINGS["setup_sec"] = round(t1 - t0, 4)
+    LAST_STREAM_TIMINGS["drain_sec"] = round(t2 - t1, 4)
+    return spark.read.parquet(f"{work}/out")
+
+
 def run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
     """Drain a streaming DataFrame into a memory sink; return final state."""
     name = f"sink_{uuid.uuid4().hex[:12]}"
@@ -800,16 +829,43 @@ def q_stream_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # matches emit as soon as both rows have arrived, so the drained result
 # of the finite replay equals the batch interval self-join the oracle
 # runs.
+#
+# Skew guard (round 7, found by the full-registry skewed-sf1 run): with
+# user_id as the ONLY equality key, a hot user owning 80% of events
+# degenerates the per-key state probe to |signups_u| × |purchases_u| —
+# ~2.6e10 row-pair evaluations in ONE partition at the skewed tier (the
+# run sat on this key for 25+ minutes). The fix is the standard bucketed
+# interval join: an hour-bucket joins as a SECOND equality key. A
+# purchase can only match signups whose bucket is its own or the one
+# before (the interval is exactly 1 hour), so the purchase side explodes
+# to those two bucket keys — each true pair matches in EXACTLY one copy
+# (hb(s) is either hb(p) or hb(p)-1, never both), so no dedup is needed
+# and outer semantics stay exact. State lists shrink from per-user to
+# per-(user, hour): the hot user's probe work drops by the number of
+# active hours (~720× here), and the plan survives any single-key skew
+# whose events spread over time.
 # ---------------------------------------------------------------------------
 
+
+def _hour_bucket(ts_col: str):
+    return F.floor(F.unix_timestamp(ts_col) / 3600).cast("long")
+
+# The oracle carries the SAME hour-bucket equi-key as the Spark plan
+# (p exploded to its two candidate buckets; each true pair matches in
+# exactly one copy — provably identical result): without it DuckDB's
+# hash join probes every (signup, purchase) pair of the hot user on the
+# skewed tier, the exact quadratic blow-up the bucket key exists to kill.
 _STREAM_STREAM_ORACLE = """
 SELECT s.user_id, s.ts AS signup_ts, p.ts AS purchase_ts
-FROM events s
-JOIN events p
+FROM (SELECT user_id, ts, floor(epoch(ts) / 3600) AS hb
+      FROM events WHERE event_type = 'signup') s
+JOIN (SELECT user_id, ts, unnest([floor(epoch(ts) / 3600),
+                                  floor(epoch(ts) / 3600) - 1]) AS hb
+      FROM events WHERE event_type = 'purchase') p
   ON s.user_id = p.user_id
+ AND s.hb = p.hb
  AND p.ts >= s.ts
  AND p.ts <= s.ts + INTERVAL 1 HOUR
-WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
 """
 
 
@@ -819,21 +875,29 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "signup")
         .select(F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"))
+        .withColumn("s_hb", _hour_bucket("s_ts"))
         .withWatermark("s_ts", "1 hour")
     )
     purchases = (
         events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
         .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withColumn(
+            "p_hb",
+            F.explode(
+                F.array(_hour_bucket("p_ts"), _hour_bucket("p_ts") - 1)
+            ),
+        )
         .withWatermark("p_ts", "1 hour")
     )
     joined = signups.join(
         purchases,
         F.expr(
-            "s_user = p_user AND p_ts >= s_ts AND p_ts <= s_ts + interval 1 hour"
+            "s_user = p_user AND s_hb = p_hb"
+            " AND p_ts >= s_ts AND p_ts <= s_ts + interval 1 hour"
         ),
     )
-    final = run_to_memory(joined, "append")
+    final = run_to_parquet(joined, spark)
     return final.select(
         F.col("s_user").alias("user_id"),
         F.col("s_ts").cast("timestamp_ntz").alias("signup_ts"),
@@ -1417,11 +1481,17 @@ if _HAS_PROTOBUF:
 # nothing") demonstrated and pinned. Oracle = the batch LEFT JOIN.
 # ---------------------------------------------------------------------------
 
+# Bucketed like _STREAM_STREAM_ORACLE (see note there); the LEFT side is
+# not exploded, so unmatched signups still emit exactly one null row.
 _STREAM_OUTER_ORACLE = """
 SELECT s.user_id, s.ts AS signup_ts, p.ts AS purchase_ts
-FROM (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
-LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+FROM (SELECT user_id, ts, floor(epoch(ts) / 3600) AS hb
+      FROM events WHERE event_type = 'signup') s
+LEFT JOIN (SELECT user_id, ts, unnest([floor(epoch(ts) / 3600),
+                                       floor(epoch(ts) / 3600) - 1]) AS hb
+      FROM events WHERE event_type = 'purchase') p
   ON p.user_id = s.user_id
+ AND p.hb = s.hb
  AND p.ts >= s.ts
  AND p.ts <= s.ts + INTERVAL 1 HOUR
 """
@@ -1476,14 +1546,27 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withWatermark(t, "1 hour")
         )
 
-    joined = side("signup", "s_user", "s_ts").join(
-        side("purchase", "p_user", "p_ts"),
+    # Hour-bucket second equality key — the q_stream_stream_join skew
+    # guard (see that key's design note). The LEFT side is NOT exploded
+    # (an unmatched signup must emit its null row exactly once); the
+    # purchase side explodes to its two candidate buckets, and each true
+    # pair matches in exactly one copy.
+    signups = side("signup", "s_user", "s_ts").withColumn(
+        "s_hb", _hour_bucket("s_ts")
+    )
+    purchases = side("purchase", "p_user", "p_ts").withColumn(
+        "p_hb",
+        F.explode(F.array(_hour_bucket("p_ts"), _hour_bucket("p_ts") - 1)),
+    )
+    joined = signups.join(
+        purchases,
         F.expr(
-            "s_user = p_user AND p_ts >= s_ts AND p_ts <= s_ts + interval 1 hour"
+            "s_user = p_user AND s_hb = p_hb"
+            " AND p_ts >= s_ts AND p_ts <= s_ts + interval 1 hour"
         ),
         "leftOuter",
     )
-    final = run_to_memory(joined, "append")
+    final = run_to_parquet(joined, spark)
     return final.filter(F.col("s_user") >= 0).select(
         F.col("s_user").alias("user_id"),
         F.col("s_ts").cast("timestamp_ntz").alias("signup_ts"),

@@ -113,6 +113,16 @@ def main() -> int:
     mem = os.environ.get("DRIVER_SIM_DRIVER_MEM")
     if mem:
         builder = builder.config("spark.driver.memory", mem)
+        # Stress tiers only: the skewed-sf1 stream-stream joins produce a
+        # data-determined ~36M-row result (hot user × 1h interval) that the
+        # memory sink must hold on the driver; the graded sf0.01 sim keeps
+        # the driver default (1g).
+        builder = builder.config("spark.driver.maxResultSize", "8g")
+        # Arrow transfer keeps the 36M-row stress collections batched
+        # instead of 36M pickled Row objects.
+        builder = builder.config(
+            "spark.sql.execution.arrow.pyspark.enabled", "true"
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
