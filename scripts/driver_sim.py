@@ -80,17 +80,76 @@ def norm_cell(v):
     return "o:" + repr(v)
 
 
+def _fast_col_strs(s: pd.Series):
+    """Vectorized per-column norm_cell for the dtypes the stress tiers
+    produce in bulk (int, bool, tz-naive timestamps without nanos).
+    MUST emit byte-identical strings to norm_cell; returns None when the
+    dtype needs the exact per-cell path (floats, objects, decimals)."""
+    import pandas.api.types as pt
+
+    if pt.is_bool_dtype(s.dtype) and not s.isna().any():
+        return np.where(s.to_numpy(), "b:True", "b:False")
+    if pt.is_integer_dtype(s.dtype):
+        na = s.isna()
+        if not na.any():
+            return ("i:" + s.astype("int64").astype(str)).to_numpy()
+        out = "i:" + s.astype("Int64").astype(str)
+        return out.where(~na, "null").to_numpy()
+    if pt.is_datetime64_dtype(s.dtype):
+        nanos = s.dt.nanosecond
+        if (nanos.fillna(0) != 0).any():
+            return None  # isoformat prints 9 digits there — exact path
+        na = s.isna()
+        # isoformat == '%Y-%m-%dT%H:%M:%S' + ('.%f' iff micro != 0).
+        # numpy's datetime_as_string is ~10x pandas strftime at this size;
+        # unit='us' always prints 6 fractional digits, so strip '.000000'
+        # to match isoformat exactly. NaT prints 'NaT' and is masked below.
+        raw = np.datetime_as_string(
+            s.to_numpy().astype("datetime64[us]"), unit="us"
+        )
+        out = "ts:" + pd.Series(raw, copy=False).str.replace(
+            r"\.000000$", "", regex=True
+        )
+        return out.where(~na.to_numpy(), "null").to_numpy()
+    return None
+
+
+# Frames past this size take the vectorized canonicalization; the graded
+# sf0.01 tier never gets near it, so the driver-exact per-cell path still
+# runs for everything the real driver grades.
+_FAST_CANON_ROWS = 500_000
+
+
 def canon_hash(pdf: pd.DataFrame) -> str:
     """Driver-style canonicalization: columns sorted by name, rows sorted
     via pandas sort_values (reproduces the driver's array-column crash),
     then an order-insensitive sha256 over type-tagged cells."""
     pdf = pdf[sorted(pdf.columns)]
-    if len(pdf):
-        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
-    lines = sorted(
-        "|".join(norm_cell(v) for v in row)
-        for row in pdf.itertuples(index=False, name=None)
-    )
+    if len(pdf) > _FAST_CANON_ROWS:
+        # Stress-tier fast path: same tagged strings, built columnwise
+        # (the 36M-row stream-join results took 20+ min/side through the
+        # per-cell loop). Row order is irrelevant — lines are sorted.
+        cols = []
+        for c in pdf.columns:
+            v = _fast_col_strs(pdf[c])
+            if v is None:
+                v = np.fromiter(
+                    (norm_cell(x) for x in pdf[c]),
+                    dtype=object,
+                    count=len(pdf),
+                )
+            cols.append(pd.Series(v, copy=False))
+        joined = cols[0]
+        for c in cols[1:]:
+            joined = joined + "|" + c
+        lines = sorted(joined.tolist())
+    else:
+        if len(pdf):
+            pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+        lines = sorted(
+            "|".join(norm_cell(v) for v in row)
+            for row in pdf.itertuples(index=False, name=None)
+        )
     h = hashlib.sha256()
     for line in lines:
         h.update(line.encode())
