@@ -200,6 +200,15 @@ SESSION5_OPS = [
 ]
 
 
+# Round-7 additions: content-defined chunking (the incremental-recrawl
+# dedup tier) and temporal-correct streaming enrichment. Own group so
+# every prior total stays comparable.
+CORPUS_OPS_R7 = [
+    "q_cdc_chunks",
+    "q_stream_asof_enrich",
+]
+
+
 def _median(vals: list[float]) -> float:
     s = sorted(vals)
     n = len(s)
@@ -329,6 +338,7 @@ def main() -> None:
 
     variant_timings, _ = _time_group(VARIANT_OPS)
     r6_timings, r6_cold = _time_group(CORPUS_OPS_R6)
+    r7_timings, _ = _time_group(CORPUS_OPS_R7)
     # mining_ops keys build no session stores — median-only is honest there.
     mining_timings, _ = _time_group(MINING_OPS)
     mlf_timings, mlf_cold = _time_group(ML_FEATURE_OPS)
@@ -365,6 +375,8 @@ def main() -> None:
         "corpus_ops_r6_total": round(sum(r6_timings.values()), 4),
         "corpus_ops_r6_cold": r6_cold,
         "corpus_ops_r6_cold_total": round(sum(r6_cold.values()), 4),
+        "corpus_ops_r7": r7_timings,
+        "corpus_ops_r7_total": round(sum(r7_timings.values()), 4),
         "mining_ops": mining_timings,
         "mining_ops_total": round(sum(mining_timings.values()), 4),
         "ml_feature_ops": mlf_timings,
@@ -404,6 +416,7 @@ def main() -> None:
         "llm_ops_cold_total": detail["llm_ops_cold_total"],
         "corpus_ops_r6_total": detail["corpus_ops_r6_total"],
         "corpus_ops_r6_cold_total": detail["corpus_ops_r6_cold_total"],
+        "corpus_ops_r7_total": detail["corpus_ops_r7_total"],
         "mining_ops_total": detail["mining_ops_total"],
         "ml_feature_ops_total": detail["ml_feature_ops_total"],
         "ml_feature_ops_cold_total": detail["ml_feature_ops_cold_total"],

@@ -2253,3 +2253,168 @@ def q_dup_quality_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_cdc_chunks — content-defined chunking (the rsync/LBFS cut rule applied
+# to token streams): a chunk boundary falls after any 4-token Karp-Rabin
+# window whose hash ≡ 0 (mod 16), so chunk edges are decided by CONTENT,
+# not offset — insert one token at the top of a re-crawled document and
+# every downstream chunk digest still matches, which is exactly what
+# fixed-stride chunking (q_doc_chunking) and fixed-window fingerprints
+# cannot give you. This is the dedup tier for incremental re-crawls:
+# shard N+1 of a corpus is admitted chunk-by-chunk against the digest
+# store of shards 1..N, paying only for the genuinely new bytes.
+#
+# Per doc: chunks partition the token list (cut ends e = i+K-1 for every
+# firing window, spans [prev_cut+1 .. cut], tail span closes at n);
+# chunk digest = md5 of the space-joined token span; a chunk instance is
+# "dup" when its digest occurs in ≥ 2 DISTINCT docs (within-doc repeats
+# are not cross-doc dedupable and don't count). Output is docs-sized:
+# n_chunks, n_dup_chunks, and the e4 fraction of the doc's tokens
+# covered by dup chunks — the "bytes you would not re-store" number.
+#
+# Exactness: the window hash is the shared _RH_* construction (token
+# md5 mod 2^20, base-131 fold mod 2^40 — all arithmetic in 48 bits);
+# the cut rule is an integer mod; digests are md5 over identical joined
+# strings in both engines; the fraction is an integer e4 division.
+#
+# Scale: window hashing is the map-only window_hash_rows pass; cuts
+# reduce by doc_id (one shuffle) and rejoin the token arrays on the same
+# key; digests shuffle once by digest for the distinct-doc count and
+# join back result-sized. Nothing is all-pairs — a viral boilerplate
+# chunk makes one hot digest GROUP (a count, not a pair expansion), and
+# AQE's skew split handles the join back. At 100 TB the digest store is
+# the persisted table and new shards semi-join against it.
+# ---------------------------------------------------------------------------
+
+_CDC_MOD = 16  # expected chunk length ~16 tokens + the 4-token window
+
+_CDC_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {_RH_K}
+),
+h AS (
+  SELECT doc_id, t, n,
+         list_transform(t, tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT
+                                  % {_RH_M}) AS ha
+  FROM toks
+),
+cuts AS (
+  SELECT doc_id, t, n,
+         list_sort(list_filter(
+           list_transform(range(1, n - {_RH_K - 2}),
+             i -> CASE WHEN ((((ha[i] * {_RH_B} + ha[i+1]) % {_RH_P})
+                              * {_RH_B} + ha[i+2]) % {_RH_P}
+                              * {_RH_B} + ha[i+3]) % {_RH_P}
+                            % {_CDC_MOD} = 0
+                       THEN i + {_RH_K - 1} END),
+           e -> e IS NOT NULL AND e < n)) AS ends
+  FROM h
+),
+spans AS (
+  SELECT doc_id, t, n,
+         unnest(list_transform(range(1, len(ends) + 2),
+           k -> struct_pack(
+             s := CASE WHEN k = 1 THEN 1 ELSE ends[k - 1] + 1 END,
+             e := CASE WHEN k = len(ends) + 1 THEN n ELSE ends[k] END)))
+           AS sp
+  FROM cuts
+),
+chunks AS (
+  SELECT doc_id, n,
+         md5(array_to_string(t[sp.s:sp.e], ' ')) AS digest,
+         CAST(sp.e - sp.s + 1 AS BIGINT) AS tok_cnt
+  FROM spans
+),
+shared AS (
+  SELECT digest FROM chunks GROUP BY digest
+  HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN sh.digest IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_chunks,
+       CAST(sum(CASE WHEN sh.digest IS NOT NULL THEN c.tok_cnt ELSE 0 END)
+            * 10000 // max(c.n) AS BIGINT) AS dup_token_frac_e4
+FROM chunks c
+LEFT JOIN shared sh ON sh.digest = c.digest
+GROUP BY c.doc_id
+"""
+
+
+@register("q_cdc_chunks", oracle=_CDC_ORACLE)
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens("text").alias("t")).filter(
+        F.size("t") >= _RH_K
+    )
+    # Cut positions: END (0-based) of every window whose hash fires the
+    # mod rule; a cut at the final token is a no-op (the tail span closes
+    # there anyway) and is excluded in BOTH engines.
+    wrows = window_hash_rows(docs)
+    cuts = (
+        wrows.filter(F.col("wh") % _CDC_MOD == 0)
+        .select("doc_id", (F.col("i") + _RH_K - 1).alias("e"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("e")).alias("ends"))
+    )
+    n = F.size("t")
+    with_cuts = toked.join(cuts, "doc_id", "left").select(
+        "doc_id",
+        "t",
+        n.alias("n"),
+        F.coalesce(
+            F.filter(F.col("ends"), lambda e: e < n - 1),
+            F.array().cast("array<int>"),
+        ).alias("ends"),
+    )
+    # spans: starts = [0] + [e+1 ...], ends = ends + [n-1] (0-based),
+    # emitted as one array-HOF expansion (k = 0 .. len(ends)).
+    k = F.explode(F.sequence(F.lit(0), F.size("ends")))
+    spans = with_cuts.select(
+        "doc_id", "t", "n", F.col("ends").alias("ends"), k.alias("k")
+    ).select(
+        "doc_id",
+        "t",
+        "n",
+        F.when(F.col("k") == 0, F.lit(0))
+        .otherwise(F.element_at("ends", F.col("k")) + 1)
+        .alias("s"),
+        F.when(F.col("k") == F.size("ends"), F.col("n") - 1)
+        .otherwise(F.element_at("ends", F.col("k") + 1))
+        .alias("e"),
+    )
+    chunks = spans.select(
+        "doc_id",
+        "n",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice("t", F.col("s") + 1, F.col("e") - F.col("s") + 1)
+            ).cast("binary")
+        ).alias("digest"),
+        (F.col("e") - F.col("s") + 1).cast("bigint").alias("tok_cnt"),
+    )
+    shared = (
+        chunks.groupBy("digest")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("digest", F.lit(1).alias("is_shared"))
+    )
+    return (
+        chunks.join(shared, "digest", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("is_shared").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+            F.expr(
+                "cast(sum(CASE WHEN is_shared IS NOT NULL THEN tok_cnt"
+                " ELSE 0 END) * 10000 div max(n) as bigint)"
+            ).alias("dup_token_frac_e4"),
+        )
+    )

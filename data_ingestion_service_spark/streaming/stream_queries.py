@@ -2502,3 +2502,82 @@ def q_stream_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "batch_id bigint, n_events bigint, n_late bigint, running_max_s bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_asof_enrich — temporal-correct stream enrichment: every
+# streamed event picks its user's latest order AT OR BEFORE the event
+# time (the as-of join q_asof_enrich runs in batch), executed per
+# micro-batch via foreachBatch against the static orders dim. This is
+# the streaming pattern the equi-join stream-static key
+# (q_stream_static_join) cannot express: the dim match depends on the
+# event's OWN timestamp, so a plain stream-static join would leak
+# future orders into past events. Stateless per event — each micro-
+# batch enriches independently and appends to a parquet sink, so the
+# drained result provably equals the batch as-of the oracle runs.
+#
+# Scale: per batch it is the batch as-of plan (equi key user=custkey +
+# date bound, rank-1 window per event); the dim broadcasts when small,
+# shuffles on the equi key otherwise; the sink is distributed parquet.
+# ---------------------------------------------------------------------------
+
+
+@register("q_stream_asof_enrich", oracle="""
+SELECT event_id, user_id, o_orderkey AS asof_orderkey, o_orderdate AS asof_orderdate
+FROM (
+  SELECT
+    e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+    row_number() OVER (
+      PARTITION BY e.event_id
+      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+    ) AS rn
+  FROM events e
+  JOIN orders o
+    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+) WHERE rn = 1
+""")
+def q_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ensure_session_confs(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    ev = events_stream(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="ingest_asof_")
+    out_dir = f"{work}/out"
+    os.makedirs(out_dir)
+
+    def enrich(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("event_id").orderBy(
+            F.desc("o_orderdate"), F.desc("o_orderkey")
+        )
+        (
+            batch_df.select("event_id", "user_id", "ts")
+            .join(
+                orders,
+                (F.col("user_id") == F.col("o_custkey"))
+                & (F.col("o_orderdate") <= F.col("ts")),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "event_id",
+                "user_id",
+                F.col("o_orderkey").alias("asof_orderkey"),
+                F.col("o_orderdate").alias("asof_orderdate"),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir)

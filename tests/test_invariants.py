@@ -1860,3 +1860,63 @@ def test_winsorized_stats_bounded_by_raw(spark, sf_dir, run):
         assert r.n_events == raw[t][0]
         assert r.lo_cents <= r.winsor_mean_cents <= r.hi_cents
         assert r.winsor_var_cents2 <= raw[t][1] + 1
+
+
+def test_cdc_chunks_output_sane(run):
+    """Chunks partition each doc's tokens: counts positive, dup counts
+    bounded by chunk counts, dup token fraction a valid e4 ratio, and
+    every >=4-token doc present."""
+    rows = run("q_cdc_chunks")
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_chunks >= 1
+        assert 0 <= r.n_dup_chunks <= r.n_chunks
+        assert 0 <= r.dup_token_frac_e4 <= 10000
+        if r.n_dup_chunks == 0:
+            assert r.dup_token_frac_e4 == 0
+
+
+def test_cdc_chunks_offset_invariant(spark):
+    """The CDC property itself: prepending tokens to a document shifts
+    every offset, yet all chunk digests after the first content-defined
+    boundary are unchanged — the reason this tier dedups re-crawled
+    shards where fixed-stride chunking cannot."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_service_spark.operators.corpus_dedup import (
+        _CDC_MOD,
+        _RH_K,
+        window_hash_rows,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
+        "omega one two three four five six seven eight nine ten "
+        "eleven twelve thirteen fourteen fifteen sixteen seventeen"
+    )
+    docs = spark.createDataFrame(
+        [(0, base), (1, "PREFIXA PREFIXB " + base)], "doc_id long, text string"
+    )
+
+    def chunk_digests(doc_id: int) -> list[str]:
+        one = docs.filter(F.col("doc_id") == doc_id)
+        toks = one.select(F.split("text", " ").alias("t")).collect()[0].t
+        cuts = sorted(
+            r.i + _RH_K - 1
+            for r in window_hash_rows(one)
+            .filter(F.col("wh") % _CDC_MOD == 0)
+            .collect()
+            if r.i + _RH_K - 1 < len(toks) - 1
+        )
+        bounds = [-1] + cuts + [len(toks) - 1]
+        return [
+            " ".join(toks[s + 1 : e + 1])
+            for s, e in zip(bounds, bounds[1:])
+        ]
+
+    plain = chunk_digests(0)
+    shifted = chunk_digests(1)
+    assert len(plain) >= 3, "fixture text must produce several chunks"
+    # Every chunk after the first boundary must survive the offset shift.
+    assert plain[1:] == shifted[-(len(plain) - 1):]
