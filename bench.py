@@ -1,6 +1,10 @@
 """Benchmark harness (driver contract): run the headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
-and print ONE JSON line with per-query wall times.
+and print TWO JSON lines: the full per-query detail (also written to
+bench_detail.json), then — LAST, guaranteed under 1400 bytes — a compact
+summary with the headline value, spreads and group totals. The driver
+captures only an output tail, so the parseable record must be the final
+line (round-6's single ~6KB line arrived truncated: "parsed": null).
 
 Methodology: one reused SparkSession (per-query session setup would swamp
 ms-scale queries — SURVEY.md §6); a full untimed warm-up round JIT-compiles
