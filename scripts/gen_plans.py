@@ -39,6 +39,10 @@ KEYS = [
     "q_embed_quantize",
     "q_ewma",
     "q_bpe_pairs",
+    # round 7: the rebuilt/new scale-critical keys
+    "q_label_noise",
+    "q_bootstrap_ci",
+    "q_cdc_chunks",
 ]
 
 

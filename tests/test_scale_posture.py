@@ -1448,3 +1448,13 @@ def test_asof_nearest_no_unbounded_following_frame(spark, sf_dir):
     assert frames, plan
     for f in frames:
         assert "unboundedfollowing" not in f.lower(), f
+
+
+def test_cdc_chunks_no_pair_expansion(spark, sf_dir):
+    """CDC chunking is digest-keyed: no cartesian/nested-loop anywhere,
+    the dup check is a groupBy(digest) count joined back result-sized."""
+    plan = formatted_plan(QUERIES["q_cdc_chunks"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the shared-digest membership comes back as an equi join on digest
+    assert "digest" in plan
