@@ -31,8 +31,8 @@ from data_ingestion_service_spark.registry import register
 from data_ingestion_service_spark.session import session_persisted
 from data_ingestion_service_spark.operators.corpus_dedup import (  # noqa: F401
     _LSH_PLANES,
-    _LSH_SIGNS,
     _PARA_K,
+    _lsh_sigs_arrow,
     _sql_proj,
 )
 
@@ -1006,21 +1006,11 @@ def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    e = as_double("embedding")
-
-    def proj(p: int):
-        w = F.array(*[F.lit(v) for v in _LSH_SIGNS[p]])
-        return F.aggregate(
-            F.zip_with(e, w, lambda x, s: x * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    bucket = None
-    for p in range(_LSH_PLANES):
-        bit = F.when(proj(p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    sigs = emb.select("vec_id", "label", bucket.alias("bucket"))
+    # Shared Arrow signature kernel (round 8); label rides through the
+    # kernel so the pass stays join-free.
+    sigs = _lsh_sigs_arrow(emb, extra=("label",)).select(
+        "vec_id", "label", "bucket"
+    )
     counts = sigs.groupBy("bucket", "label").agg(F.count(F.lit(1)).alias("c"))
     rn = F.row_number().over(
         Window.partitionBy("bucket").orderBy(F.desc("c"), F.asc("label"))

@@ -234,6 +234,118 @@ def q_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_merge_upsert — keyed MERGE INTO with DELETE semantics (VERDICT r7
+# item 3): the canonical ingestion write. The CDC batch is each user's
+# LATEST event (ts, event_id tie-break); its op is derived from the
+# data — an 'error' latest event is the tombstone (op=D), anything else
+# upserts its value (op=U). Against the customer snapshot keyed by
+# c_custkey, classic MERGE matrix:
+#   matched    + U -> updated        matched    + D -> deleted
+#   unmatched  + U -> inserted       unmatched  + D -> skipped_delete
+#   target-only    -> unchanged
+# Emits per-action row counts AND the merged table's balance checksum
+# (exact cents BIGINT — acctbal and event value are 2dp by fixture, so
+# round(x*100)::BIGINT is the same integer on both engines) as DATA.
+#
+# Scale shape: ONE full-outer shuffle on the merge key; the action
+# matrix is a CASE over that single joined stream, never a re-scan or
+# union per action class (pinned by posture test). The CDC batch's
+# latest-per-key window shuffles on the same key first — at 100 TB
+# both sides would be bucketed on the key and the merge is co-located.
+# Without Delta/Iceberg in the container, the hand-rolled full-outer +
+# coalesce IS the honest MERGE (NOTES.md pins the connector gap).
+# ---------------------------------------------------------------------------
+
+_MERGE_UPSERT_ORACLE = """
+WITH cdc AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         CAST(round(value * 100) AS BIGINT) AS new_cents
+  FROM (
+    SELECT user_id, event_type, value,
+           row_number() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+tgt AS (
+  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS old_cents
+  FROM customer
+),
+merged AS (
+  SELECT
+    CASE
+      WHEN t.c_custkey IS NULL AND c.op = 'U' THEN 'inserted'
+      WHEN t.c_custkey IS NULL                THEN 'skipped_delete'
+      WHEN c.user_id  IS NULL                 THEN 'unchanged'
+      WHEN c.op = 'D'                         THEN 'deleted'
+      ELSE 'updated'
+    END AS action,
+    CASE
+      WHEN t.c_custkey IS NULL AND c.op = 'U' THEN c.new_cents
+      WHEN t.c_custkey IS NOT NULL AND c.user_id IS NULL THEN t.old_cents
+      WHEN t.c_custkey IS NOT NULL AND c.op = 'U' THEN c.new_cents
+      ELSE NULL
+    END AS merged_cents
+  FROM tgt t
+  FULL OUTER JOIN cdc c ON t.c_custkey = c.user_id
+)
+SELECT action,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(merged_cents) AS BIGINT) AS balance_cents
+FROM merged
+GROUP BY action
+"""
+
+
+@register("q_merge_upsert", oracle=_MERGE_UPSERT_ORACLE)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    cdc = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "error", "D")
+            .otherwise("U")
+            .alias("op"),
+            F.round(F.col("value") * 100).cast("bigint").alias("new_cents"),
+        )
+    )
+    tgt = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("old_cents"),
+    )
+    merged = tgt.join(cdc, tgt.c_custkey == cdc.user_id, "full_outer").select(
+        F.when(F.col("c_custkey").isNull() & (F.col("op") == "U"), "inserted")
+        .when(F.col("c_custkey").isNull(), "skipped_delete")
+        .when(F.col("user_id").isNull(), "unchanged")
+        .when(F.col("op") == "D", "deleted")
+        .otherwise("updated")
+        .alias("action"),
+        F.when(
+            F.col("c_custkey").isNull() & (F.col("op") == "U"),
+            F.col("new_cents"),
+        )
+        .when(
+            F.col("c_custkey").isNotNull() & F.col("user_id").isNull(),
+            F.col("old_cents"),
+        )
+        .when(
+            F.col("c_custkey").isNotNull() & (F.col("op") == "U"),
+            F.col("new_cents"),
+        )
+        .alias("merged_cents"),
+    )
+    return merged.groupBy("action").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("merged_cents").cast("bigint").alias("balance_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_range_frame — RANGE window frame: trailing-7-day revenue (value-based
 # frame over an integer day key, vs the ROWS frames elsewhere).
 # ---------------------------------------------------------------------------

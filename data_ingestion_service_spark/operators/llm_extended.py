@@ -1005,14 +1005,81 @@ def _argmax_centroid(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def _argmax_centroid_arrow(vecs: DataFrame, cent_rows) -> DataFrame:
+    """_argmax_centroid with the k per-row cosine folds in ONE Arrow
+    kernel (round 8): ``cent_rows`` is the collected k×64 centroid list
+    (tiny by design — it rides the kernel closure, the MLlib k-means
+    broadcast shape). The kernel emits RAW cosines in the exact
+    left-to-right fold order of functions.vector.cosine
+    (vector_kernels.py); the 4dp round and the argmax-with-lowest-cid
+    tie-break run JVM-side on the kernel's plain columns, so the
+    assignment matches the crossJoin+window plan — and the DuckDB
+    oracle — bit-for-bit, without the N×k row blow-up or the vec_id
+    window shuffle."""
+    import numpy as np
+
+    from data_ingestion_service_spark.functions import vector_kernels as vk
+
+    cents = sorted((int(r.cid), np.asarray(r.c, dtype=np.float64)) for r in cent_rows)
+    cids = [c[0] for c in cents]
+    cmat = np.vstack([c[1] for c in cents])  # k × 64
+    cnorm = vk.fold_norm(cmat)  # k scalars, same fold as norm()
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = vk.stack(pdf["emb"])
+            vnorm = vk.fold_norm(mat)
+            out = {"vec_id": pdf["vec_id"].to_numpy(), "emb": pdf["emb"]}
+            for j in range(len(cids)):
+                # dot / (norm(a) * norm(b)): the cosine() op order.
+                out[f"cs{j}"] = vk.fold_dot(mat, cmat[j]) / (vnorm * cnorm[j])
+            yield pd.DataFrame(out)
+
+    raw = vecs.select("vec_id", "emb").mapInPandas(
+        kernel,
+        schema="vec_id bigint, emb array<double>, "
+        + ", ".join(f"cs{j} double" for j in range(len(cids))),
+    )
+    rd = [F.round(F.col(f"cs{j}"), 4) for j in range(len(cids))]
+    # Highest rounded cosine wins; ties go to the lowest cid — cids are
+    # sorted ascending, so >= against every later column is exactly the
+    # row_number(desc(csim), asc(cid)) == 1 winner.
+    assign = None
+    for j in range(len(cids)):
+        cond = None
+        for m in range(j + 1, len(cids)):
+            c = rd[j] >= rd[m]
+            cond = c if cond is None else (cond & c)
+        lit = F.lit(cids[j]).cast("bigint")
+        if cond is None:
+            assign = assign.otherwise(lit)
+        elif assign is None:
+            assign = F.when(cond, lit)
+        else:
+            assign = assign.when(cond, lit)
+    return raw.select("vec_id", assign.alias("cid"), "emb")
+
+
 @register("q_knn_ivf_kmeans", oracle=_KNN_KMEANS_ORACLE)
 def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with one learned-centroid iteration. Round 8: both assignment
+    passes run through _argmax_centroid_arrow (collected k×64 centroids
+    ride the kernel closure — two bounded driver round-trips, the MLlib
+    shape), replacing the N×k crossJoin + vec_id window shuffle with a
+    map-only Arrow pass. Recentering stays relational ((cid, dim) agg).
+    Same oracle, bit-identical assignment (4dp round stays JVM-side)."""
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", as_double("embedding").alias("emb"))
-    init = vecs.filter(F.col("vec_id") < 4).select(
-        F.col("vec_id").alias("cid"), F.col("emb").alias("c")
+    init_rows = (
+        vecs.filter(F.col("vec_id") < 4)
+        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("c"))
+        .collect()
     )
-    a1 = _argmax_centroid(vecs, init)
+    a1 = _argmax_centroid_arrow(vecs, init_rows)
     cent = (
         a1.select("cid", F.posexplode("emb").alias("p0", "v"))
         .groupBy("cid", (F.col("p0") + 1).alias("p"))
@@ -1024,10 +1091,15 @@ def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c")
         )
     )
-    a2 = _argmax_centroid(a1.select("vec_id", "emb"), cent)
+    cent_rows = cent.collect()
+    a2 = _argmax_centroid_arrow(a1.select("vec_id", "emb"), cent_rows)
     probe = vecs.filter(F.col("vec_id") == 0).select(F.col("emb").alias("pe"))
+    # The collected k-row centroid table re-enters as a local relation so
+    # `best` doesn't recompute the whole a1→recenter lineage; its cosine
+    # + 4dp round stay JVM-side, identical to before.
+    cent_small = spark.createDataFrame(cent_rows, schema=cent.schema)
     best = (
-        cent.crossJoin(F.broadcast(probe))
+        cent_small.crossJoin(F.broadcast(probe))
         .select("cid", F.round(cosine(F.col("c"), F.col("pe")), 4).alias("csim"))
         .orderBy(F.desc("csim"), F.asc("cid"))
         .limit(1)
@@ -1065,10 +1137,12 @@ def q_knn_ivf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", as_double("embedding").alias("emb"))
-    init = vecs.filter(F.col("vec_id") < 4).select(
-        F.col("vec_id").alias("cid"), F.col("emb").alias("c")
+    init_rows = (
+        vecs.filter(F.col("vec_id") < 4)
+        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("c"))
+        .collect()
     )
-    a1 = _argmax_centroid(vecs, init)
+    a1 = _argmax_centroid_arrow(vecs, init_rows)
     cent_rows = (
         a1.select("cid", F.posexplode("emb").alias("p0", "v"))
         .groupBy("cid", (F.col("p0") + 1).alias("p"))

@@ -795,6 +795,50 @@ def _kmeans_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def _kmeans_assign_arrow(vecs: DataFrame, cent_rows) -> DataFrame:
+    """_kmeans_assign with the k interpreted BIGINT folds in ONE Arrow
+    kernel (round 8): the collected k×64 integer centroids ride the
+    closure (the MLlib broadcast shape), so assignment is a map-only
+    pass — no N×k crossJoin rows, no vec_id window shuffle. Distances
+    are exact int64 (no float order hazard; vector_kernels.fold_sq_l2_int
+    documents the range headroom) and np.argmin's first-minimum matches
+    the (dist, cid)-ascending window winner because centroids are sorted
+    by cid. Bit-identical to the HOF plan and the oracle by exactness,
+    not by fold-order replay."""
+    import numpy as np
+
+    from data_ingestion_service_spark.functions import vector_kernels as vk
+
+    cents = sorted((int(r.cid), np.asarray(r.c, dtype=np.int64)) for r in cent_rows)
+    cids = np.array([c[0] for c in cents], dtype=np.int64)
+    cmat = np.vstack([c[1] for c in cents])  # k × 64 int64
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf["x"].to_numpy()).astype(np.int64)
+            dists = np.stack(
+                [vk.fold_sq_l2_int(mat, cmat[j]) for j in range(len(cids))],
+                axis=1,
+            )
+            j = np.argmin(dists, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cid": cids[j],
+                    "x": pdf["x"],
+                    "dist": dists[np.arange(len(j)), j],
+                }
+            )
+
+    return vecs.select("vec_id", "x").mapInPandas(
+        kernel, schema="vec_id bigint, cid bigint, x array<bigint>, dist bigint"
+    )
+
+
 def _kmeans_recenter(assigned: DataFrame) -> DataFrame:
     """Floor-of-mean centroid per (cid, dim), reassembled in dim order."""
     return (
@@ -826,18 +870,24 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             as_double("embedding"), lambda v: F.floor(v * 1000000).cast("bigint")
         ).alias("x"),
     )
-    cents = vecs.filter(F.col("vec_id") < 4).select(
-        F.col("vec_id").alias("cid"), F.col("x").alias("c")
+    # Round 8: each of the 3 assignment passes is a map-only Arrow
+    # kernel over the collected (tiny, k×64 int) centroids instead of a
+    # crossJoin + vec_id window — one bounded driver round-trip per
+    # Lloyd iteration, exactly MLlib k-means's serial dimension.
+    cent_rows = (
+        vecs.filter(F.col("vec_id") < 4)
+        .select(F.col("vec_id").alias("cid"), F.col("x").alias("c"))
+        .collect()
     )
-    assigned = _kmeans_assign(vecs, cents)
+    assigned = _kmeans_assign_arrow(vecs, cent_rows)
     for _ in range(_KMEANS_ASSIGNS - 1):
-        cents = _kmeans_recenter(assigned)
-        assigned = _kmeans_assign(vecs, cents)
-    sums = cents.select(
-        "cid",
-        F.aggregate(
-            F.col("c"), F.lit(0).cast("bigint"), lambda acc, v: acc + v
-        ).alias("centroid_sum"),
+        cent_rows = _kmeans_recenter(assigned).collect()
+        assigned = _kmeans_assign_arrow(vecs, cent_rows)
+    # centroid_sum: exact integer sum of the already-collected final
+    # centroids (the relational bigint fold on the same values).
+    sums = spark.createDataFrame(
+        [(int(r.cid), int(sum(r.c))) for r in cent_rows],
+        schema="cid bigint, centroid_sum bigint",
     )
     return (
         assigned.groupBy("cid")

@@ -2228,6 +2228,8 @@ def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         return np.sqrt(acc)
 
     p_norm = _fold_norm(p_mat)
+    if not (p_norm > 0.0).all():
+        raise ValueError("q_label_noise: zero-norm probe embedding")
 
     def local_topk(batches):
         import pandas as pd
@@ -2248,7 +2250,18 @@ def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc = np.zeros((len(ids), len(p_ids)))
             for d in range(n_dim):
                 acc += np.outer(mat[:, d], p_mat[:, d])
-            cos = acc / np.outer(_fold_norm(mat), p_norm)
+            nrm = _fold_norm(mat)
+            # A zero-norm embedding makes cos NaN, and np.argsort(-col)
+            # ranks NaN LAST while the brute path's ORDER BY cos DESC
+            # ranks it FIRST — fail loudly instead of silently diverging
+            # from the oracle on a degenerate vector (ADVICE r7).
+            if not np.all(nrm > 0.0):
+                raise ValueError(
+                    "q_label_noise: zero-norm embedding in batch — the "
+                    "kernel's local top-k would diverge from the brute "
+                    "path's NaN ordering"
+                )
+            cos = acc / np.outer(nrm, p_norm)
             out = []
             for j in range(len(p_ids)):
                 col = cos[:, j]

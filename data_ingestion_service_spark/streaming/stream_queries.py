@@ -18,6 +18,7 @@ same plans run with RocksDB state store and watermarked eviction.
 
 from __future__ import annotations
 
+import atexit
 import glob
 import importlib.util
 import os
@@ -117,6 +118,24 @@ def events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFram
 LAST_STREAM_TIMINGS: dict[str, float] = {}
 
 
+_SINK_DIRS: list[str] = []
+
+
+def _reap_sink_dirs(keep_last: int = 0) -> None:
+    """Delete drained parquet-sink temp dirs (ADVICE r7: three bench
+    samples of a ~36M-row skewed-sf1 join otherwise accumulate in /tmp).
+    Called with keep_last=2 at the start of each new drain — every
+    consumer in the driver/bench/test protocols fully reads a result
+    before the next streaming query starts, and the 2-dir slack covers a
+    caller still holding the immediately-previous table — and with 0 at
+    interpreter exit for the stragglers."""
+    while len(_SINK_DIRS) > keep_last:
+        shutil.rmtree(_SINK_DIRS.pop(0), ignore_errors=True)
+
+
+atexit.register(_reap_sink_dirs)
+
+
 def run_to_parquet(df: DataFrame, spark: SparkSession) -> DataFrame:
     """Drain an append-mode streaming DataFrame into a parquet sink and
     return the written table. For result sets that scale with the DATA
@@ -126,7 +145,9 @@ def run_to_parquet(df: DataFrame, spark: SparkSession) -> DataFrame:
     second copy. The parquet sink writes distributed and the read-back
     scans like any other table; this is also the only sink shape that
     exists at 100 TB."""
+    _reap_sink_dirs(keep_last=2)
     work = tempfile.mkdtemp(prefix="ingest_sink_")
+    _SINK_DIRS.append(work)
     t0 = time.monotonic()
     q = (
         df.writeStream.format("parquet")
@@ -143,7 +164,10 @@ def run_to_parquet(df: DataFrame, spark: SparkSession) -> DataFrame:
         q.stop()
     LAST_STREAM_TIMINGS["setup_sec"] = round(t1 - t0, 4)
     LAST_STREAM_TIMINGS["drain_sec"] = round(t2 - t1, 4)
-    return spark.read.parquet(f"{work}/out")
+    # Explicit schema: a zero-row drain leaves only _spark_metadata and
+    # schema inference would fail; the streaming DF's schema is the
+    # sink's schema by construction (ADVICE r7).
+    return spark.read.schema(df.schema).parquet(f"{work}/out")
 
 
 def run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
@@ -2544,7 +2568,9 @@ def q_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderdate"
     )
     ev = events_stream(spark, sf_dir)
+    _reap_sink_dirs(keep_last=2)
     work = tempfile.mkdtemp(prefix="ingest_asof_")
+    _SINK_DIRS.append(work)
     out_dir = f"{work}/out"
     os.makedirs(out_dir)
 
@@ -2567,8 +2593,12 @@ def q_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("o_orderkey").alias("asof_orderkey"),
                 F.col("o_orderdate").alias("asof_orderdate"),
             )
-            .write.mode("append")
-            .parquet(out_dir)
+            # foreachBatch is at-least-once: a retried micro-batch must
+            # land idempotently, so each batch OVERWRITES its own
+            # batch_id-named subpath instead of appending to the shared
+            # dir (ADVICE r7) — the retry replaces, never double-counts.
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/b{batch_id}")
         )
 
     q = (
@@ -2580,4 +2610,20 @@ def q_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(out_dir)
+    # Explicit schema (zero-row drains have no footer to infer from) +
+    # recursive lookup over the per-batch subdirs.
+    from pyspark.sql.types import StructField, StructType
+
+    ev_t = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    sch = StructType(
+        list(ev_t.schema.fields)
+        + [
+            StructField("asof_orderkey", orders.schema["o_orderkey"].dataType),
+            StructField("asof_orderdate", orders.schema["o_orderdate"].dataType),
+        ]
+    )
+    return (
+        spark.read.schema(sch)
+        .option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+    )

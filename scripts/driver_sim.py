@@ -90,6 +90,11 @@ def _fast_col_strs(s: pd.Series):
     if pt.is_bool_dtype(s.dtype) and not s.isna().any():
         return np.where(s.to_numpy(), "b:True", "b:False")
     if pt.is_integer_dtype(s.dtype):
+        if pt.is_unsigned_integer_dtype(s.dtype):
+            # uint64 above 2^63-1 would wrap under astype('int64') and
+            # emit different tagged strings than norm_cell's str(int(v))
+            # — take the exact per-cell path (ADVICE r7).
+            return None
         na = s.isna()
         if not na.any():
             return ("i:" + s.astype("int64").astype(str)).to_numpy()

@@ -1458,3 +1458,133 @@ def test_cdc_chunks_no_pair_expansion(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     # the shared-digest membership comes back as an equi join on digest
     assert "digest" in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-8 Arrow-kernel vectorization pins (VERDICT r7 item 1): the
+# embedding family's corpus-sized folds run in mapInPandas kernels, not
+# interpreted aggregate(zip_with(...)) HOFs; rounding/argmin stay
+# JVM-side so every oracle is bit-exact. Each pin asserts the kernel IS
+# in the plan and the old N×k expansion shapes are NOT.
+# ---------------------------------------------------------------------------
+
+
+def test_pq_scored_arrow_kernel_shape(spark, sf_dir):
+    """q_knn_pq: 16 sub-distance folds in ONE kernel per branch; the
+    probe branch's vec_id=0 filter is applied BEFORE the kernel so it
+    still reaches the parquet scan (mapInPandas is a pushdown barrier)."""
+    plan = formatted_plan(QUERIES["q_knn_pq"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("vec_id" in l and "EqualTo" in l for l in pushed), pushed
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_sigs_arrow_kernel_shape(spark, sf_dir):
+    """q_knn_lsh / q_knn_multiprobe / q_semdedup / q_eval_metrics share
+    the _lsh_sigs_arrow signature kernel: map-only bucket pass, no
+    interpreted per-plane HOF projections."""
+    for key in ("q_knn_lsh", "q_knn_multiprobe", "q_semdedup", "q_eval_metrics"):
+        plan = formatted_plan(QUERIES[key](spark, sf_dir))
+        assert "MapInPandas" in plan, key
+        assert "CartesianProduct" not in plan, key
+
+
+def test_ivf_kmeans_assignment_arrow_shape(spark, sf_dir):
+    """q_knn_ivf_kmeans: both Lloyd assignment passes are Arrow kernels
+    (centroids ride the closure) — the N×k crossJoin and the vec_id
+    window shuffle are gone from the assignment path."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_knn_ivf_kmeans"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    # the only windows left belong to no assignment: none partition by vec_id
+    specs = re.findall(r"windowspecdefinition\(vec_id", plan)
+    assert not specs, specs
+
+
+def test_embed_kmeans_assignment_arrow_shape(spark, sf_dir):
+    """q_embed_kmeans: the final assignment pass (the one in the result
+    lineage) is a map-only Arrow kernel; no crossJoin row expansion, no
+    vec_id window."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_embed_kmeans"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert not re.findall(r"windowspecdefinition\(vec_id", plan)
+
+
+def test_argmax_centroid_arrow_matches_relational(spark, sf_dir):
+    """The Arrow assignment must agree row-for-row with the retained
+    relational crossJoin+window reference (same raw folds through the
+    same JVM 4dp round → identical winners, ties included)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_service_spark.catalog import load_table
+    from data_ingestion_service_spark.functions.vector import as_double
+    from data_ingestion_service_spark.operators.llm_extended import (
+        _argmax_centroid,
+        _argmax_centroid_arrow,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double("embedding").alias("emb"))
+    init = vecs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("c")
+    )
+    rel = {
+        r.vec_id: r.cid for r in _argmax_centroid(vecs, init).collect()
+    }
+    arr = {
+        r.vec_id: r.cid
+        for r in _argmax_centroid_arrow(vecs, init.collect()).collect()
+    }
+    assert rel == arr and len(rel) > 0
+
+
+def test_kmeans_assign_arrow_matches_relational(spark, sf_dir):
+    """Exact-int assignment: Arrow kernel vs the retained relational
+    reference, (cid, dist) per vec_id."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_service_spark.catalog import load_table
+    from data_ingestion_service_spark.functions.vector import as_double
+    from data_ingestion_service_spark.operators.mining import (
+        _kmeans_assign,
+        _kmeans_assign_arrow,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.transform(
+            as_double("embedding"), lambda v: F.floor(v * 1000000).cast("bigint")
+        ).alias("x"),
+    )
+    cents = vecs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("x").alias("c")
+    )
+    rel = {
+        r.vec_id: (r.cid, r.dist) for r in _kmeans_assign(vecs, cents).collect()
+    }
+    arr = {
+        r.vec_id: (r.cid, r.dist)
+        for r in _kmeans_assign_arrow(vecs, cents.collect()).collect()
+    }
+    assert rel == arr and len(rel) > 0
+
+
+def test_merge_upsert_single_merge_shuffle(spark, sf_dir):
+    """q_merge_upsert (round 8): the MERGE action matrix is a CASE over
+    ONE full-outer join on the merge key — exactly one join, one scan
+    per side, no union/re-scan per action class."""
+    import re
+
+    plan = formatted_plan(QUERIES["q_merge_upsert"](spark, sf_dir))
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 2, scans
+    joins = re.findall(r"\(\d+\) \w*Join", plan)
+    assert len(joins) == 1, joins
+    assert "Union" not in plan
+    assert "CartesianProduct" not in plan
