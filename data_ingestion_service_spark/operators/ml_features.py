@@ -866,24 +866,33 @@ def _emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_power_iteration", oracle=_POWER_ITER_ORACLE)
 def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    gram = _emb_gram(spark, sf_dir)
-    v = gram.groupBy("i").agg(F.sum("g").cast("long").alias("s"))
+    """Round-8 shape change, measured: the iterate ladder used to run as
+    chained gram-join-broadcast steps — 5 sequential broadcast-exchange
+    jobs over a 64-row vector, ~3.1s WARM at sf0.1, pure Spark job
+    floor (the r7 VERDICT's 'per-iteration job scheduling'). The gram
+    is 64x64 = 4096 rows BY CONSTRUCTION (corpus-size-independent), so
+    the ladder is driver-side exact integer linear algebra on the
+    collected gram — the standard distributed-PCA split (distributed
+    gram pass, local eig; same bounded-block license as the MMR
+    rerank). The corpus-sized work stays in _emb_gram. Python int
+    division is floor, Spark div / DuckDB // truncate toward zero —
+    _tdiv replays truncation exactly on the negative gram entries."""
+    gram_rows = _emb_gram(spark, sf_dir).collect()  # 64x64, bounded
+    g = {(r.i, r.j): r.g for r in gram_rows}
+    dims = sorted({i for i, _ in g})
+
+    def _tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    v = {i: sum(g[(i, j)] for j in dims) for i in dims}
     for _ in range(2):
-        d = v.agg(
-            F.expr(f"max(abs(s)) div {_PI_NORM} + 1").alias("d")
-        )
-        vn = v.join(F.broadcast(d)).select(
-            F.col("i").alias("j"), _int_div("s", "d").alias("x")
-        )
-        v = (
-            gram.join(F.broadcast(vn), "j")
-            .groupBy("i")
-            .agg(F.sum(F.col("g") * F.col("x")).cast("long").alias("s"))
-        )
-    d = v.agg(F.expr(f"max(abs(s)) div {_PI_NORM} + 1").alias("d"))
-    return v.join(F.broadcast(d)).select(
-        F.col("i").cast("long").alias("pos"),
-        _int_div("s", "d").alias("loading_e6"),
+        d = max(abs(s) for s in v.values()) // _PI_NORM + 1
+        x = {j: _tdiv(v[j], d) for j in dims}
+        v = {i: sum(g[(i, j)] * x[j] for j in dims) for i in dims}
+    d = max(abs(s) for s in v.values()) // _PI_NORM + 1
+    return spark.createDataFrame(
+        [(i, _tdiv(v[i], d)) for i in dims], "pos long, loading_e6 long"
     )
 
 
