@@ -344,28 +344,37 @@ JOIN vsize vb ON vb.source = k.src_b
 @register("q_kmv_overlap", oracle=_KMV_ORACLE)
 def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_ingestion_service_spark.functions.text import tokens
+    from data_ingestion_service_spark.session import session_persisted
 
-    docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select("source", tokens("text").alias("t")).filter(
-        F.size("t") >= 3
-    )
-    # codegen-friendly positional shingling (shingle_rows' pattern,
-    # keyed by source instead of doc_id)
-    vocab = (
-        toked.select(
-            "source",
-            F.explode(F.sequence(F.lit(0), F.size("t") - 3)).alias("i"),
-            "t",
+    def _build_vocab() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        toked = docs.select("source", tokens("text").alias("t")).filter(
+            F.size("t") >= 3
         )
-        .select(
-            "source",
-            F.concat_ws(
-                " ", F.col("t")[F.col("i")], F.col("t")[F.col("i") + 1],
-                F.col("t")[F.col("i") + 2]
-            ).alias("s"),
+        # codegen-friendly positional shingling (shingle_rows' pattern,
+        # keyed by source instead of doc_id)
+        return (
+            toked.select(
+                "source",
+                F.explode(F.sequence(F.lit(0), F.size("t") - 3)).alias("i"),
+                "t",
+            )
+            .select(
+                "source",
+                F.concat_ws(
+                    " ", F.col("t")[F.col("i")], F.col("t")[F.col("i") + 1],
+                    F.col("t")[F.col("i") + 2]
+                ).alias("s"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
+
+    # The distinct (source, shingle) reduce is the ONLY corpus-sized
+    # pass and has THREE consumers below (sketch, vsize, exact-truth
+    # join) — without persistence the shingling lineage ran 3x per
+    # invocation (measured r8: ~0.9s of the 2-3s warm wall per extra
+    # pass). Session store, per the repo's no-per-call-persist rule.
+    vocab = session_persisted(spark, ("kmv_vocab", sf_dir), _build_vocab)
     st = vocab.select(
         "source",
         F.conv(F.substring(F.md5(F.col("s").cast("binary")), 1, 15), 16, 10)
