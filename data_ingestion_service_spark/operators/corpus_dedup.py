@@ -31,7 +31,24 @@ from data_ingestion_service_spark.operators.llm import (
 from data_ingestion_service_spark.operators.llm_extended import (
     _DUP_CLUSTERS_ORACLE,
     _EMBED_NEAR_DUP_ORACLE,
+    _MH_COL_LIST,
+    _MH_MIN_COLS,
 )
+
+# Single-pass oracle-side minhash derivation (shared shape with
+# llm_extended._BAND_SQL): 16 min aggregates over sh in one scan, zipped
+# back to (doc_id, i, mh). The old `sh CROSS JOIN range(0,16)` form
+# spilled >79 GB in DuckDB and died at the sf5 stress tier; values are
+# bit-identical (verified at sf0.01 before the swap).
+_HASHES_SQL = f"""hashes_wide AS MATERIALIZED (
+  SELECT doc_id,
+         {_MH_MIN_COLS}
+  FROM sh GROUP BY doc_id
+),
+hashes AS (
+  SELECT doc_id, unnest(range(0, 16)) AS i, unnest([{_MH_COL_LIST}]) AS mh
+  FROM hashes_wide
+),"""
 from data_ingestion_service_spark.registry import register
 from data_ingestion_service_spark.session import session_persisted
 
@@ -618,7 +635,7 @@ _MINHASH_EST_ORACLE = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ),
-sh AS (
+sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, shingle
   FROM (
     SELECT doc_id,
@@ -628,11 +645,7 @@ sh AS (
     WHERE len(t) >= 3
   )
 ),
-hashes AS (
-  SELECT doc_id, ii.i, min(md5(ii.i::VARCHAR || '|' || shingle)) AS mh
-  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS i) ii
-  GROUP BY doc_id, ii.i
-),
+""" + _HASHES_SQL + """
 bands AS (
   SELECT doc_id, i // 2 AS band, md5(string_agg(mh, '' ORDER BY i)) AS band_hash
   FROM hashes
@@ -701,7 +714,7 @@ _CONTAINMENT_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ),
-sh AS (
+sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, shingle
   FROM (
     SELECT doc_id,
@@ -1317,11 +1330,7 @@ exact_pairs AS (
   JOIN sizes sb ON sb.doc_id = c.doc_b
   WHERE c.n_common * 1.0 / (sa.sz + sb.sz - c.n_common) >= {{threshold}}
 ),
-hashes AS (
-  SELECT doc_id, ii.i, min(md5(ii.i::VARCHAR || '|' || shingle)) AS mh
-  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS i) ii
-  GROUP BY doc_id, ii.i
-),
+{_HASHES_SQL}
 bands AS (
   SELECT doc_id, i // 2 AS band, md5(string_agg(mh, '' ORDER BY i)) AS band_hash
   FROM hashes GROUP BY doc_id, i // 2
@@ -2085,7 +2094,7 @@ _SWEEP_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ),
-sh AS (
+sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, shingle
   FROM (
     SELECT doc_id,

@@ -67,7 +67,7 @@ _NEAR_DEDUP_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ),
-sh AS (
+sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, shingle
   FROM (
     SELECT doc_id,

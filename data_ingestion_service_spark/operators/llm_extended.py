@@ -37,11 +37,18 @@ from data_ingestion_service_spark.functions.vector import as_double, cosine
 from data_ingestion_service_spark.registry import register
 from data_ingestion_service_spark.session import session_persisted
 
+# `sh` is MATERIALIZED: DuckDB re-inlines a plain CTE once per
+# reference, and q_lsh_recall's oracle references sh ~6 times (sizes,
+# both cand sides, the hot-shingle filter, hashes_wide) — at the sf5
+# stress tier each inline re-ran the 50M-row shingle DISTINCT and the
+# oracle spilled 77 GB before dying. Materializing computes it once
+# (~2 GB); plan-only change, values identical (same q_itemsets3 lesson
+# recorded in the verify skill).
 _SHINGLE_SQL = """
 WITH toks AS (
   SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
 ),
-sh AS (
+sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, shingle
   FROM (
     SELECT doc_id,
@@ -75,11 +82,28 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Oracle-side derivation of the same signatures/bands, appended after
 # _SHINGLE_SQL's `sh` CTE. Shared verbatim by every oracle that consumes
 # the index so engine and oracle can never drift apart.
-_BAND_SQL = """,
+#
+# Shape (round 8): 16 column-wise min aggregates in ONE pass over sh,
+# zipped back to (doc_id, i, mh) rows — the same single-pass layout the
+# Spark side has always used (minhash_signatures below). The previous
+# `sh CROSS JOIN range(0,16)` materialized 16×|shingles| rows inside
+# DuckDB, which spilled >79 GB and died at the sf5 stress tier (50M
+# shingle rows → 800M); values are bit-identical (md5('3|'||shingle) ==
+# md5(i::VARCHAR||'|'||shingle) at i=3), verified on sf0.01 before the
+# swap.
+_MH_MIN_COLS = ",\n         ".join(
+    f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(16)
+)
+_MH_COL_LIST = ", ".join(f"mh{i}" for i in range(16))
+_BAND_SQL = f""",
+hashes_wide AS MATERIALIZED (
+  SELECT doc_id,
+         {_MH_MIN_COLS}
+  FROM sh GROUP BY doc_id
+),
 hashes AS (
-  SELECT doc_id, ii.i, min(md5(ii.i::VARCHAR || '|' || shingle)) AS mh
-  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS i) ii
-  GROUP BY doc_id, ii.i
+  SELECT doc_id, unnest(range(0, 16)) AS i, unnest([{_MH_COL_LIST}]) AS mh
+  FROM hashes_wide
 ),
 bands AS (
   SELECT doc_id, i // 2 AS band, md5(string_agg(mh, '' ORDER BY i)) AS band_hash
@@ -790,20 +814,30 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding-cosine (q_embed_near_dup).
 # ---------------------------------------------------------------------------
 
-_SIMHASH_ORACLE = """
+# Single-pass shape (round 8, same reasoning as _BAND_SQL): 16 per-bit
+# sums in one scan over tok instead of a 16× CROSS JOIN row replication
+# that spills at stress tiers; values bit-identical.
+_SIMHASH_BIT_SUMS = ",\n         ".join(
+    f"sum(CASE WHEN substr(md5(t), {i + 1}, 1) IN "
+    f"('8','9','a','b','c','d','e','f') THEN 1 ELSE 0 END) AS s{i}"
+    for i in range(16)
+)
+_SIMHASH_BIT_LIST = ", ".join(
+    f"CASE WHEN 2 * s{i} >= n THEN '1' ELSE '0' END" for i in range(16)
+)
+_SIMHASH_ORACLE = f"""
 WITH tok AS (
   SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
 ),
-bits AS (
-  SELECT doc_id, ii.i,
-         CASE WHEN substr(md5(t), ii.i + 1, 1) IN
-                   ('8','9','a','b','c','d','e','f') THEN 1 ELSE 0 END AS b
-  FROM tok CROSS JOIN (SELECT unnest(range(0, 16)) AS i) ii
+bits_wide AS (
+  SELECT doc_id, count(*) AS n,
+         {_SIMHASH_BIT_SUMS}
+  FROM tok GROUP BY doc_id
 ),
 sig AS (
-  SELECT doc_id, i,
-         CASE WHEN 2 * sum(b) >= count(*) THEN '1' ELSE '0' END AS bit
-  FROM bits GROUP BY doc_id, i
+  SELECT doc_id, unnest(range(0, 16)) AS i,
+         unnest([{_SIMHASH_BIT_LIST}]) AS bit
+  FROM bits_wide
 )
 SELECT doc_id, string_agg(bit, '' ORDER BY i) AS simhash16
 FROM sig GROUP BY doc_id
@@ -1222,7 +1256,7 @@ WITH RECURSIVE
 toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ),
-sh AS (
+sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, shingle
   FROM (
     SELECT doc_id,

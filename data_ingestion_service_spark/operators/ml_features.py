@@ -1326,7 +1326,7 @@ toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
   WHERE doc_id IN (SELECT doc_id FROM ids)
 ),
-sh AS (
+sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, shingle
   FROM (
     SELECT doc_id,

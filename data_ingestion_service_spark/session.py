@@ -78,6 +78,19 @@ _DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDict
 _DF_CACHE_LOCK = threading.Lock()
 _KEY_LOCKS: dict = {}
 
+# Reverse-dependency edges between store keys: _DEPENDENTS[child] is the
+# set of parent keys whose cached DataFrames were built THROUGH child's
+# copy (near_dup_pairs's plan embeds doc_shingles' cached relation).
+# Recorded on every nested registry access — also when the child was
+# already cached, because the parent's lineage captures the child's copy
+# either way. session_invalidate cascades through these edges: dropping
+# a base store while a dependent's plan still routes through its
+# unpersisted copy would silently turn the dependent's probes into full
+# corpus rescans (found by the band-tuning posture test: invalidating
+# doc_shingles left the signature/pair stores re-scanning parquet).
+_DEPENDENTS: dict = {}
+_BUILD_STACK = threading.local()
+
 
 def _key_lock(key) -> "threading.RLock":
     with _DF_CACHE_LOCK:
@@ -104,35 +117,72 @@ def session_persisted(spark: SparkSession, key, build):
     :func:`session_invalidate`, which owns removal from the registry.
     """
     key = _norm_key(key)
+    stack = getattr(_BUILD_STACK, "keys", None)
+    if stack:
+        # A parent store's build is consuming this key — its cached plan
+        # will route through this copy whether we build or reuse it.
+        with _DF_CACHE_LOCK:
+            _DEPENDENTS.setdefault(key, set()).add(stack[-1])
     per_session = _DF_CACHE.setdefault(spark, {})
     df = per_session.get(key)
     if df is None:
         with _key_lock(key):
             df = per_session.get(key)
             if df is None:
-                df = build()
+                if stack is None:
+                    stack = _BUILD_STACK.keys = []
+                stack.append(key)
+                try:
+                    df = build()
+                finally:
+                    stack.pop()
                 df.persist()
                 per_session[key] = df
     return df
 
 
 def session_invalidate(spark: SparkSession, key) -> bool:
-    """Unpersist and drop one cached entry; returns True if it existed.
+    """Unpersist and drop one cached entry plus every dependent entry
+    whose cached plan routes through it; returns True if ``key`` existed.
 
     The sanctioned way to retire a :func:`session_persisted` DataFrame —
     a caller-side ``unpersist()`` would leave a cached-but-unpersisted
-    entry behind for every later caller of the same key."""
+    entry behind for every later caller of the same key. The cascade is
+    required for correctness of the SHAPE contract, not just hygiene:
+    a dependent built through the retired copy keeps the whole build
+    lineage in its plan, so after the base unpersists, its probes would
+    re-scan the corpus on every action (while still LOOKING like cheap
+    store reads at the call site). Dependents-first closure, each entry
+    retired under its own lock — no nested lock acquisition, so a
+    concurrent build of an unrelated key cannot deadlock against the
+    cascade."""
     key = _norm_key(key)
-    with _key_lock(key):
-        per_session = _DF_CACHE.get(spark)
-        df = per_session.pop(key, None) if per_session else None
-    if df is None:
-        return False
-    try:
-        df.unpersist()
-    except Exception:
-        pass
-    return True
+    # Dependents-first closure over the reverse-dependency edges.
+    with _DF_CACHE_LOCK:
+        closure: list = []
+        frontier = [key]
+        seen = {key}
+        while frontier:
+            k = frontier.pop()
+            closure.append(k)
+            for parent in _DEPENDENTS.get(k, ()):  # parents depend on k
+                if parent not in seen:
+                    seen.add(parent)
+                    frontier.append(parent)
+    existed = False
+    for k in reversed(closure):  # leaves of the dependent tree first
+        with _key_lock(k):
+            per_session = _DF_CACHE.get(spark)
+            df = per_session.pop(k, None) if per_session else None
+        if df is None:
+            continue
+        if k == key:
+            existed = True
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    return existed
 
 
 def ensure_session_confs(spark: SparkSession) -> SparkSession:

@@ -255,6 +255,33 @@ def test_rank_filter_pushes_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
+def test_store_invalidation_cascades_to_dependents(spark, sf_dir):
+    """Retiring a base store must also retire every store whose cached
+    plan was built through it — otherwise the dependents keep the
+    unpersisted copy's lineage and silently re-scan the corpus on every
+    action (the exact interaction that broke the band-tuning posture
+    check when another test invalidated doc_shingles mid-session)."""
+    from data_ingestion_service_spark import session as sess
+    from data_ingestion_service_spark.operators.llm import (
+        doc_shingles,
+        near_dup_pairs,
+    )
+
+    near_dup_pairs(spark, sf_dir)  # registers the dependent chain
+    per_session = sess._DF_CACHE.get(spark, {})
+    dep_keys = [
+        k for k in per_session if k[0] in ("near_dup_pairs", "scored_pairs")
+    ]
+    assert len(dep_keys) == 2, "expected dependent stores registered"
+    sess.session_invalidate(spark, ("doc_shingles", sf_dir))
+    per_session = sess._DF_CACHE.get(spark, {})
+    stale = [k for k in dep_keys if k in per_session]
+    assert not stale, f"dependents survived base invalidation: {stale}"
+    # Rebuild path is clean: a fresh call re-registers and re-persists.
+    plan = formatted_plan(near_dup_pairs(spark, sf_dir))
+    assert "InMemoryTableScan" in plan
+
+
 def test_doc_shingles_map_stage_is_parallel(spark, sf_dir):
     """The shingle explode must run cluster-wide, not in the single task
     a one-file fixture scan yields (the round-3 verdict's one perf
@@ -994,19 +1021,23 @@ def test_ann_recall_probe_windows_and_broadcasts(spark, sf_dir):
     assert specs and all("probe_id" in s for s in specs)
 
 
-def test_power_iteration_gram_cached_and_iterates_broadcast(spark, sf_dir):
-    """q_power_iteration's corpus-sized work is the session-persisted
-    64x64 gram build; each iterate joins the gram against a broadcast
-    64-row vector — the plan must read the gram from cache and never
-    re-scan the embedding table."""
+def test_power_iteration_gram_cached_ladder_driver_side(spark, sf_dir):
+    """Round-8 shape: q_power_iteration's corpus-sized work is the
+    session-persisted 64x64 gram build (_emb_gram reads the embedding
+    table once, from cache thereafter); the iterate ladder runs
+    driver-side on the collected gram — the RESULT plan must be a
+    bounded local relation with zero parquet scans and zero joins (the
+    old chained gram-join-broadcast ladder paid 5 sequential job floors
+    over a 64-row vector)."""
     from data_ingestion_service_spark.operators.ml_features import _emb_gram
 
-    _emb_gram(spark, sf_dir).count()  # ensure the store is materialized
+    gram_plan = formatted_plan(_emb_gram(spark, sf_dir))
+    assert "InMemoryTableScan" in gram_plan  # corpus pass is cached
+
     plan = formatted_plan(QUERIES["q_power_iteration"](spark, sf_dir))
-    # The iterates read the gram from cache (the parquet scan still
-    # PRINTS inside the InMemoryRelation subtree but does not re-run).
-    assert "InMemoryTableScan" in plan
-    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Scan parquet" not in plan  # no corpus re-scan in the result
+    assert "Join" not in plan and "BroadcastExchange" not in plan
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
 
 
 def test_boilerplate_block_hash_shuffle_bounded(spark, sf_dir):
