@@ -212,10 +212,12 @@ CORPUS_OPS_R7 = [
     "q_stream_asof_enrich",
 ]
 
-# Round-8 additions: keyed MERGE INTO (the canonical ingestion write).
-# Own group, same comparability rule as every prior round.
+# Round-8 additions: keyed MERGE INTO (the canonical ingestion write)
+# and the compaction planner (the canonical maintenance read). Own
+# group, same comparability rule as every prior round.
 R8_OPS = [
     "q_merge_upsert",
+    "q_compaction_plan",
 ]
 
 

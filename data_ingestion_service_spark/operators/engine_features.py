@@ -1243,3 +1243,129 @@ def q_join_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("c") * F.col("c")).cast("bigint").alias("max_key_rows"),
     )
     return lo.unionAll(ll)
+
+
+# ---------------------------------------------------------------------------
+# q_compaction_plan — the table-maintenance PLANNER behind every
+# OPTIMIZE/compaction job: given a small-files layout, assign input
+# files to target-sized output groups and report the plan as data (bin
+# id, files per bin, rows per bin). sink_compacted executes a blind
+# fixed-count rewrite; this key computes WHICH files coalesce, the
+# decision a 100 TB maintenance service persists and audits before
+# rewriting anything.
+#
+# The layout is self-staged (the q_time_travel discipline): orders is
+# written once per (process, sf) as 40 hash-bucketed parquet files, so
+# the planner runs against REAL file metadata (Spark's hidden
+# `_metadata.file_name` column proves each bucket is a distinct file on
+# disk) while the oracle derives identical numbers from the orders view
+# alone — per-file row counts are o_orderkey % 40 histogram by
+# construction. Packing rule: next-fit over files in bucket order,
+# bin = floor(rows-before-this-file / TARGET) — one window cumsum, no
+# iteration, identical integer math in both engines. Row-count packing
+# is the deterministic proxy for byte packing (footer row_group_bytes
+# match pyarrow/DuckDB exactly — verified — but byte totals cannot be
+# derived from a logical view, so rows keep the oracle full-strength;
+# a byte-target variant swaps one column).
+#
+# Scale: the metadata table is O(files), not O(rows) — the file list
+# distributes as ordinary rows and the plan is one window + one
+# aggregate. At 100 TB the same plan runs over the table's manifest
+# instead of a directory listing; nothing here holds state proportional
+# to data volume. The window's global ORDER BY file_key is over file
+# COUNT (bounded by layout, ~1e6 rows at 100 TB — a single-executor
+# window is still trivially sized; range-partition it by table when
+# planning a whole catalog).
+# ---------------------------------------------------------------------------
+
+_COMPACTION_TARGET_ROWS = 4000
+
+_COMPACTION_ORACLE = f"""
+WITH buckets AS (
+  SELECT o_orderkey % 40 AS file_key, count(*) AS n_rows
+  FROM orders GROUP BY 1
+),
+packed AS (
+  SELECT file_key, n_rows,
+         coalesce(sum(n_rows) OVER (ORDER BY file_key
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM buckets
+)
+SELECT CAST(cum_before // {_COMPACTION_TARGET_ROWS} AS BIGINT) AS bin_id,
+       count(*)                    AS n_files,
+       -- one physical file per bucket by construction; the Spark side
+       -- counts DISTINCT _metadata.file_name, so a bucket dir that ever
+       -- held two part files hash-mismatches here (the tripwire that
+       -- keeps the planner's unit a real on-disk file)
+       count(*)                    AS n_phys_files,
+       CAST(sum(n_rows) AS BIGINT) AS bin_rows,
+       CAST(sum(CASE WHEN n_rows * 2 < {_COMPACTION_TARGET_ROWS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_small_files
+FROM packed GROUP BY 1
+"""
+
+_COMPACTION_STAGE: dict[str, str] = {}
+_COMPACTION_LOCK = threading.Lock()
+
+
+def _bucket_files(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per process per sf) orders as 40 hash-bucket files."""
+    with _COMPACTION_LOCK:
+        out = _COMPACTION_STAGE.get(sf_dir)
+        if out is None:
+            import tempfile
+
+            out = tempfile.mkdtemp(prefix="ingest_compactplan_")
+            (
+                load_table(spark, sf_dir, "orders")
+                .select("o_orderkey", (F.col("o_orderkey") % 40).alias("file_key"))
+                .repartition(1)  # one writer task -> exactly one file per dir
+                .write.mode("overwrite")
+                .partitionBy("file_key")
+                .parquet(out)
+            )
+            _COMPACTION_STAGE[sf_dir] = out
+    return out
+
+
+@register("q_compaction_plan", oracle=_COMPACTION_ORACLE)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _bucket_files(spark, sf_dir)
+    files = (
+        spark.read.parquet(out)
+        .select("file_key", F.col("_metadata.file_name").alias("file_name"))
+        .groupBy("file_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            # one physical file per bucket dir — the planner's unit is a
+            # real file, not a logical group (pinned by posture test)
+            F.countDistinct("file_name").alias("n_phys"),
+        )
+    )
+    w = (
+        Window.orderBy("file_key")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = files.select(
+        "file_key",
+        "n_rows",
+        "n_phys",
+        F.coalesce(F.sum("n_rows").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return (
+        packed.groupBy(
+            # integral DIV, not float division: cum_before is an exact
+            # bigint and must stay one through the bin assignment
+            F.expr(f"cum_before DIV {_COMPACTION_TARGET_ROWS}").alias("bin_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_phys").cast("bigint").alias("n_phys_files"),
+            F.sum("n_rows").cast("bigint").alias("bin_rows"),
+            F.sum(
+                F.when(F.col("n_rows") * 2 < _COMPACTION_TARGET_ROWS, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_small_files"),
+        )
+    )

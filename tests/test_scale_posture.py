@@ -1619,3 +1619,24 @@ def test_merge_upsert_single_merge_shuffle(spark, sf_dir):
     assert len(joins) == 1, joins
     assert "Union" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_compaction_plan_is_one_window_over_file_counts(spark, sf_dir):
+    """q_compaction_plan (round 8): the plan runs over O(files) metadata
+    rows — one window cumsum + one aggregate over the staged bucket
+    layout; no join back to the data table, no cartesian. The read must
+    keep the `_metadata.file_name` column alive (the physical-file
+    tripwire) rather than letting pruning reduce the planner to logical
+    group counts."""
+    df = QUERIES["q_compaction_plan"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    assert "file_name" in plan  # _metadata projection survived pruning
+
+    rows = {r.bin_id: r for r in df.collect()}
+    assert sum(r.n_files for r in rows.values()) == 40
+    # one physical parquet file per bucket dir — the planner's unit
+    assert all(r.n_phys_files == r.n_files for r in rows.values())
+    # next-fit: bins are dense ids from 0
+    assert sorted(rows) == list(range(len(rows)))
