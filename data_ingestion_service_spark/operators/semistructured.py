@@ -212,24 +212,39 @@ FROM (
 
 @register("q_asof_cogroup", oracle=_ASOF_COGROUP_ORACLE)
 def q_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cogroup on a HASH BUCKET of the user key, not the user key itself,
+    # and do the per-user as-of inside one vectorized
+    # pd.merge_asof(by="user_id") call per bucket. Grouping by raw
+    # user_id invoked the Python kernel once per user (~0.5-1ms of
+    # serialization + pandas overhead each) — 100k users at the sf5 tier
+    # made this the single slowest Spark wall in the full-registry run
+    # (81.7s; 7.7s after, 10.6×). Bucketing is value-invariant (merge_asof
+    # with by= computes the identical per-user backward match whatever
+    # the physical grouping), so the bucket count follows cluster
+    # parallelism instead of data — the same knob a real cluster turns.
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_orderdate"
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
     )
+    n_buckets = spark.sparkContext.defaultParallelism * 4
+    evb = ev.withColumn("g", F.col("user_id") % n_buckets)
+    odb = orders.withColumn("g", F.col("user_id") % n_buckets)
 
     def merge(events_pdf: pd.DataFrame, orders_pdf: pd.DataFrame) -> pd.DataFrame:
-        if events_pdf.empty:
+        if events_pdf.empty or orders_pdf.empty:
             return pd.DataFrame(columns=["event_id", "user_id", "asof_orderkey"])
+        # merge_asof(by=) needs both frames sorted by the ON key; within
+        # equal (user, date) the LAST row wins, so the ascending
+        # (o_orderdate, o_orderkey) sort reproduces the oracle's
+        # ORDER BY o_orderdate DESC, o_orderkey DESC rank-1 exactly.
         ev_sorted = events_pdf.sort_values("ts")
-        if orders_pdf.empty:
-            return pd.DataFrame(columns=["event_id", "user_id", "asof_orderkey"])
-        # deterministic as-of: latest order date wins, orderkey breaks ties
         od = orders_pdf.sort_values(["o_orderdate", "o_orderkey"])
         merged = pd.merge_asof(
             ev_sorted,
-            od[["o_orderdate", "o_orderkey"]],
+            od[["user_id", "o_orderdate", "o_orderkey"]],
             left_on="ts",
             right_on="o_orderdate",
+            by="user_id",
             direction="backward",
         )
         hit = merged[merged["o_orderkey"].notna()]
@@ -242,7 +257,7 @@ def q_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        ev.groupBy("user_id")
-        .cogroup(orders.groupBy("o_custkey"))
+        evb.groupBy("g")
+        .cogroup(odb.groupBy("g"))
         .applyInPandas(merge, schema="event_id bigint, user_id bigint, asof_orderkey bigint")
     )

@@ -111,7 +111,8 @@ def src_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORC_ORACLE = """
-SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total_price
+SELECT o_orderstatus, count(*) AS n,
+       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_price
 FROM orders
 GROUP BY o_orderstatus
 """
@@ -128,9 +129,13 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="ingest_orc_")
     orders.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
+    # Exact cents sum — same last-ulp divergence class as the partitioned
+    # sink, caught by the full-registry sf5 run (2.5M-row groups).
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100, 2
+        ).alias("total_price"),
     )
 
 
@@ -166,7 +171,7 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PARTITIONED_SINK_ORACLE = """
 SELECT l_returnflag, l_linestatus, count(*) AS n,
-       round(sum(l_extendedprice), 2) AS total_price
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_price
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 """
@@ -209,9 +214,14 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="ingest_part_")
     li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
     back = spark.read.parquet(out)
+    # Exact cents sum (the src_csv_roundtrip discipline): plain double
+    # sums diverged from DuckDB's sum order in the last ulp at the sf5
+    # stress tier (3M-row groups crossed a rounding boundary).
     return back.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.round(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100, 2
+        ).alias("total_price"),
     )
 
 
