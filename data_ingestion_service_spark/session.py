@@ -118,16 +118,27 @@ def session_persisted(spark: SparkSession, key, build):
     """
     key = _norm_key(key)
     stack = getattr(_BUILD_STACK, "keys", None)
-    if stack:
-        # A parent store's build is consuming this key — its cached plan
-        # will route through this copy whether we build or reuse it.
-        with _DF_CACHE_LOCK:
-            _DEPENDENTS.setdefault(key, set()).add(stack[-1])
     per_session = _DF_CACHE.setdefault(spark, {})
-    df = per_session.get(key)
+    # Edge-record and cache-read are ATOMIC vs session_invalidate's
+    # snapshot+pop (ADVICE r8, medium): recording the edge in one critical
+    # section and reading the cache in another left a window where a
+    # parent build could grab the child's copy after the cascade's
+    # closure snapshot but before its pop — the parent then cached a plan
+    # routed through the just-unpersisted child with no edge in the
+    # snapshot to catch it. With both under _DF_CACHE_LOCK, either the
+    # edge is visible to the snapshot (cascade's phase-2 key-lock sweep
+    # then waits out the in-flight build and retires the stale parent) or
+    # the pop already happened (this read misses and rebuilds fresh).
+    with _DF_CACHE_LOCK:
+        if stack:
+            # A parent store's build is consuming this key — its cached
+            # plan routes through this copy whether built or reused.
+            _DEPENDENTS.setdefault(key, set()).add(stack[-1])
+        df = per_session.get(key)
     if df is None:
         with _key_lock(key):
-            df = per_session.get(key)
+            with _DF_CACHE_LOCK:
+                df = per_session.get(key)
             if df is None:
                 if stack is None:
                     stack = _BUILD_STACK.keys = []
@@ -137,7 +148,8 @@ def session_persisted(spark: SparkSession, key, build):
                 finally:
                     stack.pop()
                 df.persist()
-                per_session[key] = df
+                with _DF_CACHE_LOCK:
+                    per_session[key] = df
     return df
 
 
@@ -152,13 +164,24 @@ def session_invalidate(spark: SparkSession, key) -> bool:
     a dependent built through the retired copy keeps the whole build
     lineage in its plan, so after the base unpersists, its probes would
     re-scan the corpus on every action (while still LOOKING like cheap
-    store reads at the call site). Dependents-first closure, each entry
-    retired under its own lock — no nested lock acquisition, so a
-    concurrent build of an unrelated key cannot deadlock against the
-    cascade."""
+    store reads at the call site).
+
+    Two phases (ADVICE r8, medium — the in-flight-build race): phase 1
+    snapshots the closure AND pops every cached closure entry in ONE
+    _DF_CACHE_LOCK critical section, so no thread can be handed a stale
+    copy after the snapshot (session_persisted's cache-read is in the
+    same lock). Phase 2 then sweeps the closure under each key's build
+    lock: a dependent whose build was in flight at snapshot time (edge
+    recorded, DF not yet cached) finishes its build holding that lock,
+    so acquiring it here waits the build out and retires the
+    freshly-cached stale entry. A fresh REBUILD racing the sweep can be
+    retired too — over-invalidation rebuilds once more and is benign;
+    under-invalidation (the old bug) silently served full rescans.
+    Never holds _DF_CACHE_LOCK while acquiring a key lock, so builds of
+    unrelated keys cannot deadlock against the cascade."""
     key = _norm_key(key)
-    # Dependents-first closure over the reverse-dependency edges.
     with _DF_CACHE_LOCK:
+        # Dependents-first closure over the reverse-dependency edges.
         closure: list = []
         frontier = [key]
         seen = {key}
@@ -169,15 +192,39 @@ def session_invalidate(spark: SparkSession, key) -> bool:
                 if parent not in seen:
                     seen.add(parent)
                     frontier.append(parent)
-    existed = False
-    for k in reversed(closure):  # leaves of the dependent tree first
+        per_session = _DF_CACHE.get(spark)
+        dropped = []
+        if per_session:
+            for k in reversed(closure):  # leaves of the dependent tree first
+                df = per_session.pop(k, None)
+                if df is not None:
+                    dropped.append((k, df))
+        # Prune the closure's edges (ADVICE r8, low: _DEPENDENTS grew
+        # forever — keys embed sf_dir strings). A rebuilt entry re-records
+        # its edges on the next nested access, so dropping them with the
+        # cache entry loses nothing; stale survivors would only cause
+        # benign over-invalidation, but unbounded growth in a long-lived
+        # service is a real leak.
+        for k in closure:
+            _DEPENDENTS.pop(k, None)
+        closure_set = set(closure)
+        for parents in _DEPENDENTS.values():
+            parents -= closure_set
+    existed = any(k == key for k, _ in dropped)
+    for _, df in dropped:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    # Phase 2: wait out in-flight builds of closure keys and retire any
+    # entry they cached after the phase-1 snapshot.
+    for k in reversed(closure):
         with _key_lock(k):
-            per_session = _DF_CACHE.get(spark)
-            df = per_session.pop(k, None) if per_session else None
+            with _DF_CACHE_LOCK:
+                per_session = _DF_CACHE.get(spark)
+                df = per_session.pop(k, None) if per_session else None
         if df is None:
             continue
-        if k == key:
-            existed = True
         try:
             df.unpersist()
         except Exception:

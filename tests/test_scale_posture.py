@@ -282,6 +282,84 @@ def test_store_invalidation_cascades_to_dependents(spark, sf_dir):
     assert "InMemoryTableScan" in plan
 
 
+def test_store_invalidation_catches_in_flight_dependent(spark):
+    """ADVICE r8 (medium): a dependent whose build is IN FLIGHT when the
+    base store is invalidated (edge recorded, DataFrame not yet cached)
+    must still be retired — the cascade's phase-2 key-lock sweep waits
+    the build out and drops the freshly-cached stale entry. Before the
+    fix, the closure snapshot missed it and the dependent kept a plan
+    routed through the unpersisted base forever."""
+    import threading
+
+    from data_ingestion_service_spark import session as sess
+    from data_ingestion_service_spark.session import (
+        session_invalidate,
+        session_persisted,
+    )
+
+    base_key = ("test_race_base", "x")
+    dep_key = ("test_race_dep", "x")
+    session_invalidate(spark, dep_key)
+    session_invalidate(spark, base_key)
+    consumed = threading.Event()
+    release = threading.Event()
+
+    def build_dep():
+        # Consume the base (records the edge, grabs its cached copy)...
+        session_persisted(spark, base_key, lambda: spark.range(5))
+        consumed.set()
+        # ...then stall mid-build until the invalidate is underway.
+        release.wait(timeout=30)
+        return spark.range(10)
+
+    t = threading.Thread(
+        target=lambda: session_persisted(spark, dep_key, build_dep)
+    )
+    t.start()
+    assert consumed.wait(timeout=30)
+    # Invalidate the base while the dependent's build is in flight; the
+    # cascade blocks on the dependent's build lock, so release it from a
+    # helper thread after the cascade has started.
+    releaser = threading.Timer(0.3, release.set)
+    releaser.start()
+    session_invalidate(spark, base_key)
+    t.join(timeout=30)
+    releaser.cancel()
+    per_session = sess._DF_CACHE.get(spark, {})
+    assert dep_key not in per_session, (
+        "in-flight dependent survived base invalidation with stale lineage"
+    )
+    session_invalidate(spark, dep_key)
+    session_invalidate(spark, base_key)
+
+
+def test_dependency_edges_pruned_on_invalidate(spark):
+    """ADVICE r8 (low): _DEPENDENTS edges must be pruned when their
+    entries are retired — keys embed sf_dir strings, so a long-lived
+    service otherwise accumulates edges forever."""
+    from data_ingestion_service_spark import session as sess
+    from data_ingestion_service_spark.session import (
+        session_invalidate,
+        session_persisted,
+    )
+
+    base_key = ("test_prune_base", "x")
+    dep_key = ("test_prune_dep", "x")
+
+    def build_dep():
+        session_persisted(spark, base_key, lambda: spark.range(3))
+        return spark.range(6)
+
+    session_persisted(spark, dep_key, build_dep)
+    assert dep_key in sess._DEPENDENTS.get(base_key, set())
+    session_invalidate(spark, base_key)
+    assert base_key not in sess._DEPENDENTS
+    assert not any(
+        dep_key in parents or base_key in parents
+        for parents in sess._DEPENDENTS.values()
+    ), "retired keys still referenced by dependency edges"
+
+
 def test_doc_shingles_map_stage_is_parallel(spark, sf_dir):
     """The shingle explode must run cluster-wide, not in the single task
     a one-file fixture scan yields (the round-3 verdict's one perf
