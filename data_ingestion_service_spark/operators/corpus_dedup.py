@@ -35,6 +35,9 @@ from data_ingestion_service_spark.operators.llm_extended import (
     _MH_MIN_COLS,
 )
 
+from data_ingestion_service_spark.registry import register
+from data_ingestion_service_spark.session import session_persisted
+
 # Single-pass oracle-side minhash derivation (shared shape with
 # llm_extended._BAND_SQL): 16 min aggregates over sh in one scan, zipped
 # back to (doc_id, i, mh). The old `sh CROSS JOIN range(0,16)` form
@@ -49,8 +52,6 @@ hashes AS (
   SELECT doc_id, unnest(range(0, 16)) AS i, unnest([{_MH_COL_LIST}]) AS mh
   FROM hashes_wide
 ),"""
-from data_ingestion_service_spark.registry import register
-from data_ingestion_service_spark.session import session_persisted
 
 # ---------------------------------------------------------------------------
 # q_knn_lsh — sign-random-projection (hyperplane) LSH bucketed ANN.

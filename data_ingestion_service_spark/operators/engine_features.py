@@ -10,6 +10,8 @@ tests/test_scale_posture.py).
 
 from __future__ import annotations
 
+import atexit
+import os
 import threading
 import weakref
 
@@ -1304,18 +1306,39 @@ SELECT CAST(cum_before // {_COMPACTION_TARGET_ROWS} AS BIGINT) AS bin_id,
 FROM packed GROUP BY 1
 """
 
-_COMPACTION_STAGE: dict[str, str] = {}
+_COMPACTION_STAGE: dict[tuple, str] = {}
 _COMPACTION_LOCK = threading.Lock()
+_COMPACTION_DIRS: list[str] = []
+
+
+def _reap_compaction_dirs() -> None:
+    import shutil
+
+    while _COMPACTION_DIRS:
+        shutil.rmtree(_COMPACTION_DIRS.pop(), ignore_errors=True)
+
+
+atexit.register(_reap_compaction_dirs)
 
 
 def _bucket_files(spark: SparkSession, sf_dir: str) -> str:
-    """Write (once per process per sf) orders as 40 hash-bucket files."""
+    """Write (once per process per fixture vintage) orders as 40
+    hash-bucket files. Keyed by the orders fixture's (path, mtime, size)
+    so an in-process regeneration gets a fresh stage instead of a stale
+    file layout, and staged dirs are reaped at exit (ADVICE r8)."""
+    src = f"{sf_dir.rstrip('/')}/orders.parquet"
+    try:
+        st = os.stat(src)
+        key = (src, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (src, 0, 0)
     with _COMPACTION_LOCK:
-        out = _COMPACTION_STAGE.get(sf_dir)
+        out = _COMPACTION_STAGE.get(key)
         if out is None:
             import tempfile
 
             out = tempfile.mkdtemp(prefix="ingest_compactplan_")
+            _COMPACTION_DIRS.append(out)
             (
                 load_table(spark, sf_dir, "orders")
                 .select("o_orderkey", (F.col("o_orderkey") % 40).alias("file_key"))
@@ -1324,7 +1347,7 @@ def _bucket_files(spark: SparkSession, sf_dir: str) -> str:
                 .partitionBy("file_key")
                 .parquet(out)
             )
-            _COMPACTION_STAGE[sf_dir] = out
+            _COMPACTION_STAGE[key] = out
     return out
 
 
@@ -1333,7 +1356,15 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _bucket_files(spark, sf_dir)
     files = (
         spark.read.parquet(out)
-        .select("file_key", F.col("_metadata.file_name").alias("file_name"))
+        # Explicit cast: with partitionColumnTypeInference disabled (not
+        # pinned in RUNTIME_CONFS) file_key reads back as STRING and the
+        # window ORDER BY sorts lexicographically ('10' < '2'), silently
+        # diverging from the oracle's bin assignment (ADVICE r8). No-op
+        # when inference produced int.
+        .select(
+            F.col("file_key").cast("int").alias("file_key"),
+            F.col("_metadata.file_name").alias("file_name"),
+        )
         .groupBy("file_key")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

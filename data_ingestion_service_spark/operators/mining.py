@@ -139,6 +139,16 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quotients are doubles of exact BIGINTs with fixed structure, e6-floored.
 # ---------------------------------------------------------------------------
 
+# Oracle-side pair generation mirrors the engine's posting-list shape
+# (unnest + list_filter) instead of the baskets⋈baskets self-join — the
+# r9 rewrite that cut the sf5 oracle wall 103s → 6.4s. Every CTE stays
+# PLAIN deliberately: DuckDB 1.0 scans a MATERIALIZED CTE essentially
+# single-threaded (measured 42-84s for this query with MATERIALIZED
+# marks vs 6.4s plain), and baskets is cheap to recompute in parallel
+# (~1s/scan at sf5) — the inverse of the minhash-oracle lesson, where
+# the re-inlined CTE was the expensive side. n_orders comes straight
+# from baskets so `lists` stays single-use. Verified value-equal to the
+# old self-join form at sf0.01 and sf5 before the swap.
 _BASKET_ORACLE = """
 WITH baskets AS (
   SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
@@ -146,11 +156,13 @@ WITH baskets AS (
 ),
 o AS (SELECT count(DISTINCT ok) AS n_orders FROM baskets),
 singles AS (SELECT b, count(*) AS n_b FROM baskets GROUP BY b),
+lists AS (SELECT ok, list(b) AS bs FROM baskets GROUP BY ok),
+expl AS (SELECT unnest(bs) AS a, bs FROM lists),
 pairs AS (
-  SELECT a.b AS brand_a, c.b AS brand_b, count(*) AS n_ab
-  FROM baskets a JOIN baskets c ON a.ok = c.ok AND a.b < c.b
-  GROUP BY 1, 2
-)
+  SELECT a AS brand_a, unnest(list_filter(bs, x -> x > a)) AS brand_b
+  FROM expl
+),
+pc AS (SELECT brand_a, brand_b, count(*) AS n_ab FROM pairs GROUP BY 1, 2)
 SELECT brand_a, brand_b, n_ab,
        n_ab * 1000000 // n_orders AS support_e6,
        CAST(floor(
@@ -158,7 +170,7 @@ SELECT brand_a, brand_b, n_ab,
          / ((sa.n_b * 1.0 / n_orders) * (sb.n_b * 1.0 / n_orders))
          * 1000000
        ) AS BIGINT) AS lift_e6
-FROM pairs
+FROM pc
 CROSS JOIN o
 JOIN singles sa ON sa.b = brand_a
 JOIN singles sb ON sb.b = brand_b

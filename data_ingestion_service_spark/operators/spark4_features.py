@@ -226,10 +226,10 @@ def q_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _recursive_sql(int_div: str, mat: str = "") -> str:
-    # mat="MATERIALIZED" for the DuckDB oracle: ords is referenced from
-    # the recursive term, and an inlined CTE there is re-evaluated (full
-    # window over orders) on EVERY recursion step — depth × table scans.
-    # Spark has no MATERIALIZED keyword (and materializes by plan).
+    # Engine-side SQL (Spark 4 recursive CTE). ``mat`` is kept for
+    # DuckDB experiments ("MATERIALIZED" stops the recursive term from
+    # re-evaluating ords per step) but the shipped oracle is the
+    # list_reduce fold below, not this recursion.
     return f"""
 WITH RECURSIVE ords AS {mat} (
   SELECT o_custkey,
@@ -254,7 +254,25 @@ WHERE rr = 1
 """
 
 
-_RECURSIVE_ORACLE = _recursive_sql("//", mat="MATERIALIZED").format(src="orders")
+# The oracle folds each customer's order chain with list_reduce instead
+# of replaying the recursion — same left-to-right integer compounding
+# (list_reduce seeds with the first element, then b + c + b // 100 per
+# step, exactly the recursive term), ONE pass over orders instead of
+# depth × frontier joins. The r9 rewrite cut the sf5 oracle wall
+# 55s → 2s; verified value-equal to the recursive form at sf0.01 and
+# sf5 before the swap. The ENGINE side keeps the genuine recursive CTE
+# — that Spark 4 feature is the point of the key.
+_RECURSIVE_ORACLE = """
+WITH lists AS (
+  SELECT o_custkey,
+         list(CAST(round(o_totalprice * 100) AS BIGINT)
+              ORDER BY o_orderdate, o_orderkey) AS cl
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, len(cl) AS n_orders,
+       list_reduce(cl, (b, c) -> b + c + b // 100) AS final_cents
+FROM lists
+"""
 
 
 @register("q_recursive_cte", oracle=_RECURSIVE_ORACLE)

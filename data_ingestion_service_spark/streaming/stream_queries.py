@@ -19,11 +19,11 @@ same plans run with RocksDB state store and watermarked eviction.
 from __future__ import annotations
 
 import atexit
-import glob
 import importlib.util
 import os
 import shutil
 import tempfile
+import threading
 import time
 import uuid
 
@@ -108,6 +108,219 @@ def events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFram
         for i in range(copies):
             shutil.copy(table_path(sf_dir, "events"), f"{src}/events_{i}.parquet")
     return _normalize_ts(reader.parquet(src), kind)
+
+
+# ---------------------------------------------------------------------------
+# Replay staging (VERDICT r8 item 1): the multi-file replay layouts the
+# streaming keys feed the file source (parity halves, residue chunks,
+# late splits, far-future sentinels) are pure functions of the events
+# fixture, yet before round 9 every key re-derived its layout with 1-4
+# Spark write jobs per invocation — ~70% of the stream bench group was
+# this scaffolding. _ReplayStage builds each layout ONCE per fixture
+# vintage with pyarrow (no Spark jobs at all) and hands out staged file
+# paths; keys copy them into PRIVATE mkdtemp replay dirs (ms), so
+# source/checkpoint isolation between keys is unchanged. Row values are
+# identical by construction: the splits partition the same fixture rows,
+# and the file source reads every file through the same explicit schema
+# it always used (the fixture itself is streamed raw elsewhere —
+# events_stream copies>1 — so pyarrow-written parquet of the same rows
+# is an equivalence already relied on).
+# ---------------------------------------------------------------------------
+
+_STAGE_LOCK = threading.Lock()
+_STAGES: dict[tuple, "_ReplayStage"] = {}
+_STAGE_DIRS: list[str] = []
+
+
+def _reap_stage_dirs() -> None:
+    while _STAGE_DIRS:
+        shutil.rmtree(_STAGE_DIRS.pop(), ignore_errors=True)
+
+
+atexit.register(_reap_stage_dirs)
+
+
+class _ReplayStage:
+    """Staged replay artifacts for one events-fixture vintage."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str) -> None:
+        self.fixture = table_path(sf_dir, "events")
+        self.kind = _events_ts_kind(spark, sf_dir)
+        self._dir = tempfile.mkdtemp(prefix="ingest_stage_")
+        _STAGE_DIRS.append(self._dir)
+        self._lock = threading.Lock()
+        self._splits: dict[str, list[str]] = {}
+        self._scalars: dict[str, object] = {}
+
+    # -- pyarrow schema helpers -------------------------------------------
+    def _pa_ts_type(self):
+        import pyarrow as pa
+
+        # bigint vintages carry raw epoch-ns longs (read by Spark via
+        # nanosAsLong); µs vintages are naive timestamp[us] == Spark's
+        # timestamp_ntz under the explicit read schema.
+        return pa.int64() if self.kind == "bigint" else pa.timestamp("us")
+
+    def write_events_rows(self, path: str, rows: list[tuple]) -> None:
+        """Write sentinel rows as a parquet file the replay schema reads
+        identically to a Spark-written one — no Spark job."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        event_id, ts, user_id, event_type, value, props = zip(*rows)
+        table = pa.table(
+            {
+                "event_id": pa.array(event_id, pa.int64()),
+                "ts": pa.array(ts, self._pa_ts_type()),
+                "user_id": pa.array(user_id, pa.int64()),
+                "event_type": pa.array(event_type, pa.string()),
+                "value": pa.array(value, pa.float64()),
+                "props": pa.array(props, pa.string()),
+            }
+        )
+        pq.write_table(table, path)
+
+    # -- scalars (were per-key collect() actions) -------------------------
+    def max_raw(self):
+        """max(ts) in RAW fixture units (ns int for bigint vintages, naive
+        datetime for µs) — replaces the per-key agg(max).collect() probe."""
+        with self._lock:
+            if "max_raw" not in self._scalars:
+                import pyarrow as pa
+                import pyarrow.compute as pc
+                import pyarrow.parquet as pq
+
+                col = pq.ParquetFile(self.fixture).read(columns=["ts"]).column("ts")
+                if self.kind == "bigint":
+                    self._scalars["max_raw"] = pc.max(col.cast(pa.int64())).as_py()
+                else:
+                    mx = pc.max(col.cast(pa.timestamp("us"))).as_py()
+                    self._scalars["max_raw"] = mx.replace(tzinfo=None)
+            return self._scalars["max_raw"]
+
+    def plus_hours(self, h: int):
+        """max(ts) shifted by ``h`` hours, in raw fixture units."""
+        if self.kind == "bigint":
+            return self.max_raw() + h * 3600 * 10**9
+        import datetime
+
+        return self.max_raw() + datetime.timedelta(hours=h)
+
+    def n_users(self) -> int:
+        with self._lock:
+            if "n_users" not in self._scalars:
+                import pyarrow.compute as pc
+                import pyarrow.parquet as pq
+
+                col = (
+                    pq.ParquetFile(self.fixture)
+                    .read(columns=["user_id"])
+                    .column("user_id")
+                )
+                self._scalars["n_users"] = pc.count_distinct(col).as_py()
+            return self._scalars["n_users"]
+
+    # -- file splits (were per-key filter+coalesce(1) write jobs) ---------
+    def splits(self, klass: str) -> list[str]:
+        """Staged single-file parquet splits of the fixture.
+
+        eid2/eid4: event_id % 2/4 residues (restart, evolve, idempotent,
+        dim-refresh, listener, out-of-order, and the multi-batch chunk
+        consumers — results there are split-invariant final states).
+        uid2: user_id % 2 (stateful-timeout). late3: the late-drop
+        bulk/mid/late trio, with the exact predicates the key always
+        used (its RESULT depends on which rows are late)."""
+        with self._lock:
+            files = self._splits.get(klass)
+            if files is None:
+                files = self._build_split(klass)
+                self._splits[klass] = files
+            return files
+
+    def _build_split(self, klass: str) -> list[str]:
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.ParquetFile(self.fixture).read()
+        eid = t.column("event_id").to_numpy()
+        if klass in ("eid2", "eid4"):
+            m = 2 if klass == "eid2" else 4
+            masks = [(eid % m) == k for k in range(m)]
+        elif klass == "uid2":
+            uid = t.column("user_id").to_numpy()
+            masks = [(uid % 2) == k for k in range(2)]
+        elif klass == "late3":
+            ts = t.column("ts").cast(pa.int64()).to_numpy()
+            hour = 3600 * (10**9 if self.kind == "bigint" else 10**6)
+            mx = int(ts.max())
+            late = ((eid % 50) == 0) & (ts < mx - 2 * hour)
+            mid = ((eid % 50) == 1) & (ts < mx - hour)
+            masks = [~late & ~mid, mid, late]
+        else:  # pragma: no cover - caller bug
+            raise ValueError(f"unknown split class {klass!r}")
+        files = []
+        for k, mask in enumerate(masks):
+            part = t.filter(pa.array(mask))
+            if part.num_rows == 0:
+                raise RuntimeError(
+                    f"replay split {klass}[{k}] is empty for {self.fixture}"
+                )
+            path = f"{self._dir}/{klass}_{k}.parquet"
+            pq.write_table(part, path)
+            files.append(path)
+        return files
+
+
+def replay_stage(spark: SparkSession, sf_dir: str) -> _ReplayStage:
+    """The staged-artifact registry for ``sf_dir``'s current fixture
+    vintage (keyed like _TS_KIND_CACHE: an in-place regeneration gets a
+    fresh stage, never stale files)."""
+    path = table_path(sf_dir, "events")
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (path, 0, 0)
+    with _STAGE_LOCK:
+        stage = _STAGES.get(key)
+    if stage is None:
+        # Kind probe may run a Spark read; keep it outside _STAGE_LOCK.
+        stage = _ReplayStage(spark, sf_dir)
+        with _STAGE_LOCK:
+            stage = _STAGES.setdefault(key, stage)
+    return stage
+
+
+def _stage_replay_dir(
+    work: str, entries: list[tuple[str, str]], spacing: int = 30
+) -> None:
+    """Copy staged files into ``work``/replay with strictly increasing
+    mtimes (the file source consumes oldest-first)."""
+    os.makedirs(f"{work}/replay", exist_ok=True)
+    now = time.time()
+    n = len(entries)
+    for i, (src, name) in enumerate(entries):
+        dst = f"{work}/replay/{name}"
+        shutil.copy(src, dst)
+        mt = now - spacing * (n - 1 - i)
+        os.utime(dst, (mt, mt))
+
+
+def _stage_chunk_dir(
+    spark: SparkSession, sf_dir: str, work: str, klass: str
+) -> None:
+    """Copy a staged split class into ``work``/chunks with increasing
+    mtimes — the multi-micro-batch source layout for keys whose final
+    state is split-invariant (formerly a per-key repartition(N) write)."""
+    files = replay_stage(spark, sf_dir).splits(klass)
+    os.makedirs(f"{work}/chunks", exist_ok=True)
+    now = time.time()
+    for i, src in enumerate(files):
+        dst = f"{work}/chunks/chunk_{i}.parquet"
+        shutil.copy(src, dst)
+        mt = now - 30 * (len(files) - 1 - i)
+        os.utime(dst, (mt, mt))
 
 
 # Bench telemetry (VERDICT r6 item 4): a streamed headline query's wall time
@@ -641,27 +854,17 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_confs(spark)
     kind = _events_ts_kind(spark, sf_dir)
     schema = _events_raw_schema(kind)
+    stage = replay_stage(spark, sf_dir)
     src = tempfile.mkdtemp(prefix="ingest_sess_replay_")
     shutil.copy(table_path(sf_dir, "events"), f"{src}/events_0.parquet")
     # Sentinel 2h past the corpus max: watermark (max - 10min) then clears
     # every real session's end (last ts + 30min gap). Sentinel row carries
-    # the same raw ts type as the fixture so both files stream uniformly.
-    max_raw = (
-        spark.read.schema(schema)
-        .parquet(table_path(sf_dir, "events"))
-        .agg(F.max("ts"))
-        .collect()[0][0]
+    # the same raw ts type as the fixture so both files stream uniformly;
+    # staged max(ts) + pyarrow write replace two per-call Spark jobs.
+    stage.write_events_rows(
+        f"{src}/z_sentinel.parquet",
+        [(-1, stage.plus_hours(2), -1, "sentinel", 0.0, "{}")],
     )
-    if kind == "bigint":
-        sentinel_ts = max_raw + 2 * 3600 * 10**9
-    else:
-        import datetime
-
-        sentinel_ts = max_raw + datetime.timedelta(hours=2)
-    spark.createDataFrame(
-        [(-1, sentinel_ts, -1, "sentinel", 0.0, "{}")],
-        schema,
-    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/sentinel")
     raw = spark.readStream.schema(schema).option(
         "recursiveFileLookup", "true"
     ).parquet(src)
@@ -712,15 +915,10 @@ def q_stream_ivm_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     kind = _events_ts_kind(spark, sf_dir)
     schema = _events_raw_schema(kind)
     work = tempfile.mkdtemp(prefix="ingest_ivm_")
-    # Stage the fixture into four chunk files so the file source yields
-    # four micro-batches — the multi-batch path is the point of the test.
-    (
-        spark.read.schema(schema)
-        .parquet(table_path(sf_dir, "events"))
-        .repartition(4)
-        .write.mode("overwrite")
-        .parquet(f"{work}/chunks")
-    )
+    # Four staged event_id-residue chunk files so the file source yields
+    # four micro-batches — the multi-batch path is the point of the test,
+    # and the MERGE result is split-invariant by construction.
+    _stage_chunk_dir(spark, sf_dir, work, "eid4")
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -800,13 +998,9 @@ def q_stream_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     kind = _events_ts_kind(spark, sf_dir)
     schema = _events_raw_schema(kind)
     work = tempfile.mkdtemp(prefix="ingest_rocksdb_")
-    (
-        spark.read.schema(schema)
-        .parquet(table_path(sf_dir, "events"))
-        .repartition(4)
-        .write.mode("overwrite")
-        .parquet(f"{work}/chunks")
-    )
+    # Staged residue chunks: multi-batch state-store exercise; the
+    # complete-mode final aggregate is split-invariant.
+    _stage_chunk_dir(spark, sf_dir, work, "eid4")
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -965,38 +1159,16 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     kind = _events_ts_kind(spark, sf_dir)
     schema = _events_raw_schema(kind)
     work = tempfile.mkdtemp(prefix="ingest_late_")
-    raw = spark.read.schema(schema).parquet(table_path(sf_dir, "events"))
-    max_raw = raw.agg(F.max("ts")).collect()[0][0]
-    if kind == "bigint":
-        cutoff_late = max_raw - 2 * 3600 * 10**9
-        cutoff_mid = max_raw - 3600 * 10**9
-    else:
-        import datetime
-
-        cutoff_late = max_raw - datetime.timedelta(hours=2)
-        cutoff_mid = max_raw - datetime.timedelta(hours=1)
-    late_pred = (F.col("event_id") % 50 == 0) & (F.col("ts") < F.lit(cutoff_late))
-    # Small on-time subset for the middle batch; ts < max−1h keeps the
-    # global max in the bulk file so its watermark covers the late rows.
-    mid_pred = (F.col("event_id") % 50 == 1) & (F.col("ts") < F.lit(cutoff_mid))
-    raw.filter(~late_pred & ~mid_pred).coalesce(1).write.mode("overwrite").parquet(
-        f"{work}/b1"
-    )
-    raw.filter(mid_pred).coalesce(1).write.mode("overwrite").parquet(f"{work}/b2")
-    raw.filter(late_pred).coalesce(1).write.mode("overwrite").parquet(f"{work}/b3")
-    # Stage as three replay files with explicit mtimes: the file source
+    # bulk / mid / late trio staged once per fixture vintage (late =
+    # event_id%50==0 AND ts < max-2h; mid = %50==1 AND ts < max-1h; the
+    # bulk file keeps the global max so its watermark covers the late
+    # rows). Three replay files with explicit mtimes: the file source
     # (maxFilesPerTrigger=1, latestFirst=false) consumes oldest-first.
-    os.makedirs(f"{work}/replay")
-    [p1] = glob.glob(f"{work}/b1/part-*.parquet")
-    [p2] = glob.glob(f"{work}/b2/part-*.parquet")
-    [p3] = glob.glob(f"{work}/b3/part-*.parquet")
-    shutil.copy(p1, f"{work}/replay/a_bulk.parquet")
-    shutil.copy(p2, f"{work}/replay/b_mid.parquet")
-    shutil.copy(p3, f"{work}/replay/c_late.parquet")
-    now = time.time()
-    os.utime(f"{work}/replay/a_bulk.parquet", (now - 60, now - 60))
-    os.utime(f"{work}/replay/b_mid.parquet", (now - 30, now - 30))
-    os.utime(f"{work}/replay/c_late.parquet", (now, now))
+    bulk, mid, late = replay_stage(spark, sf_dir).splits("late3")
+    _stage_replay_dir(
+        work,
+        [(bulk, "a_bulk.parquet"), (mid, "b_mid.parquet"), (late, "c_late.parquet")],
+    )
     raw_s = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -1209,13 +1381,11 @@ def q_stream_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame
     kind = _events_ts_kind(spark, sf_dir)
     schema = _events_raw_schema(kind)
     work = tempfile.mkdtemp(prefix="ingest_restart_")
-    raw = spark.read.schema(schema).parquet(table_path(sf_dir, "events"))
-    # Two halves by event_id parity, staged as separate replay files.
-    raw.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{work}/h1")
-    raw.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{work}/h2")
+    # Two staged halves by event_id parity, delivered as separate replay
+    # files (second lands only after the planned "crash").
+    h1, h2 = replay_stage(spark, sf_dir).splits("eid2")
     os.makedirs(f"{work}/replay")
-    [p1] = glob.glob(f"{work}/h1/part-*.parquet")
-    shutil.copy(p1, f"{work}/replay/a_half.parquet")
+    shutil.copy(h1, f"{work}/replay/a_half.parquet")
 
     def run_pass() -> None:
         ev = _normalize_ts(
@@ -1239,8 +1409,7 @@ def q_stream_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame
             q.stop()
 
     run_pass()  # first half drains, query stops (planned "crash" point)
-    [p2] = glob.glob(f"{work}/h2/part-*.parquet")
-    shutil.copy(p2, f"{work}/replay/b_half.parquet")
+    shutil.copy(h2, f"{work}/replay/b_half.parquet")
     run_pass()  # fresh query, same checkpoint: resumes after half one
     sink = spark.read.parquet(f"{work}/sink")
     return sink.groupBy("event_type").agg(
@@ -1287,12 +1456,9 @@ def q_stream_state_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     kind = _events_ts_kind(spark, sf_dir)
     schema = _events_raw_schema(kind)
     work = tempfile.mkdtemp(prefix="ingest_evolve_")
-    raw = spark.read.schema(schema).parquet(table_path(sf_dir, "events"))
-    raw.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{work}/h1")
-    raw.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{work}/h2")
+    h1, h2 = replay_stage(spark, sf_dir).splits("eid2")
     os.makedirs(f"{work}/replay")
-    [p1] = glob.glob(f"{work}/h1/part-*.parquet")
-    shutil.copy(p1, f"{work}/replay/a_half.parquet")
+    shutil.copy(h1, f"{work}/replay/a_half.parquet")
 
     def run_agg(aggs: list, ckpt: str, name: str) -> DataFrame:
         ev = _normalize_ts(
@@ -1326,8 +1492,7 @@ def q_stream_state_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fail mid-batch.
     phase1 = spark.createDataFrame(phase1.collect(), phase1.schema)
 
-    [p2] = glob.glob(f"{work}/h2/part-*.parquet")
-    shutil.copy(p2, f"{work}/replay/b_half.parquet")
+    shutil.copy(h2, f"{work}/replay/b_half.parquet")
     refused = False
     try:
         run_agg(evolved, f"{work}/ckpt", f"evo_{uuid.uuid4().hex[:12]}")
@@ -1400,12 +1565,9 @@ def _transform_with_state_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     kind = _events_ts_kind(spark, sf_dir)
     schema = _events_raw_schema(kind)
     work = tempfile.mkdtemp(prefix="ingest_tws_")
-    (
-        spark.read.schema(schema)
-        .parquet(table_path(sf_dir, "events"))
-        .repartition(2)
-        .write.parquet(f"{work}/chunks")
-    )
+    # Staged parity halves: two micro-batches; per-user running state is
+    # split-invariant (counts and sums re-aggregate).
+    _stage_chunk_dir(spark, sf_dir, work, "eid2")
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -1527,30 +1689,20 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     kind = _events_ts_kind(spark, sf_dir)
     schema = _events_raw_schema(kind)
     work = tempfile.mkdtemp(prefix="ingest_souter_")
-    raw = spark.read.schema(schema).parquet(table_path(sf_dir, "events"))
-    max_raw = raw.agg(F.max("ts")).collect()[0][0]
-
-    def plus_hours(h: int):
-        if kind == "bigint":
-            return max_raw + h * 3600 * 10**9
-        import datetime
-
-        return max_raw + datetime.timedelta(hours=h)
-
+    stage = replay_stage(spark, sf_dir)
     os.makedirs(f"{work}/replay")
-    raw.coalesce(1).write.parquet(f"{work}/b1")
-    [p1] = glob.glob(f"{work}/b1/part-*.parquet")
-    shutil.copy(p1, f"{work}/replay/a_events.parquet")
+    # The full fixture is already a single streamable file; sentinels are
+    # pyarrow-written (staged max(ts) + two tiny files replace four
+    # per-call Spark jobs).
+    shutil.copy(stage.fixture, f"{work}/replay/a_events.parquet")
     for tag, uid, hrs in (("b", -1, 24), ("c", -2, 48)):
-        spark.createDataFrame(
+        stage.write_events_rows(
+            f"{work}/replay/{tag}_sentinel.parquet",
             [
-                (uid, plus_hours(hrs), uid, "signup", 0.0, "{}"),
-                (uid, plus_hours(hrs), uid, "purchase", 0.0, "{}"),
+                (uid, stage.plus_hours(hrs), uid, "signup", 0.0, "{}"),
+                (uid, stage.plus_hours(hrs), uid, "purchase", 0.0, "{}"),
             ],
-            schema,
-        ).coalesce(1).write.mode("overwrite").parquet(f"{work}/s_{tag}")
-        [sp] = glob.glob(f"{work}/s_{tag}/part-*.parquet")
-        shutil.copy(sp, f"{work}/replay/{tag}_sentinel.parquet")
+        )
     now = time.time()
     for i, name in enumerate(
         ("a_events.parquet", "b_sentinel.parquet", "c_sentinel.parquet")
@@ -1634,18 +1786,10 @@ def q_stream_stateful_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     kind = _events_ts_kind(spark, sf_dir)
     schema = _events_raw_schema(kind)
     work = tempfile.mkdtemp(prefix="ingest_sto_")
-    raw = spark.read.schema(schema).parquet(table_path(sf_dir, "events"))
-    os.makedirs(f"{work}/replay")
-    for tag, parity in (("a_even", 0), ("b_odd", 1)):
-        raw.filter(F.col("user_id") % 2 == parity).coalesce(1).write.parquet(
-            f"{work}/{tag}_stage"
-        )
-        [p] = glob.glob(f"{work}/{tag}_stage/part-*.parquet")
-        shutil.copy(p, f"{work}/replay/{tag}.parquet")
-    n_users = raw.select("user_id").distinct().count()
-    now = time.time()
-    os.utime(f"{work}/replay/a_even.parquet", (now - 60, now - 60))
-    os.utime(f"{work}/replay/b_odd.parquet", (now, now))
+    stage = replay_stage(spark, sf_dir)
+    u0, u1 = stage.splits("uid2")
+    _stage_replay_dir(work, [(u0, "a_even.parquet"), (u1, "b_odd.parquet")], 60)
+    n_users = stage.n_users()
 
     ev = _normalize_ts(
         spark.readStream.schema(schema)
@@ -1818,17 +1962,8 @@ def q_stream_dim_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     kind = _events_ts_kind(spark, sf_dir)
     schema = _events_raw_schema(kind)
     work = tempfile.mkdtemp(prefix="ingest_dimref_")
-    raw = spark.read.schema(schema).parquet(table_path(sf_dir, "events"))
-    os.makedirs(f"{work}/replay")
-    for tag, parity in (("a_even", 0), ("b_odd", 1)):
-        raw.filter(F.col("event_id") % 2 == parity).coalesce(1).write.parquet(
-            f"{work}/{tag}_stage"
-        )
-        [p] = glob.glob(f"{work}/{tag}_stage/part-*.parquet")
-        shutil.copy(p, f"{work}/replay/{tag}.parquet")
-    now = time.time()
-    os.utime(f"{work}/replay/a_even.parquet", (now - 60, now - 60))
-    os.utime(f"{work}/replay/b_odd.parquet", (now, now))
+    h0, h1 = replay_stage(spark, sf_dir).splits("eid2")
+    _stage_replay_dir(work, [(h0, "a_even.parquet"), (h1, "b_odd.parquet")], 60)
 
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
@@ -2001,12 +2136,9 @@ def q_stream_idempotent_batchid(spark: SparkSession, sf_dir: str) -> DataFrame:
     kind = _events_ts_kind(spark, sf_dir)
     schema = _events_raw_schema(kind)
     work = tempfile.mkdtemp(prefix="ingest_idem_")
-    raw = spark.read.schema(schema).parquet(table_path(sf_dir, "events"))
-    raw.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{work}/h1")
-    raw.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{work}/h2")
+    h1, h2 = replay_stage(spark, sf_dir).splits("eid2")
     os.makedirs(f"{work}/replay")
-    [p1] = glob.glob(f"{work}/h1/part-*.parquet")
-    shutil.copy(p1, f"{work}/replay/a_half.parquet")
+    shutil.copy(h1, f"{work}/replay/a_half.parquet")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         # batch_id IS the idempotency key: overwrite-into-own-partition
@@ -2044,8 +2176,7 @@ def q_stream_idempotent_batchid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         0,
     )
-    [p2] = glob.glob(f"{work}/h2/part-*.parquet")
-    shutil.copy(p2, f"{work}/replay/b_half.parquet")
+    shutil.copy(h2, f"{work}/replay/b_half.parquet")
     run_pass()  # same checkpoint: resumes at batch 1
     sink = spark.read.parquet(f"{work}/sink")
     return sink.groupBy("event_type").agg(
@@ -2125,18 +2256,16 @@ def q_stream_listener(spark: SparkSession, sf_dir: str) -> DataFrame:
     kind = _events_ts_kind(spark, sf_dir)
     schema = _events_raw_schema(kind)
     work = tempfile.mkdtemp(prefix="ingest_listener_")
-    raw = spark.read.schema(schema).parquet(table_path(sf_dir, "events"))
-    os.makedirs(f"{work}/replay")
-    now = time.time()
-    for i in range(_LISTENER_CHUNKS):
-        raw.filter(F.col("event_id") % _LISTENER_CHUNKS == i).coalesce(
-            1
-        ).write.mode("overwrite").parquet(f"{work}/c{i}")
-        [part] = glob.glob(f"{work}/c{i}/part-*.parquet")
-        dst = f"{work}/replay/chunk_{i}.parquet"
-        shutil.copy(part, dst)
-        # Explicit increasing mtimes pin replay order = residue order.
-        os.utime(dst, (now - 60 + i, now - 60 + i))
+    # Staged residue chunks; explicit increasing mtimes pin replay order
+    # = residue order.
+    _stage_replay_dir(
+        work,
+        [
+            (p, f"chunk_{i}.parquet")
+            for i, p in enumerate(replay_stage(spark, sf_dir).splits("eid4"))
+        ],
+        spacing=1,
+    )
 
     progress: list[tuple[str, int, int]] = []
 
@@ -2324,13 +2453,9 @@ def q_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     kind = _events_ts_kind(spark, sf_dir)
     schema = _events_raw_schema(kind)
     work = tempfile.mkdtemp(prefix="ingest_scm_")
-    (
-        spark.read.schema(schema)
-        .parquet(table_path(sf_dir, "events"))
-        .repartition(4)
-        .write.mode("overwrite")
-        .parquet(f"{work}/chunks")
-    )
+    # Staged residue chunks: the sketch is a sum over cells, so the
+    # final merged counters are split-invariant.
+    _stage_chunk_dir(spark, sf_dir, work, "eid4")
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -2467,17 +2592,15 @@ def q_stream_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     kind = _events_ts_kind(spark, sf_dir)
     schema = _events_raw_schema(kind)
     work = tempfile.mkdtemp(prefix="ingest_soo_")
-    raw0 = spark.read.schema(schema).parquet(table_path(sf_dir, "events"))
-    os.makedirs(f"{work}/replay")
-    now = time.time()
-    for k in range(_SOO_CHUNKS):
-        raw0.filter(F.col("event_id") % _SOO_CHUNKS == k).coalesce(
-            1
-        ).write.mode("overwrite").parquet(f"{work}/c{k}")
-        [p] = glob.glob(f"{work}/c{k}/part-*.parquet")
-        dst = f"{work}/replay/{chr(ord('a') + k)}_chunk.parquet"
-        shutil.copy(p, dst)
-        os.utime(dst, (now - 60 * (_SOO_CHUNKS - k), now - 60 * (_SOO_CHUNKS - k)))
+    # Staged residue chunks replayed in residue order (mtime-pinned).
+    _stage_replay_dir(
+        work,
+        [
+            (p, f"{chr(ord('a') + k)}_chunk.parquet")
+            for k, p in enumerate(replay_stage(spark, sf_dir).splits("eid4"))
+        ],
+        spacing=60,
+    )
     raw_s = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
