@@ -272,22 +272,37 @@ def _grouped_keys() -> set[str]:
     return out
 
 
-def _module_walls(spark, queries) -> dict[str, dict]:
+def _module_walls(spark, queries) -> tuple[dict[str, dict], dict[str, int]]:
     """One timed pass per UN-GROUPED registry key at sf0.001, rolled up
     per operator module. 304 of 354 keys have never been graded by the
     driver's 50-key sample; this table makes their latency a recorded,
     diffable artifact so a future sample rotation can't surprise.
     sf0.001 keeps the pass to ~2 min (wall here is Spark's per-action
-    floor, which is exactly what a surprise would consist of)."""
+    floor, which is exactly what a surprise would consist of).
+
+    Also returns the ACTION CENSUS (VERDICT r8 item 5): Spark job count
+    per key via setJobGroup + statusTracker, this pass (stores warm from
+    the earlier groups, so counts are steady-state). At ~15x solo ratio
+    the per-action scheduling floor IS the bench — a key triggering N
+    jobs pays ~N x 0.2-0.5s regardless of data size. Caveats: broadcast
+    /AQE subquery jobs count too (a 2-3 count is one action + exchange
+    work, not a loop), and streaming micro-batch jobs run on scheduler
+    threads OUTSIDE the group, so stream keys under-count — their
+    harness cost is tracked by stream_setup/drain_sec instead."""
     sf_small = os.environ.get(
         "SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.001"
     )
     grouped = _grouped_keys()
     per_module: dict[str, dict] = {}
+    census: dict[str, int] = {}
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
     for key in sorted(queries):
         if key in grouped:
             continue
         mod = queries[key].__module__.rsplit(".", 1)[-1]
+        group = f"census_{key}"
+        sc.setJobGroup(group, key)
         t0 = time.monotonic()
         try:
             queries[key](spark, sf_small).collect()
@@ -296,6 +311,10 @@ def _module_walls(spark, queries) -> dict[str, dict]:
         except Exception as exc:  # recorded, not fatal — bench must finish
             wall = round(time.monotonic() - t0, 4)
             err = type(exc).__name__
+        try:
+            census[key] = len(tracker.getJobIdsForGroup(group))
+        except Exception:
+            pass
         slot = per_module.setdefault(
             mod, {"total_sec": 0.0, "n_keys": 0, "max_key": None, "max_sec": 0.0}
         )
@@ -305,7 +324,11 @@ def _module_walls(spark, queries) -> dict[str, dict]:
             slot.setdefault("errors", {})[key] = err
         if wall > slot["max_sec"]:
             slot["max_sec"], slot["max_key"] = wall, key
-    return per_module
+    try:
+        sc._jsc.sc().clearJobGroup()
+    except Exception:
+        pass
+    return per_module, census
 
 
 def _median(vals: list[float]) -> float:
@@ -450,11 +473,10 @@ def main() -> None:
 
     # Driver-sample blind-spot rollup (VERDICT r7 item 6). Gate with
     # SPARK_GRAFT_MODULE_WALLS=0 when a quick headline-only run is wanted.
-    module_walls = (
-        _module_walls(spark, QUERIES)
-        if os.environ.get("SPARK_GRAFT_MODULE_WALLS", "1") != "0"
-        else {}
-    )
+    if os.environ.get("SPARK_GRAFT_MODULE_WALLS", "1") != "0":
+        module_walls, action_census = _module_walls(spark, QUERIES)
+    else:
+        module_walls, action_census = {}, {}
 
     # Same-run DuckDB floor + ratios (VERDICT r7 item 2): measured LAST,
     # after every Spark sample, so the floor never co-tenants the Spark
@@ -507,6 +529,12 @@ def main() -> None:
         "session5_ops_cold": s5_cold,
         "session5_ops_cold_total": round(sum(s5_cold.values()), 4),
         "module_walls_sf0001": module_walls,
+        # Steady-state Spark-job count per un-grouped key (see
+        # _module_walls docstring for caveats); sorted worst-first so the
+        # top action-floor offenders lead the record.
+        "action_census": dict(
+            sorted(action_census.items(), key=lambda kv: -kv[1])
+        ),
         "duckdb_floor_sec": floor,
         "ratio_solo": ratio_solo,
         "ratio_concurrent": ratio_concurrent,
