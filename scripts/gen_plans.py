@@ -43,6 +43,15 @@ KEYS = [
     "q_label_noise",
     "q_bootstrap_ci",
     "q_cdc_chunks",
+    # round 8/9: Arrow-kernel families, bucketed cogroup, driver-side PI
+    # ladder, and the ingestion-maintenance pair (VERDICT r8 item 2)
+    "q_asof_cogroup",
+    "q_knn_ivf_arrow",
+    "q_knn_ivf_kmeans",
+    "q_semdedup",
+    "q_power_iteration",
+    "q_merge_upsert",
+    "q_compaction_plan",
 ]
 
 
