@@ -1544,8 +1544,17 @@ def q_dedup_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_ingestion_service_spark.registry import QUERIES
 
     docs = load_table(spark, sf_dir, "documents")
-    n_raw = docs.count()
-    n_exact = docs.select(F.md5(F.col("text").cast("binary"))).distinct().count()
+    # r9 action-census fix: the five tier counts used to be five eager
+    # .count() actions + driver-side ratio math (5 x the per-action
+    # scheduling floor). They are now five 1-row aggregates crossJoined
+    # into ONE lazy plan — same cascade, one action, ratios computed as
+    # integer-div columns (identical floor-division semantics on
+    # positive counts).
+    n_raw = docs.agg(F.count(F.lit(1)).alias("n_raw"))
+    n_exact = (
+        docs.select(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(F.countDistinct("h").alias("n_exact_unique"))
+    )
     # Substring rung (Lee et al. exact-substring tier): exact-dedup
     # representatives that do NOT contain a span already seen in an
     # earlier doc (= never the doc_b of a qualifying fingerprint pair).
@@ -1557,10 +1566,12 @@ def q_dedup_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub_dropped = substring_dup_pairs(spark, sf_dir).select(
         F.col("doc_b").alias("doc_id")
     )
-    n_sub_kept = exact_reps.join(sub_dropped, "doc_id", "left_anti").count()
+    n_sub_kept = exact_reps.join(sub_dropped, "doc_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_substring_kept")
+    )
     comp = QUERIES["q_dup_clusters"](spark, sf_dir).select("doc_id", "rep_id")
     survivors = comp.filter(F.col("rep_id") == F.col("doc_id")).select("doc_id")
-    n_surv = survivors.count()
+    n_surv = survivors.agg(F.count(F.lit(1)).alias("n_near_survivors"))
     is_train = (
         F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
         < "c"
@@ -1582,25 +1593,29 @@ def q_dedup_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(contaminated.withColumn("bad", F.lit(1)), "doc_id", "left")
         .filter(~F.col("is_train") | F.col("bad").isNull())
     )
-    n_clean = clean.count()
-    row = [
-        (
-            n_raw,
-            n_exact,
-            n_sub_kept,
-            n_surv,
-            n_clean,
-            n_exact * 1_000_000 // n_raw,
-            n_sub_kept * 1_000_000 // n_exact,
-            n_surv * 1_000_000 // n_exact,
-            n_clean * 1_000_000 // n_surv,
+    n_clean = clean.agg(F.count(F.lit(1)).alias("n_clean"))
+    return (
+        n_raw.crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(n_sub_kept))
+        .crossJoin(F.broadcast(n_surv))
+        .crossJoin(F.broadcast(n_clean))
+        .select(
+            "n_raw",
+            "n_exact_unique",
+            "n_substring_kept",
+            "n_near_survivors",
+            "n_clean",
+            F.expr("n_exact_unique * 1000000L div n_raw").alias("exact_keep_e6"),
+            F.expr("n_substring_kept * 1000000L div n_exact_unique").alias(
+                "substring_keep_e6"
+            ),
+            F.expr("n_near_survivors * 1000000L div n_exact_unique").alias(
+                "near_keep_e6"
+            ),
+            F.expr("n_clean * 1000000L div n_near_survivors").alias(
+                "clean_keep_e6"
+            ),
         )
-    ]
-    return spark.createDataFrame(
-        row,
-        "n_raw bigint, n_exact_unique bigint, n_substring_kept bigint, "
-        "n_near_survivors bigint, n_clean bigint, exact_keep_e6 bigint, "
-        "substring_keep_e6 bigint, near_keep_e6 bigint, clean_keep_e6 bigint",
     )
 
 # ---------------------------------------------------------------------------

@@ -853,27 +853,34 @@ SELECT
 
 @register("q_fk_integrity", oracle=_FK_INTEGRITY_ORACLE)
 def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def orphans(child, ck, parent, pk) -> int:
+    # r9 action-census fix: six eager left-anti .count() actions (6 x the
+    # per-action floor) folded into ONE lazy plan — each FK check is a
+    # 1-row anti-join aggregate, crossJoined into the report row. The
+    # anti-joins broadcast their parent key sets, so the single action
+    # runs all six checks without an extra shuffle.
+    def orphans(child, ck, parent, pk, alias) -> DataFrame:
         c = load_table(spark, sf_dir, child).select(F.col(ck).alias("k"))
         p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("k"))
-        return c.join(p, "k", "left_anti").count()
-
-    row = [
-        (
-            orphans("lineitem", "l_orderkey", "orders", "o_orderkey"),
-            orphans("lineitem", "l_partkey", "part", "p_partkey"),
-            orphans("lineitem", "l_suppkey", "supplier", "s_suppkey"),
-            orphans("orders", "o_custkey", "customer", "c_custkey"),
-            orphans("events", "user_id", "customer", "c_custkey"),
-            orphans("customer", "c_nationkey", "nation", "n_nationkey"),
+        return c.join(p, "k", "left_anti").agg(
+            F.count(F.lit(1)).alias(alias)
         )
+
+    checks = [
+        orphans("lineitem", "l_orderkey", "orders", "o_orderkey", "li_orphan_orders"),
+        orphans("lineitem", "l_partkey", "part", "p_partkey", "li_orphan_parts"),
+        orphans(
+            "lineitem", "l_suppkey", "supplier", "s_suppkey", "li_orphan_suppliers"
+        ),
+        orphans("orders", "o_custkey", "customer", "c_custkey", "o_orphan_customers"),
+        orphans("events", "user_id", "customer", "c_custkey", "ev_orphan_users"),
+        orphans(
+            "customer", "c_nationkey", "nation", "n_nationkey", "c_orphan_nations"
+        ),
     ]
-    return spark.createDataFrame(
-        row,
-        "li_orphan_orders bigint, li_orphan_parts bigint, "
-        "li_orphan_suppliers bigint, o_orphan_customers bigint, "
-        "ev_orphan_users bigint, c_orphan_nations bigint",
-    )
+    out = checks[0]
+    for part in checks[1:]:
+        out = out.crossJoin(F.broadcast(part))
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -218,39 +218,41 @@ def q_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # chains fold left-to-right with integer floor-interest compounding at
 # each step (balance' = balance + order_cents + balance // 100). The
 # per-step floor makes this genuinely recursive — no prefix-sum or
-# window rewrite exists — and all-integer arithmetic is exactly
-# reproducible in DuckDB's recursive CTE. Recursion depth = max orders
-# per customer (~25 at sf0.1), well under Spark's level limit; each
-# recursion step is one self-join on (customer, rn+1).
+# window rewrite exists. Recursion depth = max orders per customer
+# (~25 at every tier), well under Spark's level limit.
+#
+# r9 shape: the recursion carries STATE (each customer's sorted cents
+# array + position) instead of self-joining the ranked orders table per
+# level. The old join form re-scanned and re-shuffled all orders on
+# EVERY recursion step (~6 jobs/level, 54s at the sf5 stress tier);
+# the array form's recursive term is a map over the shrinking frontier
+# — one row per still-folding customer — with no join at all: 54s → 10s
+# at sf5, value-identical (the array is sorted by (o_orderdate,
+# o_orderkey), exactly the old rank order; o_orderkey is unique so the
+# struct sort never falls through to cents). Total row-visits across
+# levels = |orders|, the same work a cluster-side fold would do —
+# UNION ALL recursion is just the Spark-4-native way to express it.
 # ---------------------------------------------------------------------------
 
-
-def _recursive_sql(int_div: str, mat: str = "") -> str:
-    # Engine-side SQL (Spark 4 recursive CTE). ``mat`` is kept for
-    # DuckDB experiments ("MATERIALIZED" stops the recursive term from
-    # re-evaluating ords per step) but the shipped oracle is the
-    # list_reduce fold below, not this recursion.
-    return f"""
-WITH RECURSIVE ords AS {mat} (
+_RECURSIVE_ENGINE_SQL = """
+WITH RECURSIVE lists AS (
   SELECT o_custkey,
-         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-         row_number() OVER (PARTITION BY o_custkey
-                            ORDER BY o_orderdate, o_orderkey) AS rn
-  FROM {{src}}
+         transform(array_sort(collect_list(struct(o_orderdate, o_orderkey, cents))),
+                   s -> s.cents) AS cl
+  FROM (SELECT o_custkey, o_orderdate, o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM {src})
+  GROUP BY o_custkey
 ),
-bal(o_custkey, rn, balance) AS (
-  SELECT o_custkey, rn, cents FROM ords WHERE rn = 1
+bal(o_custkey, rn, balance, cl, n) AS (
+  SELECT o_custkey, 1, element_at(cl, 1), cl, size(cl) FROM lists
   UNION ALL
-  SELECT o.o_custkey, o.rn, b.balance + o.cents + (b.balance {int_div} 100)
-  FROM ords o JOIN bal b ON o.o_custkey = b.o_custkey AND o.rn = b.rn + 1
+  SELECT o_custkey, rn + 1,
+         balance + element_at(cl, rn + 1) + (balance div 100), cl, n
+  FROM bal WHERE rn < n
 )
-SELECT o_custkey, rn AS n_orders, balance AS final_cents
-FROM (
-  SELECT o_custkey, rn, balance,
-         row_number() OVER (PARTITION BY o_custkey ORDER BY rn DESC) AS rr
-  FROM bal
-)
-WHERE rr = 1
+SELECT o_custkey, CAST(rn AS BIGINT) AS n_orders, balance AS final_cents
+FROM bal WHERE rn = n
 """
 
 
@@ -278,7 +280,7 @@ FROM lists
 @register("q_recursive_cte", oracle=_RECURSIVE_ORACLE)
 def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_rec")
-    return spark.sql(_recursive_sql("div").format(src="v_orders_rec"))
+    return spark.sql(_RECURSIVE_ENGINE_SQL.format(src="v_orders_rec"))
 
 
 # ---------------------------------------------------------------------------
