@@ -87,6 +87,65 @@ def _normalize_ts(df: DataFrame, kind: str) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+# Streaming shuffle right-sizing (r9): a streaming query's shuffle
+# partition count is fixed at query start and becomes the state-store
+# partition count — AQE cannot coalesce it at runtime the way it does
+# for batch. At replay scale the session's 32 partitions mean 32 state
+# commits per stateful operator per micro-batch, and that bookkeeping IS
+# the drain wall (q_stream_outer_join at sf0.1: 14.9s at 32 partitions,
+# 4.7s at 8 — same rows). The drain helpers therefore size partitions to
+# the replay INPUT (~8 MB/partition, floor 4), clamped to the session
+# value, so a 100 TB run still gets the submitter's full setting while a
+# megabyte-scale replay stops paying hundredfold state overhead. The
+# input size is noted per-thread by events_stream/replay_stage; the conf
+# is session-wide during the drain (documented trade: a concurrently
+# planned batch query would start with fewer initial partitions — AQE
+# handles batch sizing anyway) and restored to RUNTIME_CONFS after.
+_STREAM_INPUT = threading.local()
+
+
+def _note_stream_input(path: str) -> None:
+    try:
+        _STREAM_INPUT.nbytes = os.path.getsize(path)
+    except OSError:
+        _STREAM_INPUT.nbytes = None
+
+
+def _stream_partitions(spark: SparkSession) -> str | None:
+    nbytes = getattr(_STREAM_INPUT, "nbytes", None)
+    if not nbytes:
+        return None
+    want = max(4, (int(nbytes) + (8 << 20) - 1) // (8 << 20))
+    try:
+        cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return None
+    return str(want) if want < cur else None
+
+
+class _sized_stream_shuffle:
+    """Context manager: lower shuffle partitions for one stream drain."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self._spark = spark
+        self._parts = _stream_partitions(spark)
+
+    def __enter__(self):
+        if self._parts is not None:
+            self._spark.conf.set("spark.sql.shuffle.partitions", self._parts)
+        return self
+
+    def __exit__(self, *exc):
+        if self._parts is not None:
+            from data_ingestion_service_spark.session import RUNTIME_CONFS
+
+            self._spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                RUNTIME_CONFS["spark.sql.shuffle.partitions"],
+            )
+        return False
+
+
 def events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
     """Replayable stream over events.parquet (optionally duplicated).
 
@@ -95,6 +154,7 @@ def events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFram
     values.
     """
     ensure_session_confs(spark)
+    _note_stream_input(table_path(sf_dir, "events"))
     kind = _events_ts_kind(spark, sf_dir)
     # Spark's file-stream source requires a directory: stream the fixture
     # dir with a glob filter for the single-copy case; stage copies into a
@@ -146,6 +206,7 @@ class _ReplayStage:
     def __init__(self, spark: SparkSession, sf_dir: str) -> None:
         self.fixture = table_path(sf_dir, "events")
         self.kind = _events_ts_kind(spark, sf_dir)
+        _note_stream_input(self.fixture)
         self._dir = tempfile.mkdtemp(prefix="ingest_stage_")
         _STAGE_DIRS.append(self._dir)
         self._lock = threading.Lock()
@@ -277,6 +338,7 @@ def replay_stage(spark: SparkSession, sf_dir: str) -> _ReplayStage:
     vintage (keyed like _TS_KIND_CACHE: an in-place regeneration gets a
     fresh stage, never stale files)."""
     path = table_path(sf_dir, "events")
+    _note_stream_input(path)
     try:
         st = os.stat(path)
         key = (path, st.st_mtime_ns, st.st_size)
@@ -362,19 +424,20 @@ def run_to_parquet(df: DataFrame, spark: SparkSession) -> DataFrame:
     work = tempfile.mkdtemp(prefix="ingest_sink_")
     _SINK_DIRS.append(work)
     t0 = time.monotonic()
-    q = (
-        df.writeStream.format("parquet")
-        .option("path", f"{work}/out")
-        .option("checkpointLocation", f"{work}/ckpt")
-        .outputMode("append")
-        .start()
-    )
-    t1 = time.monotonic()
-    try:
-        q.processAllAvailable()
-        t2 = time.monotonic()
-    finally:
-        q.stop()
+    with _sized_stream_shuffle(spark):
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .outputMode("append")
+            .start()
+        )
+        t1 = time.monotonic()
+        try:
+            q.processAllAvailable()
+            t2 = time.monotonic()
+        finally:
+            q.stop()
     LAST_STREAM_TIMINGS["setup_sec"] = round(t1 - t0, 4)
     LAST_STREAM_TIMINGS["drain_sec"] = round(t2 - t1, 4)
     # Explicit schema: a zero-row drain leaves only _spark_metadata and
@@ -386,22 +449,23 @@ def run_to_parquet(df: DataFrame, spark: SparkSession) -> DataFrame:
 def run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
     """Drain a streaming DataFrame into a memory sink; return final state."""
     name = f"sink_{uuid.uuid4().hex[:12]}"
+    spark = df.sparkSession
     t0 = time.monotonic()
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .start()
-    )
-    t1 = time.monotonic()
-    try:
-        q.processAllAvailable()
-        t2 = time.monotonic()
-    finally:
-        q.stop()
+    with _sized_stream_shuffle(spark):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .start()
+        )
+        t1 = time.monotonic()
+        try:
+            q.processAllAvailable()
+            t2 = time.monotonic()
+        finally:
+            q.stop()
     LAST_STREAM_TIMINGS["setup_sec"] = round(t1 - t0, 4)
     LAST_STREAM_TIMINGS["drain_sec"] = round(t2 - t1, 4)
-    spark = df.sparkSession
     return spark.table(name)
 
 

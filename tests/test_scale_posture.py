@@ -282,6 +282,34 @@ def test_store_invalidation_cascades_to_dependents(spark, sf_dir):
     assert "InMemoryTableScan" in plan
 
 
+def test_stream_shuffle_sized_to_replay_input(spark, sf_dir):
+    """Streaming state-store partition count must follow the replay
+    INPUT size, not the session's batch default (r9): a streaming
+    shuffle is fixed at query start — AQE cannot coalesce it — so 32
+    state commits per stateful op per micro-batch on a megabyte replay
+    is pure overhead (q_stream_outer_join: 14.9s -> 4.7s at sf0.1). At
+    cluster scale the clamp keeps the submitter's setting. The conf
+    must be RESTORED after the drain so batch plans are untouched."""
+    from data_ingestion_service_spark.catalog import table_path
+    from data_ingestion_service_spark.session import RUNTIME_CONFS
+    from data_ingestion_service_spark.streaming import stream_queries as sq
+
+    sq._note_stream_input(table_path(sf_dir, "events"))
+    parts = sq._stream_partitions(spark)
+    assert parts == "4", f"test-tier replay should floor at 4, got {parts}"
+    # A >100TB input must clamp to the session setting (returns None ->
+    # conf untouched).
+    sq._STREAM_INPUT.nbytes = 200 << 40
+    assert sq._stream_partitions(spark) is None
+    # End-to-end: a drain lowers then restores the session conf.
+    sq._note_stream_input(table_path(sf_dir, "events"))
+    QUERIES["q_events_tumbling"](spark, sf_dir).collect()
+    assert (
+        spark.conf.get("spark.sql.shuffle.partitions")
+        == RUNTIME_CONFS["spark.sql.shuffle.partitions"]
+    )
+
+
 def test_store_invalidation_catches_in_flight_dependent(spark):
     """ADVICE r8 (medium): a dependent whose build is IN FLIGHT when the
     base store is invalidated (edge recorded, DataFrame not yet cached)
