@@ -705,15 +705,16 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(f"{out}/data")
         )
 
-    q = (
-        ev.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", f"{out}/checkpoint")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _sized_stream_shuffle(spark):
+        q = (
+            ev.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", f"{out}/checkpoint")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     back = spark.read.parquet(f"{out}/data")
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -832,17 +833,18 @@ def q_stream_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "value"
     )
     out = tempfile.mkdtemp(prefix="ingest_stream_sink_")
-    q = (
-        filtered.writeStream.format("parquet")
-        .option("path", f"{out}/data")
-        .option("checkpointLocation", f"{out}/checkpoint")
-        .outputMode("append")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _sized_stream_shuffle(spark):
+        q = (
+            filtered.writeStream.format("parquet")
+            .option("path", f"{out}/data")
+            .option("checkpointLocation", f"{out}/checkpoint")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     back = spark.read.parquet(f"{out}/data")
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1012,15 +1014,16 @@ def q_stream_ivm_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.write.mode("overwrite").parquet(f"{work}/snap_v{batch_id}")
         snap_state["version"] = batch_id
 
-    q = (
-        ev.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", f"{work}/checkpoint")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _sized_stream_shuffle(spark):
+        q = (
+            ev.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", f"{work}/checkpoint")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     final = spark.read.parquet(f"{work}/snap_v{snap_state['version']}")
     return final.select(
         F.col("hour_start").cast("timestamp_ntz").alias("hour_start"),
@@ -1080,15 +1083,16 @@ def q_stream_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER)
     name = f"sink_{uuid.uuid4().hex[:12]}"
     try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", f"{work}/checkpoint")
-            .start()
-        )
-        q.awaitTermination()
+        with _sized_stream_shuffle(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", f"{work}/checkpoint")
+                .start()
+            )
+            q.awaitTermination()
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
@@ -1335,17 +1339,18 @@ def q_stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = tempfile.mkdtemp(prefix="ingest_state_inspect_")
     name = f"state_sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", out)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _sized_stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", out)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     # Not the sink: the OPERATOR STATE itself, keyed by group, one
     # struct per (key, partition).
     state = spark.read.format("statestore").load(out)
@@ -1460,17 +1465,18 @@ def q_stream_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame
             "event_type",
             F.round(F.col("value") * 100).cast("long").alias("value_cents"),
         )
-        q = (
-            proj.writeStream.format("parquet")
-            .option("path", f"{work}/sink")
-            .option("checkpointLocation", f"{work}/checkpoint")
-            .outputMode("append")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with _sized_stream_shuffle(spark):
+            q = (
+                proj.writeStream.format("parquet")
+                .option("path", f"{work}/sink")
+                .option("checkpointLocation", f"{work}/checkpoint")
+                .outputMode("append")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
 
     run_pass()  # first half drains, query stops (planned "crash" point)
     shutil.copy(h2, f"{work}/replay/b_half.parquet")
@@ -1529,17 +1535,18 @@ def q_stream_state_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.readStream.schema(schema).parquet(f"{work}/replay"), kind
         )
         agg = ev.groupBy("event_type").agg(*aggs)
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with _sized_stream_shuffle(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         return spark.table(name)
 
     count_only = [F.count(F.lit(1)).alias("n")]
@@ -1680,15 +1687,16 @@ def _transform_with_state_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"tws_{uuid.uuid4().hex[:12]}"
     try:
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", f"{work}/checkpoint")
-            .start()
-        )
-        q.awaitTermination()
+        with _sized_stream_shuffle(spark):
+            q = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", f"{work}/checkpoint")
+                .start()
+            )
+            q.awaitTermination()
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
@@ -1886,25 +1894,26 @@ def q_stream_stateful_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
     name = f"sto_{uuid.uuid4().hex[:12]}"
-    q = (
-        flushed.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
-    )
-    try:
-        deadline = time.monotonic() + 180
-        while time.monotonic() < deadline:
-            if spark.table(name).count() >= n_users:
-                break
-            time.sleep(0.25)
-        else:
-            raise TimeoutError(
-                f"stateful-timeout flush incomplete: "
-                f"{spark.table(name).count()}/{n_users} users"
-            )
-    finally:
-        q.stop()
+    with _sized_stream_shuffle(spark):
+        q = (
+            flushed.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            deadline = time.monotonic() + 180
+            while time.monotonic() < deadline:
+                if spark.table(name).count() >= n_users:
+                    break
+                time.sleep(0.25)
+            else:
+                raise TimeoutError(
+                    f"stateful-timeout flush incomplete: "
+                    f"{spark.table(name).count()}/{n_users} users"
+                )
+        finally:
+            q.stop()
     return spark.table(name).select(
         "user_id",
         "n_events",
@@ -1964,15 +1973,16 @@ def q_stream_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             batch_df.unpersist()
 
-    q = (
-        ev.writeStream.foreachBatch(fan_out)
-        .option("checkpointLocation", f"{out}/checkpoint")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _sized_stream_shuffle(spark):
+        q = (
+            ev.writeStream.foreachBatch(fan_out)
+            .option("checkpointLocation", f"{out}/checkpoint")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     raw = spark.read.parquet(f"{out}/raw")
     agg = spark.read.parquet(f"{out}/agg")
     from_raw = raw.groupBy("event_type").agg(
@@ -2066,15 +2076,16 @@ def q_stream_dim_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         if batch_id == 0:
             write_dim("v2")  # the refresh lands between batches
 
-    q = (
-        ev.writeStream.foreachBatch(enrich)
-        .option("checkpointLocation", f"{work}/checkpoint")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _sized_stream_shuffle(spark):
+        q = (
+            ev.writeStream.foreachBatch(enrich)
+            .option("checkpointLocation", f"{work}/checkpoint")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     sink = spark.read.parquet(f"{work}/sink")
     return sink.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n"),
@@ -2114,17 +2125,18 @@ def q_stream_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="ingest_medal_")
 
     def drain(df: DataFrame, path: str, ckpt: str) -> None:
-        q = (
-            df.writeStream.format("parquet")
-            .option("path", path)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with _sized_stream_shuffle(spark):
+            q = (
+                df.writeStream.format("parquet")
+                .option("path", path)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
 
     # bronze: raw landing zone (append-only, source schema preserved)
     raw = spark.readStream.schema(schema).option(
@@ -2156,17 +2168,18 @@ def q_stream_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value_cents").cast("long").alias("value_cents"),
     )
     name = f"gold_{uuid.uuid4().hex[:12]}"
-    q = (
-        gold.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", f"{work}/ckpt_gold")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _sized_stream_shuffle(spark):
+        q = (
+            gold.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{work}/ckpt_gold")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -2221,15 +2234,16 @@ def q_stream_idempotent_batchid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = _normalize_ts(
             spark.readStream.schema(schema).parquet(f"{work}/replay"), kind
         )
-        q = (
-            ev.writeStream.foreachBatch(write_batch)
-            .option("checkpointLocation", f"{work}/checkpoint")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with _sized_stream_shuffle(spark):
+            q = (
+                ev.writeStream.foreachBatch(write_batch)
+                .option("checkpointLocation", f"{work}/checkpoint")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
 
     run_pass()  # batch 0 lands
     # The RETRY: re-deliver batch 0's exact payload (post-commit crash →
@@ -2555,15 +2569,16 @@ def q_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.write.mode("overwrite").parquet(f"{work}/sketch_v{batch_id}")
         snap_state["version"] = batch_id
 
-    q = (
-        raw.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", f"{work}/checkpoint")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _sized_stream_shuffle(spark):
+        q = (
+            raw.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", f"{work}/checkpoint")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     sketch = spark.read.parquet(f"{work}/sketch_v{snap_state['version']}")
     uc = (
         spark.read.schema(schema)
@@ -2701,15 +2716,16 @@ def q_stream_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((len(rows), int(agg["n"]), int(agg["n_late"]), int(running)))
         state["max_s"] = running
 
-    q = (
-        ev.writeStream.foreachBatch(audit_batch)
-        .option("checkpointLocation", f"{work}/checkpoint")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _sized_stream_shuffle(spark):
+        q = (
+            ev.writeStream.foreachBatch(audit_batch)
+            .option("checkpointLocation", f"{work}/checkpoint")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.createDataFrame(
         rows, "batch_id bigint, n_events bigint, n_late bigint, running_max_s bigint"
     )
@@ -2788,15 +2804,16 @@ def q_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(f"{out_dir}/b{batch_id}")
         )
 
-    q = (
-        ev.writeStream.foreachBatch(enrich)
-        .option("checkpointLocation", f"{work}/ckpt")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _sized_stream_shuffle(spark):
+        q = (
+            ev.writeStream.foreachBatch(enrich)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     # Explicit schema (zero-row drains have no footer to infer from) +
     # recursive lookup over the per-batch subdirs.
     from pyspark.sql.types import StructField, StructType
