@@ -50,6 +50,11 @@ _TS_KIND_CACHE: dict[tuple, str] = {}
 def _events_ts_kind(spark: SparkSession, sf_dir: str) -> str:
     """'bigint' (legacy nanos-as-long fixtures) or 'timestamp'."""
     path = table_path(sf_dir, "events")
+    # Every streaming key probes the kind, so this is the one place that
+    # reliably sees the replay input before any drain — note its size
+    # for the sized-shuffle helper (keys reading the fixture directly,
+    # e.g. medallion's bronze pass, never touch events_stream/the stage).
+    _note_stream_input(path)
     try:
         st = os.stat(path)
         key = (path, st.st_mtime_ns, st.st_size)
