@@ -384,6 +384,61 @@ def test_events_ts_epoch_tripwire(spark, sf_dir):
     assert stream_max.year == 2024
 
 
+def test_replay_stage_handles_nanos_vintage(spark, sf_dir, tmp_path):
+    """The replay stage's bigint branch (legacy TIMESTAMP(NANOS)
+    fixtures) must stay live even while the current fixture vintage is
+    µs — the driver has regenerated vintages before (round-2 regression
+    class), and the staged-artifact path (pyarrow max(ts), int64
+    sentinel writes, split files) would otherwise be untested until it
+    broke. Synthesizes a ns-vintage events file and drives the stage
+    end-to-end; a 10-key stream-family sim against the same synthetic
+    vintage was hash-green when this was pinned (round 9)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from data_ingestion_service_spark.streaming import stream_queries as sq
+
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    probe = tmp_path / "nsvintage"
+    probe.mkdir()
+    ev = pq.ParquetFile(src).read()
+    i = ev.schema.get_field_index("ts")
+    pq.write_table(
+        ev.set_column(i, "ts", ev.column("ts").cast(pa.timestamp("ns"))),
+        str(probe / "events.parquet"),
+        version="2.6",
+        coerce_timestamps=None,
+    )
+    stage = sq.replay_stage(spark, str(probe))
+    assert stage.kind == "bigint"
+    mx = stage.max_raw()
+    assert isinstance(mx, int) and mx > 10**18, "expected raw epoch-ns"
+    assert stage.plus_hours(2) == mx + 2 * 3600 * 10**9
+    # Splits partition the fixture rows exactly.
+    h0, h1 = stage.splits("eid2")
+    n0 = pq.ParquetFile(h0).metadata.num_rows
+    n1 = pq.ParquetFile(h1).metadata.num_rows
+    assert n0 + n1 == ev.num_rows
+    # A sentinel written in raw-ns units reads back under the bigint
+    # replay schema with the exact value.
+    sent = probe / "sentinel.parquet"
+    stage.write_events_rows(
+        str(sent), [(-1, stage.plus_hours(2), -1, "sentinel", 0.0, "{}")]
+    )
+    schema = sq._events_raw_schema(stage.kind)
+    row = spark.read.schema(schema).parquet(str(sent)).collect()[0]
+    assert row.ts == stage.plus_hours(2) and row.event_type == "sentinel"
+    # And the fixture itself reads as raw longs in the same era (2024).
+    got = (
+        spark.read.schema(schema)
+        .parquet(str(probe / "events.parquet"))
+        .agg(F.max("ts").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert got == mx
+
+
 def test_pointer_jump_converges_logarithmically(spark):
     """A 32-node chain graph (worst case for min-label propagation: the
     min label crawls one hop per neighbor-min round, needing ~31 rounds)
