@@ -180,8 +180,15 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stress test.
 # ---------------------------------------------------------------------------
 
+# Revenue in exact e4 fixed point (2dp price x 2dp discount-complement
+# are both exact integers x100), summed as BIGINT and quantized to 2dp
+# once at the end: a raw double sum over ~600k matched rows crossed a
+# cent-rounding boundary between engines at the sf5 stress tier (the r8
+# divergence class — float addition order is partitioning-dependent).
 _Q19_ORACLE = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100) AS BIGINT))
+             AS DOUBLE) / 10000, 2) AS revenue
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE
@@ -215,10 +222,11 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_quantity").between(20, 50)
         )
     )
+    e4 = F.round(F.col("l_extendedprice") * 100).cast("bigint") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
     return joined.filter(alt).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
+        F.round(F.sum(e4).cast("double") / 10000, 2).alias("revenue")
     )
 
 
