@@ -24,7 +24,8 @@ SELECT
   event_type,
   count(DISTINCT user_id)        AS n_users,
   count(*)                       AS n_events,
-  round(sum(value), 2)           AS total_value
+  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100, 2)
+                                 AS total_value
 FROM events
 GROUP BY event_type
 """
@@ -36,7 +37,13 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        # Exact-cents sum (q19 lesson): per-type groups are 1M+ rows
+        # at stress tiers; value is exactly 2dp by fixture construction.
+        F.round(
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / 100,
+            2,
+        ).alias("total_value"),
     )
 
 

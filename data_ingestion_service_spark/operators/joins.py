@@ -96,7 +96,8 @@ _THETA_ORACLE = """
 SELECT
   p_size,
   count(*)                          AS n_items,
-  round(sum(l_extendedprice), 2)    AS band_price
+  round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+        / 100, 2)                   AS band_price
 FROM part
 JOIN lineitem
   ON l_partkey = p_partkey
@@ -118,7 +119,14 @@ def q_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_size")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 2).alias("band_price"),
+            # Exact-cents sum (q19 lesson): ~50 size bands over matched
+            # lineitem are 100k+-row groups at stress tiers.
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                .cast("double")
+                / 100,
+                2,
+            ).alias("band_price"),
         )
     )
 

@@ -101,8 +101,12 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregate, de-correlated into a join against per-part averages).
 # ---------------------------------------------------------------------------
 
+# Exact-cents sum (the q19 lesson applied proactively): the matched set
+# is a single large group at stress tiers, where a raw double sum's
+# addition order can flip the final cent between engines.
 _Q17_ORACLE = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 / 7.0, 2) AS avg_yearly
 FROM lineitem l
 JOIN (
   SELECT l_partkey AS ap_partkey, 0.2 * avg(l_quantity) AS qty_threshold
@@ -121,7 +125,15 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(thresholds, F.col("l_partkey") == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                .cast("double")
+                / 100
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
     )
 
 
