@@ -297,12 +297,26 @@ def _module_walls(spark, queries) -> tuple[dict[str, dict], dict[str, int]]:
     census: dict[str, int] = {}
     sc = spark.sparkContext
     tracker = sc.statusTracker()
+    prev_key = prev_group = None
     for key in sorted(queries):
         if key in grouped:
             continue
         mod = queries[key].__module__.rsplit(".", 1)[-1]
         group = f"census_{key}"
         sc.setJobGroup(group, key)
+        # statusTracker is fed by the async listener bus, so the read
+        # right after collect() can miss a key's tail job (ADVICE r9).
+        # Re-read the PREVIOUS key's group here — a full key's wall time
+        # later — and keep the larger count; retention (default 1000
+        # jobs) easily covers one key of lag.
+        if prev_group is not None:
+            try:
+                census[prev_key] = max(
+                    census.get(prev_key, 0),
+                    len(tracker.getJobIdsForGroup(prev_group)),
+                )
+            except Exception:
+                pass
         t0 = time.monotonic()
         try:
             queries[key](spark, sf_small).collect()
@@ -315,6 +329,7 @@ def _module_walls(spark, queries) -> tuple[dict[str, dict], dict[str, int]]:
             census[key] = len(tracker.getJobIdsForGroup(group))
         except Exception:
             pass
+        prev_key, prev_group = key, group
         slot = per_module.setdefault(
             mod, {"total_sec": 0.0, "n_keys": 0, "max_key": None, "max_sec": 0.0}
         )
@@ -324,8 +339,20 @@ def _module_walls(spark, queries) -> tuple[dict[str, dict], dict[str, int]]:
             slot.setdefault("errors", {})[key] = err
         if wall > slot["max_sec"]:
             slot["max_sec"], slot["max_key"] = wall, key
+    # Final key's late re-read after a short listener-bus quiesce.
+    if prev_group is not None:
+        time.sleep(0.2)
+        try:
+            census[prev_key] = max(
+                census.get(prev_key, 0),
+                len(tracker.getJobIdsForGroup(prev_group)),
+            )
+        except Exception:
+            pass
+    # Public-API group clear (ADVICE r9: no private _jsc reach-through).
     try:
-        sc._jsc.sc().clearJobGroup()
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
     except Exception:
         pass
     return per_module, census

@@ -152,11 +152,15 @@ def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Catalyst de-correlates the subquery into anyway).
 # ---------------------------------------------------------------------------
 
+# Exact-cents avg (r10 float-sum audit): the avg's last ulp decides row
+# membership (o_totalprice > 1.5*avg), so both engines must compute the
+# identical double — sum cents as BIGINT, divide once.
 _CORRELATED_ORACLE = """
 SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS totalprice
 FROM orders o
 WHERE o.o_totalprice > 1.5 * (
-  SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+  SELECT CAST(sum(CAST(floor(o2.o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 / count(*)
+  FROM orders o2 WHERE o2.o_custkey = o.o_custkey
 )
 """
 
@@ -165,7 +169,13 @@ WHERE o.o_totalprice > 1.5 * (
 def q_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     avg_per_cust = orders.groupBy(F.col("o_custkey").alias("ac_custkey")).agg(
-        F.avg("o_totalprice").alias("avg_price")
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).cast(
+                "double"
+            )
+            / 100
+            / F.count(F.lit(1))
+        ).alias("avg_price")
     )
     return (
         orders.join(avg_per_cust, F.col("o_custkey") == F.col("ac_custkey"))

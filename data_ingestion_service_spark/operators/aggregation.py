@@ -155,7 +155,8 @@ def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _HAVING_ORACLE = """
-SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+SELECT o_custkey, count(*) AS n_orders,
+       round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100, 2) AS spend
 FROM orders
 GROUP BY o_custkey
 HAVING count(*) >= 15
@@ -167,9 +168,15 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_custkey")
+        # Exact-cents spend (r10 float-sum audit): a raw double sum's
+        # addition order is partition-dependent; integer cents are not.
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+            F.round(
+                F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+                / 100,
+                2,
+            ).alias("spend"),
         )
         .filter(F.col("n_orders") >= 15)
     )

@@ -31,7 +31,7 @@ SELECT
   n.n_name,
   count(DISTINCT c.c_custkey)  AS n_customers,
   count(o.o_orderkey)          AS n_orders,
-  round(sum(o.o_totalprice), 2) AS total_spend
+  round(CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_spend
 FROM nation n
 JOIN customer c ON c.c_nationkey = n.n_nationkey
 JOIN orders o   ON o.o_custkey = c.c_custkey
@@ -50,7 +50,9 @@ def q_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
           n.n_name,
           count(DISTINCT c.c_custkey)   AS n_customers,
           count(o.o_orderkey)           AS n_orders,
-          round(sum(o.o_totalprice), 2) AS total_spend
+          -- exact-cents sum (r10 float-sum audit)
+          round(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) / 100, 2)
+            AS total_spend
         FROM v_nation n
         JOIN v_customer c ON c.c_nationkey = n.n_nationkey
         JOIN v_orders o   ON o.o_custkey = c.c_custkey
@@ -355,16 +357,16 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RANGE_FRAME_ORACLE = """
 SELECT
   o_orderdate,
-  daily_rev,
-  round(sum(daily_rev) OVER (
+  round(CAST(daily_cents AS DOUBLE) / 100, 2) AS daily_rev,
+  round(CAST(sum(daily_cents) OVER (
     ORDER BY epoch_day
     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
-  ), 2) AS rev_7d
+  ) AS DOUBLE) / 100, 2) AS rev_7d
 FROM (
   SELECT
     o_orderdate,
     date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS epoch_day,
-    round(sum(o_totalprice), 2) AS daily_rev
+    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS daily_cents
   FROM orders
   GROUP BY 1, 2
 )
@@ -374,8 +376,13 @@ FROM (
 @register("q_range_frame", oracle=_RANGE_FRAME_ORACLE)
 def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    # Window arithmetic in integer cents (r10 float-sum audit): a RANGE-
+    # frame DOUBLE sum's addition order is engine-implementation-defined
+    # (segment tree vs sliding accumulator); integer sums are associative.
     daily = orders.groupBy("o_orderdate").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("daily_rev")
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+            "daily_cents"
+        )
     ).withColumn(
         "epoch_day",
         F.datediff(
@@ -385,8 +392,8 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("epoch_day").rangeBetween(-6, 0)
     return daily.select(
         "o_orderdate",
-        "daily_rev",
-        F.round(F.sum("daily_rev").over(w), 2).alias("rev_7d"),
+        F.round(F.col("daily_cents") / 100, 2).alias("daily_rev"),
+        F.round(F.sum("daily_cents").over(w) / 100, 2).alias("rev_7d"),
     )
 
 

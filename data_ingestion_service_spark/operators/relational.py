@@ -130,7 +130,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q3_ORACLE = """
 SELECT
   l_orderkey,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  round(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue,
   o_orderdate
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -159,10 +159,19 @@ def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate")
+        # Exact e-4 fixed point (r10 float-sum audit): per-order groups are
+        # small, but the class is closed uniformly — see q5's note.
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.round(
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                        + 0.5
+                    ).cast("long")
+                )
+                / 10000,
+                2,
+            ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -246,7 +255,7 @@ _Q10_ORACLE = """
 SELECT
   c_custkey,
   c_name,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  round(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue,
   round(c_acctbal, 2)                               AS acctbal,
   n_name
 FROM customer
@@ -281,9 +290,16 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.round(
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                        + 0.5
+                    ).cast("long")
+                )
+                / 10000,
+                2,
+            ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -308,7 +324,10 @@ SELECT
   count(CASE WHEN o_totalprice > 200000 THEN 1 END)               AS n_big,
   CAST(sum(CASE WHEN o_orderstatus IN ('F', 'O') THEN 1 ELSE 0 END) AS BIGINT) AS n_done_or_open,
   count(nullif(o_orderstatus, 'P'))                               AS n_not_pending,
-  round(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS avg_f_price
+  round(CAST(sum(CASE WHEN o_orderstatus = 'F'
+                      THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END)
+             AS DOUBLE) / 100
+        / count(CASE WHEN o_orderstatus = 'F' THEN 1 END), 2) AS avg_f_price
 FROM orders
 WHERE o_orderpriority LIKE '%-%' AND o_orderpriority NOT LIKE '%LOW%'
 GROUP BY o_orderpriority
@@ -330,8 +349,18 @@ def q_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("o_orderstatus").isin("F", "O"), 1).otherwise(0)
             ).alias("n_done_or_open"),
             F.count(F.nullif(F.col("o_orderstatus"), F.lit("P"))).alias("n_not_pending"),
+            # Exact-cents avg (r10 float-sum audit): sum cents as BIGINT,
+            # divide once — avg(double) depends on partial-agg order.
             F.round(
-                F.avg(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 2
+                F.sum(
+                    F.when(
+                        F.col("o_orderstatus") == "F",
+                        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"),
+                    )
+                ).cast("double")
+                / 100
+                / F.count(F.when(F.col("o_orderstatus") == "F", 1)),
+                2,
             ).alias("avg_f_price"),
         )
     )

@@ -89,7 +89,8 @@ WITH spine AS (
                                 INTERVAL 1 DAY)) AS day
 ),
 daily AS (
-  SELECT o_orderdate AS day, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+  SELECT o_orderdate AS day, count(*) AS n,
+         round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100, 2) AS rev
   FROM orders GROUP BY o_orderdate
 )
 SELECT
@@ -112,8 +113,12 @@ def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("day")
     )
+    # Exact-cents daily revenue (r10 float-sum audit).
     daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("rev")
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")) / 100, 2
+        ).alias("rev"),
     )
     return spine.join(daily, spine.day == daily.d, "left").select(
         "day",

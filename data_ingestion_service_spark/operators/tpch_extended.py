@@ -247,13 +247,20 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
 # customers with no orders (global scalar subquery + anti join).
 # ---------------------------------------------------------------------------
 
+# Exact-cents threshold AND total (r10 float-sum audit): the avg's last
+# ulp decides FILTER membership (c_acctbal > avg_bal), so both engines
+# must compute the identical double — sum cents as BIGINT, divide once.
+# floor(x*100+0.5) is sign-safe here: 2dp data keeps x*100 within 1e-9
+# of an integer, so the half-up-vs-away-from-zero distinction at exact
+# .5 can never engage.
 _Q22_ORACLE = """
 SELECT
   c_nationkey,
   count(*)                  AS n_customers,
-  round(sum(c_acctbal), 2)  AS total_bal
+  round(CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_bal
 FROM customer c
-WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+WHERE c.c_acctbal > (SELECT CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 / count(*)
+                     FROM customer WHERE c_acctbal > 0.0)
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 GROUP BY c_nationkey
 """
@@ -263,8 +270,9 @@ GROUP BY c_nationkey
 def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        (F.sum(cents).cast("double") / 100 / F.count(F.lit(1))).alias("avg_bal")
     )
     return (
         cust.crossJoin(F.broadcast(avg_bal))
@@ -273,6 +281,6 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.round(F.sum(cents) / 100, 2).alias("total_bal"),
         )
     )

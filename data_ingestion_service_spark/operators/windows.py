@@ -33,7 +33,8 @@ FROM (
     c_mktsegment, c_custkey, total,
     rank() OVER (PARTITION BY c_mktsegment ORDER BY total DESC, c_custkey) AS rnk
   FROM (
-    SELECT c_mktsegment, c_custkey, round(sum(o_totalprice), 2) AS total
+    SELECT c_mktsegment, c_custkey,
+           round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100, 2) AS total
     FROM customer JOIN orders ON c_custkey = o_custkey
     GROUP BY c_mktsegment, c_custkey
   )
@@ -49,7 +50,15 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = (
         orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_mktsegment", "c_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+        # Exact-cents total (r10 float-sum audit): rank order must not
+        # depend on a double sum's partition-dependent last ulp.
+        .agg(
+            F.round(
+                F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+                / 100,
+                2,
+            ).alias("total")
+        )
     )
     w = Window.partitionBy("c_mktsegment").orderBy(F.desc("total"), F.asc("c_custkey"))
     return (
@@ -66,13 +75,14 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RUNNING_ORACLE = """
 SELECT
   o_orderdate,
-  daily_rev,
-  round(sum(daily_rev) OVER (
+  round(CAST(daily_cents AS DOUBLE) / 100, 2) AS daily_rev,
+  round(CAST(sum(daily_cents) OVER (
     ORDER BY o_orderdate
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-  ), 2) AS running_rev
+  ) AS DOUBLE) / 100, 2) AS running_rev
 FROM (
-  SELECT o_orderdate, round(sum(o_totalprice), 2) AS daily_rev
+  SELECT o_orderdate,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS daily_cents
   FROM orders GROUP BY o_orderdate
 )
 """
@@ -81,14 +91,21 @@ FROM (
 @register("q_running_revenue", oracle=_RUNNING_ORACLE)
 def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    # Window arithmetic stays in integer cents (r10 float-sum audit): a
+    # cumulative DOUBLE window sum is engine-implementation-dependent
+    # (running accumulator vs segment tree → different addition order);
+    # the integer sum is associative, so the frame evaluation order
+    # cannot matter. Divide/round once at projection.
     daily = orders.groupBy("o_orderdate").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("daily_rev")
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+            "daily_cents"
+        )
     )
     w = Window.orderBy("o_orderdate").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return daily.select(
         "o_orderdate",
-        "daily_rev",
-        F.round(F.sum("daily_rev").over(w), 2).alias("running_rev"),
+        F.round(F.col("daily_cents") / 100, 2).alias("daily_rev"),
+        F.round(F.sum("daily_cents").over(w) / 100, 2).alias("running_rev"),
     )
 
 
@@ -99,11 +116,12 @@ def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LAG_ORACLE = """
 SELECT
   o_orderdate,
-  daily_rev,
-  round(daily_rev - lag(daily_rev, 1)  OVER (ORDER BY o_orderdate), 2) AS delta_prev,
-  round(lead(daily_rev, 1) OVER (ORDER BY o_orderdate) - daily_rev, 2) AS delta_next
+  round(CAST(daily_cents AS DOUBLE) / 100, 2) AS daily_rev,
+  round(CAST(daily_cents - lag(daily_cents, 1)  OVER (ORDER BY o_orderdate) AS DOUBLE) / 100, 2) AS delta_prev,
+  round(CAST(lead(daily_cents, 1) OVER (ORDER BY o_orderdate) - daily_cents AS DOUBLE) / 100, 2) AS delta_next
 FROM (
-  SELECT o_orderdate, round(sum(o_totalprice), 2) AS daily_rev
+  SELECT o_orderdate,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS daily_cents
   FROM orders GROUP BY o_orderdate
 )
 """
@@ -112,15 +130,23 @@ FROM (
 @register("q_lag_lead", oracle=_LAG_ORACLE)
 def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    # Deltas computed in integer cents (r10 float-sum audit; see
+    # q_running_revenue) — division/rounding only at projection.
     daily = orders.groupBy("o_orderdate").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("daily_rev")
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+            "daily_cents"
+        )
     )
     w = Window.orderBy("o_orderdate")
     return daily.select(
         "o_orderdate",
-        "daily_rev",
-        F.round(F.col("daily_rev") - F.lag("daily_rev", 1).over(w), 2).alias("delta_prev"),
-        F.round(F.lead("daily_rev", 1).over(w) - F.col("daily_rev"), 2).alias("delta_next"),
+        F.round(F.col("daily_cents") / 100, 2).alias("daily_rev"),
+        F.round(
+            (F.col("daily_cents") - F.lag("daily_cents", 1).over(w)) / 100, 2
+        ).alias("delta_prev"),
+        F.round(
+            (F.lead("daily_cents", 1).over(w) - F.col("daily_cents")) / 100, 2
+        ).alias("delta_next"),
     )
 
 

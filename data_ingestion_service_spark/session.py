@@ -178,57 +178,74 @@ def session_invalidate(spark: SparkSession, key) -> bool:
     retired too — over-invalidation rebuilds once more and is benign;
     under-invalidation (the old bug) silently served full rescans.
     Never holds _DF_CACHE_LOCK while acquiring a key lock, so builds of
-    unrelated keys cannot deadlock against the cascade."""
+    unrelated keys cannot deadlock against the cascade.
+
+    The two phases LOOP until a full pass retires nothing (ADVICE r9):
+    a parent build whose nested child access happens entirely after the
+    phase-1 snapshot records its edge too late to join that snapshot's
+    closure — phase 2 can then retire its freshly rebuilt child
+    mid-build, leaving the parent cached with a plan routed through an
+    unpersisted child. The next pass recomputes the closure from the
+    now-visible edge and retires that parent too. Bounded: each extra
+    pass requires a concurrent build to have slipped in; the cap only
+    guards a pathological steady stream of them (over-invalidation
+    stays benign either way)."""
     key = _norm_key(key)
-    with _DF_CACHE_LOCK:
-        # Dependents-first closure over the reverse-dependency edges.
-        closure: list = []
-        frontier = [key]
-        seen = {key}
-        while frontier:
-            k = frontier.pop()
-            closure.append(k)
-            for parent in _DEPENDENTS.get(k, ()):  # parents depend on k
-                if parent not in seen:
-                    seen.add(parent)
-                    frontier.append(parent)
-        per_session = _DF_CACHE.get(spark)
-        dropped = []
-        if per_session:
-            for k in reversed(closure):  # leaves of the dependent tree first
-                df = per_session.pop(k, None)
-                if df is not None:
-                    dropped.append((k, df))
-        # Prune the closure's edges (ADVICE r8, low: _DEPENDENTS grew
-        # forever — keys embed sf_dir strings). A rebuilt entry re-records
-        # its edges on the next nested access, so dropping them with the
-        # cache entry loses nothing; stale survivors would only cause
-        # benign over-invalidation, but unbounded growth in a long-lived
-        # service is a real leak.
-        for k in closure:
-            _DEPENDENTS.pop(k, None)
-        closure_set = set(closure)
-        for parents in _DEPENDENTS.values():
-            parents -= closure_set
-    existed = any(k == key for k, _ in dropped)
-    for _, df in dropped:
-        try:
-            df.unpersist()
-        except Exception:
-            pass
-    # Phase 2: wait out in-flight builds of closure keys and retire any
-    # entry they cached after the phase-1 snapshot.
-    for k in reversed(closure):
-        with _key_lock(k):
-            with _DF_CACHE_LOCK:
-                per_session = _DF_CACHE.get(spark)
-                df = per_session.pop(k, None) if per_session else None
-        if df is None:
-            continue
-        try:
-            df.unpersist()
-        except Exception:
-            pass
+    existed = False
+    for _pass in range(8):
+        with _DF_CACHE_LOCK:
+            # Dependents-first closure over the reverse-dependency edges.
+            closure: list = []
+            frontier = [key]
+            seen = {key}
+            while frontier:
+                k = frontier.pop()
+                closure.append(k)
+                for parent in _DEPENDENTS.get(k, ()):  # parents depend on k
+                    if parent not in seen:
+                        seen.add(parent)
+                        frontier.append(parent)
+            per_session = _DF_CACHE.get(spark)
+            dropped = []
+            if per_session:
+                for k in reversed(closure):  # leaves of the tree first
+                    df = per_session.pop(k, None)
+                    if df is not None:
+                        dropped.append((k, df))
+            # Prune the closure's edges (ADVICE r8, low: _DEPENDENTS grew
+            # forever — keys embed sf_dir strings). A rebuilt entry
+            # re-records its edges on the next nested access, so dropping
+            # them with the cache entry loses nothing; stale survivors
+            # would only cause benign over-invalidation, but unbounded
+            # growth in a long-lived service is a real leak.
+            for k in closure:
+                _DEPENDENTS.pop(k, None)
+            closure_set = set(closure)
+            for parents in _DEPENDENTS.values():
+                parents -= closure_set
+        existed = existed or any(k == key for k, _ in dropped)
+        retired = bool(dropped)
+        for _, df in dropped:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        # Phase 2: wait out in-flight builds of closure keys and retire
+        # any entry they cached after the phase-1 snapshot.
+        for k in reversed(closure):
+            with _key_lock(k):
+                with _DF_CACHE_LOCK:
+                    per_session = _DF_CACHE.get(spark)
+                    df = per_session.pop(k, None) if per_session else None
+            if df is None:
+                continue
+            retired = True
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        if not retired:
+            break
     return existed
 
 

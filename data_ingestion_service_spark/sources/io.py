@@ -58,7 +58,8 @@ def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _JSONL_ORACLE = """
-SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
+SELECT event_type, count(*) AS n,
+       round(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_value,
        count(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY event_type
@@ -73,7 +74,11 @@ def src_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.schema("event_type string, value double, user_id bigint").json(out)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        # Exact-cents sum (r10 float-sum audit): value is 2dp and JSON
+        # round-trips doubles exactly, so the snap is lossless.
+        F.round(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")) / 100, 2
+        ).alias("total_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
 
@@ -143,7 +148,7 @@ _SCHEMA_EVOLUTION_ORACLE = """
 SELECT
   count(*)                                                   AS n,
   count(CASE WHEN event_id % 2 = 1 THEN event_type END)      AS n_typed,
-  round(sum(value), 2)                                       AS total_value
+  round(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_value
 FROM events
 """
 
@@ -165,7 +170,10 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.agg(
         F.count(F.lit(1)).alias("n"),
         F.count("event_type").alias("n_typed"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        # Exact-cents sum (r10 float-sum audit).
+        F.round(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")) / 100, 2
+        ).alias("total_value"),
     )
 
 

@@ -178,6 +178,20 @@ def _normalize_ts(df: DataFrame, kind: str) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+# Exact-cents snap for the 2dp ``value`` column (r10 float-sum audit:
+# three keys across r8-r9 failed scale gates because a raw sum(double)'s
+# addition order is partition/scheduling-dependent). Streaming state then
+# sums INTEGERS, so micro-batch boundaries, state-partition count, and
+# partial-agg order cannot move the result; divide and round once at the
+# final projection. floor(x+0.5) == half-up through pure IEEE arithmetic
+# on 2dp data (identical across engines; see q1_pricing_summary's note).
+_VALUE_CENTS_SQL = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+
+
+def _value_cents(col: str = "value"):
+    return F.floor(F.col(col) * 100 + 0.5).cast("long")
+
+
 # Streaming shuffle right-sizing (r9): a streaming query's shuffle
 # partition count is fixed at query start and becomes the state-store
 # partition count — AQE cannot coalesce it at runtime the way it does
@@ -570,12 +584,12 @@ def run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
 # mode; final state == batch GROUP BY date_trunc hour).
 # ---------------------------------------------------------------------------
 
-_TUMBLING_ORACLE = """
+_TUMBLING_ORACLE = f"""
 SELECT
   date_trunc('hour', ts)  AS hour_start,
   event_type,
   count(*)                AS n,
-  round(sum(value), 2)    AS total_value
+  round(CAST(sum({_VALUE_CENTS_SQL}) AS DOUBLE) / 100, 2) AS total_value
 FROM events
 GROUP BY 1, 2
 """
@@ -586,14 +600,14 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_stream(spark, sf_dir)
     agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("value").alias("sum_value"),
+        F.sum(_value_cents()).alias("value_cents"),
     )
     final = run_to_memory(agg, "complete")
     return final.select(
         F.col("window.start").cast("timestamp_ntz").alias("hour_start"),
         "event_type",
         "n",
-        F.round(F.col("sum_value"), 2).alias("total_value"),
+        F.round(F.col("value_cents") / 100, 2).alias("total_value"),
     )
 
 
@@ -603,8 +617,9 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # batch/streaming-identical; run batch for the strongest oracle check.
 # ---------------------------------------------------------------------------
 
-_SLIDING_ORACLE = """
-SELECT ws AS window_start, event_type, count(*) AS n, round(sum(value), 2) AS total_value
+_SLIDING_ORACLE = f"""
+SELECT ws AS window_start, event_type, count(*) AS n,
+       round(CAST(sum({_VALUE_CENTS_SQL}) AS DOUBLE) / 100, 2) AS total_value
 FROM (
   SELECT
     make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 - k * 1800000000) AS ws,
@@ -624,7 +639,7 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(_value_cents()) / 100, 2).alias("total_value"),
         )
         .select(
             F.col("window.start").cast("timestamp_ntz").alias("window_start"),
@@ -642,7 +657,7 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the break condition — the exact same boundary rule.
 # ---------------------------------------------------------------------------
 
-_SESSION_ORACLE = """
+_SESSION_ORACLE = f"""
 WITH flagged AS (
   SELECT user_id, ts, value,
     CASE WHEN lag(ts) OVER w IS NULL
@@ -661,7 +676,7 @@ SELECT
   min(ts)              AS session_start,
   max(ts)              AS session_end,
   count(*)             AS n_events,
-  round(sum(value), 2) AS total_value
+  round(CAST(sum({_VALUE_CENTS_SQL}) AS DOUBLE) / 100, 2) AS total_value
 FROM sess
 GROUP BY user_id, sess_id
 """
@@ -676,7 +691,7 @@ def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(_value_cents()) / 100, 2).alias("total_value"),
         )
         .select("user_id", "session_start", "session_end", "n_events", "total_value")
     )
@@ -710,8 +725,9 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # batch GROUP BY oracle checks exactly.
 # ---------------------------------------------------------------------------
 
-_STATEFUL_ORACLE = """
-SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+_STATEFUL_ORACLE = f"""
+SELECT user_id, count(*) AS n_events,
+       round(CAST(sum({_VALUE_CENTS_SQL}) AS DOUBLE) / 100, 2) AS total_value
 FROM events
 GROUP BY user_id
 """
@@ -724,21 +740,26 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_stream(spark, sf_dir).select("user_id", "value")
 
     def update_counters(key, pdf_iter, state):
-        n, total = state.get if state.exists else (0, 0.0)
-        for pdf in pdf_iter:
-            n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+        import numpy as np
         import pandas as pd
 
+        # State accumulates integer cents (r10 float-sum audit): a double
+        # running total would depend on micro-batch/row order.
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            cents += int(
+                np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype("int64").sum()
+            )
+        state.update((n, cents))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
         )
 
     updated = ev.groupBy("user_id").applyInPandasWithState(
         update_counters,
         outputStructType="user_id bigint, n_events bigint, total_value double",
-        stateStructType="n bigint, total double",
+        stateStructType="n bigint, cents bigint",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -780,8 +801,9 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 # each batch appends to parquet; result re-read batch-side.
 # ---------------------------------------------------------------------------
 
-_FOREACH_BATCH_ORACLE = """
-SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+_FOREACH_BATCH_ORACLE = f"""
+SELECT event_type, count(*) AS n,
+       round(CAST(sum({_VALUE_CENTS_SQL}) AS DOUBLE) / 100 / count(*), 4) AS avg_value
 FROM events
 WHERE value >= 250
 GROUP BY event_type
@@ -812,9 +834,12 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     back = spark.read.parquet(f"{out}/data")
+    # Exact-cents avg (r10 float-sum audit): sum cents, divide once.
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(
+            F.sum(_value_cents()).cast("double") / 100 / F.count(F.lit(1)), 4
+        ).alias("avg_value"),
     )
 
 
@@ -831,14 +856,14 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_stream(spark, sf_dir)
     agg = ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("value").alias("sum_value"),
+        F.sum(_value_cents()).alias("value_cents"),
     )
     final = run_to_memory(agg, "complete")
     return final.select(
         F.col("window.start").cast("timestamp_ntz").alias("window_start"),
         "event_type",
         "n",
-        F.round(F.col("sum_value"), 2).alias("total_value"),
+        F.round(F.col("value_cents") / 100, 2).alias("total_value"),
     )
 
 
@@ -887,7 +912,8 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _STREAM_STATIC_ORACLE = """
-SELECT c.c_mktsegment, e.event_type, count(*) AS n, round(sum(e.value), 2) AS total_value
+SELECT c.c_mktsegment, e.event_type, count(*) AS n,
+       round(CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_value
 FROM events e
 JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment, e.event_type
@@ -900,11 +926,14 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
     agg = joined.groupBy("c_mktsegment", "event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value")
+        F.count(F.lit(1)).alias("n"), F.sum(_value_cents()).alias("value_cents")
     )
     final = run_to_memory(agg, "complete")
     return final.select(
-        "c_mktsegment", "event_type", "n", F.round(F.col("sum_value"), 2).alias("total_value")
+        "c_mktsegment",
+        "event_type",
+        "n",
+        F.round(F.col("value_cents") / 100, 2).alias("total_value"),
     )
 
 
@@ -914,8 +943,9 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # log), then read the sink back as a batch table.
 # ---------------------------------------------------------------------------
 
-_STREAM_TO_PARQUET_ORACLE = """
-SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+_STREAM_TO_PARQUET_ORACLE = f"""
+SELECT event_type, count(*) AS n,
+       round(CAST(sum({_VALUE_CENTS_SQL}) AS DOUBLE) / 100, 2) AS total_value
 FROM events
 WHERE event_type IN ('purchase', 'signup')
 GROUP BY event_type
@@ -944,7 +974,7 @@ def q_stream_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(f"{out}/data")
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.sum(_value_cents()) / 100, 2).alias("total_value"),
     )
 
 
@@ -987,7 +1017,7 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the oracle runs (same 30-minute-gap boundary rule as q_events_session).
 # ---------------------------------------------------------------------------
 
-_STREAM_SESSION_ORACLE = """
+_STREAM_SESSION_ORACLE = f"""
 WITH flagged AS (
   SELECT user_id, ts, value,
     CASE WHEN lag(ts) OVER w IS NULL
@@ -1005,7 +1035,7 @@ SELECT
   user_id,
   min(ts)              AS session_start,
   count(*)             AS n_events,
-  round(sum(value), 2) AS total_value
+  round(CAST(sum({_VALUE_CENTS_SQL}) AS DOUBLE) / 100, 2) AS total_value
 FROM sess
 GROUP BY user_id, sess_id
 """
@@ -1037,7 +1067,7 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min("ts").alias("session_start_ltz"),
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            F.sum(_value_cents()).alias("value_cents"),
         )
     )
     final = run_to_memory(agg, "append")
@@ -1045,7 +1075,7 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("session_start_ltz").cast("timestamp_ntz").alias("session_start"),
         "n_events",
-        F.round(F.col("sum_value"), 2).alias("total_value"),
+        F.round(F.col("value_cents") / 100, 2).alias("total_value"),
     )
 
 
@@ -1420,8 +1450,9 @@ def q_stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to audit a live pipeline's state without stopping it.
 # ---------------------------------------------------------------------------
 
-_STATE_INSPECT_ORACLE = """
-SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+_STATE_INSPECT_ORACLE = f"""
+SELECT event_type, count(*) AS n,
+       round(CAST(sum({_VALUE_CENTS_SQL}) AS DOUBLE) / 100, 2) AS total_value
 FROM events
 GROUP BY event_type
 """
@@ -1430,8 +1461,9 @@ GROUP BY event_type
 @register("q_stream_state_inspect", oracle=_STATE_INSPECT_ORACLE)
 def q_stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_stream(spark, sf_dir)
+    # The inspected state itself holds integer cents (r10 float-sum audit).
     agg = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")
+        F.count(F.lit(1)).alias("n"), F.sum(_value_cents()).alias("sv")
     )
     out = tempfile.mkdtemp(prefix="ingest_state_inspect_")
     name = f"state_sink_{uuid.uuid4().hex[:12]}"
@@ -1453,7 +1485,7 @@ def q_stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select(
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").alias("n"),
-        F.round(F.col("value.sum"), 2).alias("total_value"),
+        F.round(F.col("value.sum") / 100, 2).alias("total_value"),
     )
 
 
@@ -1714,8 +1746,9 @@ try:
 except ModuleNotFoundError:  # no `google` namespace package at all
     _HAS_PROTOBUF = False
 
-_TWS_ORACLE = """
-SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+_TWS_ORACLE = f"""
+SELECT user_id, count(*) AS n_events,
+       round(CAST(sum({_VALUE_CENTS_SQL}) AS DOUBLE) / 100, 2) AS total_value
 FROM events
 GROUP BY user_id
 """
@@ -1745,23 +1778,33 @@ def _transform_with_state_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     class UserCounter(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._state = handle.getValueState(
-                "counts", "n bigint, total double", ttlDurationMs=3_600_000
+                "counts", "n bigint, cents bigint", ttlDurationMs=3_600_000
             )
             self._handle = handle
 
         def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
             import pandas as pd
 
-            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            # Integer-cents state (r10 float-sum audit).
+            n, cents = self._state.get() if self._state.exists() else (0, 0)
             for pdf in rows:
                 n += len(pdf)
-                total += float(pdf["value"].sum())
-            self._state.update((n, total))
+                cents += int(
+                    np.floor(pdf["value"].to_numpy() * 100.0 + 0.5)
+                    .astype("int64")
+                    .sum()
+                )
+            self._state.update((n, cents))
             self._handle.registerTimer(
                 timerValues.getCurrentProcessingTimeInMs() + 3_600_000
             )
             yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [cents / 100.0],
+                }
             )
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
@@ -1938,8 +1981,9 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # design). Oracle = the plain batch GROUP BY.
 # ---------------------------------------------------------------------------
 
-_STATEFUL_TIMEOUT_ORACLE = """
-SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+_STATEFUL_TIMEOUT_ORACLE = f"""
+SELECT user_id, count(*) AS n_events,
+       round(CAST(sum({_VALUE_CENTS_SQL}) AS DOUBLE) / 100, 2) AS total_value
 FROM events
 GROUP BY user_id
 """
@@ -1967,25 +2011,36 @@ def q_stream_stateful_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "value")
 
     def flush_on_timeout(key, pdf_iter, state):
+        import numpy as np
+
         if state.hasTimedOut:
-            n, total = state.get
+            n, cents = state.get
             state.remove()
             yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [cents / 100.0],
+                }
             )
         else:
-            n, total = state.get if state.exists else (0, 0.0)
+            # Integer-cents state (r10 float-sum audit).
+            n, cents = state.get if state.exists else (0, 0)
             for pdf in pdf_iter:
                 n += len(pdf)
-                total += float(pdf["value"].sum())
-            state.update((n, total))
+                cents += int(
+                    np.floor(pdf["value"].to_numpy() * 100.0 + 0.5)
+                    .astype("int64")
+                    .sum()
+                )
+            state.update((n, cents))
             state.setTimeoutDuration(1)  # ms; expires before the next batch
             return
 
     flushed = ev.groupBy("user_id").applyInPandasWithState(
         flush_on_timeout,
         outputStructType="user_id bigint, n_events bigint, total_value double",
-        stateStructType="n bigint, total double",
+        stateStructType="n bigint, cents bigint",
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

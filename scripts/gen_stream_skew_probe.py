@@ -25,10 +25,10 @@ Usage:
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 
 import numpy as np
-import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 SRC = os.environ.get("PROBE_SRC", ".stress/sf5skew")
@@ -43,12 +43,19 @@ def main() -> int:
     if not os.path.isdir(SRC):
         print(f"source tier {SRC} missing — run scripts/gen_scale.py first")
         return 1
-    os.makedirs(OUT, exist_ok=True)
-    # Non-events tables are byte-identical: link, don't copy.
+    # Rebuild from scratch: a stale half-built OUT (prior crash, older
+    # SRC vintage) must not silently keep old files (ADVICE r9).
+    if os.path.isdir(OUT):
+        shutil.rmtree(OUT)
+    os.makedirs(OUT)
+    # Non-events tables are byte-identical: link, copy only when OUT sits
+    # on a different filesystem (os.link raises EXDEV there — ADVICE r9).
     for t in TABLES:
         dst = f"{OUT}/{t}.parquet"
-        if not os.path.exists(dst):
+        try:
             os.link(f"{SRC}/{t}.parquet", dst)
+        except OSError:
+            shutil.copy(f"{SRC}/{t}.parquet", dst)
     ev = pq.ParquetFile(f"{SRC}/events.parquet").read()
     uid = ev.column("user_id").to_numpy()
     eid = ev.column("event_id").to_numpy()

@@ -1975,3 +1975,26 @@ def test_cdc_chunks_offset_invariant(spark):
     assert len(plain) >= 3, "fixture text must produce several chunks"
     # Every chunk after the first boundary must survive the offset shift.
     assert plain[1:] == shifted[-(len(plain) - 1):]
+
+
+def test_no_unguarded_money_sums():
+    """VERDICT r9 item 1 — the scheduling-dependent float-sum class,
+    closed mechanically: every sum/avg over a 2dp money/value column in
+    any registered oracle must snap rows to integer cents inside the
+    aggregate (CAST(floor(x*100+0.5)/round(x*100) AS BIGINT)) or be an
+    integer CASE arm; anything else needs an entry in audit.JUSTIFIED
+    with an in-code reason. Spark and oracle are written in pairs, so an
+    unguarded oracle implies an unguarded plan — three keys failed r8/r9
+    scale gates exactly this way (q19 at sf5_full_r9.log:20)."""
+    from data_ingestion_service_spark import audit
+    from data_ingestion_service_spark.registry import ORACLES
+
+    hits = audit.find_unguarded(ORACLES)
+    bad = {
+        k: [f"{fn}({arg[:90]})" for fn, arg in v]
+        for k, v in hits.items()
+        if k not in audit.JUSTIFIED
+    }
+    assert not bad, f"unguarded money aggregates (see audit.py): {bad}"
+    stale = set(audit.JUSTIFIED) - set(hits)
+    assert not stale, f"JUSTIFIED entries with no remaining hit: {stale}"
