@@ -540,11 +540,13 @@ def q_pipeline_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
+    from .streaming.stream_queries import _copy_fixture
+
     work = tempfile.mkdtemp(prefix="ingest_parity_")
     src_file = f"{sf_dir.rstrip('/')}/events.parquet"
     os.makedirs(f"{work}/replay")
     for i in range(2):  # duplicate delivery: what .dedupe() must undo
-        shutil.copy(src_file, f"{work}/replay/events_{i}.parquet")
+        _copy_fixture(src_file, f"{work}/replay", f"events_{i}")
 
     p = (
         Pipeline()

@@ -422,11 +422,9 @@ def src_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FILE_METADATA_ORACLE = """
-SELECT
-  'documents.parquet'   AS file_name,
-  count(*)              AS n_rows,
-  CAST(0 AS BIGINT)     AS min_row_index,
-  count(*) - 1          AS max_row_index
+SELECT count(*)  AS n_rows,
+       true      AS files_zero_based,
+       true      AS row_index_dense
 FROM documents
 """
 
@@ -436,19 +434,32 @@ def src_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lineage metadata columns: every file source exposes a hidden
     `_metadata` struct (file_name, file_path, row_index, ...) — the
     provenance an ingestion service attaches to each row so any record
-    can be traced back to its source file and position. Grouped per file
-    here; the fixture is a single parquet file, so the oracle knows the
-    expected name and row-index span exactly."""
+    can be traced back to its source file and position.
+
+    Layout-invariant contract (r10): the table may be ONE file (the
+    driver's fixture) or a DIRECTORY of part files (every real cluster,
+    the multi-file stress rung), so per-file names/spans cannot appear in
+    the output. Instead the per-file invariants the lineage columns
+    promise are VERIFIED across whatever files exist — row_index starts
+    at 0 in every file and is dense (max-min+1 == rows) — and the key
+    returns the invariant verdicts plus the total row count."""
     from data_ingestion_service_spark.catalog import table_path
 
     df = spark.read.parquet(table_path(sf_dir, "documents")).select(
         F.col("_metadata.file_name").alias("file_name"),
         F.col("_metadata.row_index").alias("row_index"),
     )
-    return df.groupBy("file_name").agg(
+    per_file = df.groupBy("file_name").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.min("row_index").alias("min_row_index"),
-        F.max("row_index").alias("max_row_index"),
+        F.min("row_index").alias("min_ri"),
+        F.max("row_index").alias("max_ri"),
+    )
+    return per_file.agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.bool_and(F.col("min_ri") == 0).alias("files_zero_based"),
+        F.bool_and(
+            F.col("max_ri") - F.col("min_ri") + 1 == F.col("n_rows")
+        ).alias("row_index_dense"),
     )
 
 
@@ -718,22 +729,36 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_cents"),
         )
     )
-    agg.write.format("jsonl_manifest").option("path", out).mode("append").save()
-    with open(f"{out}/_MANIFEST") as f:
-        manifest = json.load(f)
-    back = spark.read.schema(
-        "o_orderpriority string, n_orders bigint, total_cents bigint"
-    ).json(f"{out}/part-*.jsonl")
-    n_back = back.agg(F.sum("n_orders")).collect()[0][0]
-    agg_rows = agg.agg(F.sum("n_orders")).collect()[0][0]
-    if manifest["total_rows"] != back.count() or n_back != agg_rows:
-        raise AssertionError(
-            f"python sink manifest mismatch: {manifest['total_rows']} manifest "
-            f"rows, {back.count()} read back, {n_back} vs {agg_rows} orders"
-        )
-    for p in manifest["parts"]:
-        if not os.path.exists(p):
-            raise AssertionError(f"manifest names missing part {p}")
+    # Persist so the sink write and the verification read the SAME
+    # materialization — one orders scan, not two (VERDICT r9 item 7: of
+    # the key's 3.5s wall, ~0.9s was the duplicate aggregate scan plus
+    # two extra verification actions; the Python-datasource worker
+    # round-trip itself is the feature under test and stays).
+    agg.persist()
+    try:
+        agg.write.format("jsonl_manifest").option("path", out).mode(
+            "append"
+        ).save()
+        with open(f"{out}/_MANIFEST") as f:
+            manifest = json.load(f)
+        back = spark.read.schema(
+            "o_orderpriority string, n_orders bigint, total_cents bigint"
+        ).json(f"{out}/part-*.jsonl")
+        # Full row-set equality (stronger than the old count/total
+        # probes) in two bounded actions: the group-by output is ≤5 rows.
+        back_rows = {tuple(r) for r in back.collect()}
+        agg_rows = {tuple(r) for r in agg.collect()}
+        if manifest["total_rows"] != len(back_rows) or back_rows != agg_rows:
+            raise AssertionError(
+                f"python sink mismatch: {manifest['total_rows']} manifest "
+                f"rows, {len(back_rows)} read back, sets equal: "
+                f"{back_rows == agg_rows}"
+            )
+        for p in manifest["parts"]:
+            if not os.path.exists(p):
+                raise AssertionError(f"manifest names missing part {p}")
+    finally:
+        agg.unpersist()
     return back.select("o_orderpriority", "n_orders", "total_cents")
 
 

@@ -209,9 +209,36 @@ def _value_cents(col: str = "value"):
 _STREAM_INPUT = threading.local()
 
 
+def _fixture_parts(path: str) -> list[str]:
+    """Physical parquet files of a fixture table.
+
+    The driver's testdata keeps one file per table, but every real
+    cluster layout (and the r10 multi-file stress rung) is a DIRECTORY
+    of part files — every helper that touches the fixture's physical
+    bytes (size notes, replay-dir copies, pyarrow scalar reads) must
+    accept both shapes. Sorted for deterministic copy naming.
+    """
+    if os.path.isdir(path):
+        return sorted(
+            f"{path}/{f}"
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+    return [path]
+
+
+def _copy_fixture(src: str, dst_dir: str, tag: str) -> None:
+    """Copy a fixture table (file or directory of parts) into a replay
+    dir as ``{tag}_<k>.parquet`` leaf files."""
+    for k, part in enumerate(_fixture_parts(src)):
+        shutil.copy(part, f"{dst_dir}/{tag}_{k}.parquet")
+
+
 def _note_stream_input(path: str) -> None:
     try:
-        _STREAM_INPUT.nbytes = os.path.getsize(path)
+        _STREAM_INPUT.nbytes = sum(
+            os.path.getsize(p) for p in _fixture_parts(path)
+        )
     except OSError:
         _STREAM_INPUT.nbytes = None
 
@@ -270,13 +297,18 @@ def events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFram
     # dir with a glob filter for the single-copy case; stage copies into a
     # per-call replay dir when duplicate delivery is wanted (dedup ops).
     reader = spark.readStream.schema(_events_raw_schema(kind))
+    fixture = table_path(sf_dir, "events")
     if copies == 1:
-        reader = reader.option("pathGlobFilter", "events.parquet")
-        src = sf_dir
+        if os.path.isdir(fixture):
+            # Directory-shaped table (cluster layout): stream it directly.
+            src = fixture
+        else:
+            reader = reader.option("pathGlobFilter", "events.parquet")
+            src = sf_dir
     else:
         src = tempfile.mkdtemp(prefix="ingest_replay_")
         for i in range(copies):
-            shutil.copy(table_path(sf_dir, "events"), f"{src}/events_{i}.parquet")
+            _copy_fixture(fixture, src, f"events_{i}")
     return _normalize_ts(reader.parquet(src), kind)
 
 
@@ -361,7 +393,8 @@ class _ReplayStage:
                 import pyarrow.compute as pc
                 import pyarrow.parquet as pq
 
-                col = pq.ParquetFile(self.fixture).read(columns=["ts"]).column("ts")
+                # read_table handles file AND directory fixtures alike.
+                col = pq.read_table(self.fixture, columns=["ts"]).column("ts")
                 if self.kind == "bigint":
                     self._scalars["max_raw"] = pc.max(col.cast(pa.int64())).as_py()
                 else:
@@ -377,17 +410,40 @@ class _ReplayStage:
 
         return self.max_raw() + datetime.timedelta(hours=h)
 
+    def single_file(self) -> str:
+        """The fixture as ONE parquet file.
+
+        Delivery-unit control: a key that replays the raw fixture with
+        ``maxFilesPerTrigger=1`` (q_stream_outer_join) needs the whole
+        corpus to land in a single micro-batch — with a directory-shaped
+        table (the r10 multi-file rung; every real cluster layout) the
+        parts interleave the time range, so part 2+ rows would arrive
+        behind the watermark part 1 advanced and be dropped as late,
+        changing the answer for layout (not data) reasons. The driver's
+        single-file fixture returns as-is; a directory merges ONCE per
+        vintage into a staged file (pyarrow, no Spark job).
+        """
+        if not os.path.isdir(self.fixture):
+            return self.fixture
+        with self._lock:
+            path = self._scalars.get("single_file")
+            if path is None:
+                import pyarrow.parquet as pq
+
+                path = f"{self._dir}/fixture_single.parquet"
+                pq.write_table(pq.read_table(self.fixture), path)
+                self._scalars["single_file"] = path
+            return path
+
     def n_users(self) -> int:
         with self._lock:
             if "n_users" not in self._scalars:
                 import pyarrow.compute as pc
                 import pyarrow.parquet as pq
 
-                col = (
-                    pq.ParquetFile(self.fixture)
-                    .read(columns=["user_id"])
-                    .column("user_id")
-                )
+                col = pq.read_table(
+                    self.fixture, columns=["user_id"]
+                ).column("user_id")
                 self._scalars["n_users"] = pc.count_distinct(col).as_py()
             return self._scalars["n_users"]
 
@@ -413,7 +469,7 @@ class _ReplayStage:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        t = pq.ParquetFile(self.fixture).read()
+        t = pq.read_table(self.fixture)
         eid = t.column("event_id").to_numpy()
         if klass in ("eid2", "eid4"):
             m = 2 if klass == "eid2" else 4
@@ -1048,7 +1104,7 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = _events_raw_schema(kind)
     stage = replay_stage(spark, sf_dir)
     src = tempfile.mkdtemp(prefix="ingest_sess_replay_")
-    shutil.copy(table_path(sf_dir, "events"), f"{src}/events_0.parquet")
+    _copy_fixture(table_path(sf_dir, "events"), src, "events")
     # Sentinel 2h past the corpus max: watermark (max - 10min) then clears
     # every real session's end (last ts + 30min gap). Sentinel row carries
     # the same raw ts type as the fixture so both files stream uniformly;
@@ -1902,10 +1958,11 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="ingest_souter_")
     stage = replay_stage(spark, sf_dir)
     os.makedirs(f"{work}/replay")
-    # The full fixture is already a single streamable file; sentinels are
-    # pyarrow-written (staged max(ts) + two tiny files replace four
-    # per-call Spark jobs).
-    shutil.copy(stage.fixture, f"{work}/replay/a_events.parquet")
+    # The full fixture must land as ONE delivery unit (see
+    # _ReplayStage.single_file — maxFilesPerTrigger=1 below makes any
+    # multi-part delivery drop late rows); sentinels are pyarrow-written
+    # (staged max(ts) + two tiny files replace four per-call Spark jobs).
+    shutil.copy(stage.single_file(), f"{work}/replay/a_events.parquet")
     for tag, uid, hrs in (("b", -1, 24), ("c", -2, 48)):
         stage.write_events_rows(
             f"{work}/replay/{tag}_sentinel.parquet",
@@ -2289,10 +2346,19 @@ def q_stream_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
             finally:
                 q.stop()
 
-    # bronze: raw landing zone (append-only, source schema preserved)
-    raw = spark.readStream.schema(schema).option(
-        "pathGlobFilter", "events.parquet"
-    ).parquet(sf_dir)
+    # bronze: raw landing zone (append-only, source schema preserved).
+    # Directory-shaped tables stream directly; single-file fixtures
+    # stream the parent dir with a glob pinned to the one file (a glob
+    # filter matches LEAF files only, so it would match nothing inside
+    # a directory table — the r10 multi-file rung caught exactly that:
+    # bronze landed 0 rows and gold emitted an empty rollup).
+    fixture = table_path(sf_dir, "events")
+    if os.path.isdir(fixture):
+        raw = spark.readStream.schema(schema).parquet(fixture)
+    else:
+        raw = spark.readStream.schema(schema).option(
+            "pathGlobFilter", "events.parquet"
+        ).parquet(sf_dir)
     drain(raw, f"{work}/bronze", f"{work}/ckpt_bronze")
 
     # silver: cleaned + typed, streamed FROM bronze

@@ -200,7 +200,12 @@ def main() -> int:
     oracles = entry_mod.oracle_sql()
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_CORRECT}/{t}.parquet'")
+        # Directory-shaped tables (the r10 multi-file rung, and the layout
+        # every real cluster produces) need a glob for DuckDB; Spark-side
+        # reads handle the directory natively.
+        p = f"{SF_CORRECT}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     n_pass = n_fail = n_rows_only = 0
     for key in sorted(qs):
