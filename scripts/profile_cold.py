@@ -74,13 +74,16 @@ def main() -> None:
     spark = get_spark()
     QUERIES = queries()
 
-    # Python-worker spin-up, same probe as bench.py.
-    from pyspark.sql import functions as F
-
+    # Python-worker spin-up, same probe as bench.py: repartition(cpus)
+    # so EVERY worker forks here — a narrower probe (e.g. range(32)
+    # without the repartition) only forks a couple of workers and the
+    # remaining ~30 forks land on whichever key runs first, inflating
+    # its "cold" delta by ~5s of harness artifact.
+    cpus = spark.sparkContext.defaultParallelism
     t0 = time.monotonic()
-    spark.range(32).select(
-        F.pandas_udf(lambda s: s * 2, "long")(F.col("id"))
-    ).collect()
+    spark.range(cpus).repartition(cpus).mapInPandas(
+        lambda batches: batches, "id long"
+    ).count()
     worker_warmup = round(time.monotonic() - t0, 3)
     print(f"python_worker_warmup_sec: {worker_warmup}")
 
