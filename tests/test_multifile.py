@@ -68,6 +68,22 @@ def test_copy_fixture_directory(multi_sf_dir, tmp_path):
     assert names == ["ev_0.parquet", "ev_1.parquet", "ev_2.parquet"]
 
 
+def test_single_file_merges_directory(spark, sf_dir, multi_sf_dir):
+    """single_file() returns the fixture itself when it is one file and
+    a once-per-vintage merged staging file when it is a directory — the
+    delivery-unit control q_stream_outer_join's maxFilesPerTrigger=1
+    replay needs (multi-part delivery would drop late rows)."""
+    single_stage = sq.replay_stage(spark, sf_dir)
+    assert single_stage.single_file() == table_path(sf_dir, "events")
+    multi_stage = sq.replay_stage(spark, multi_sf_dir)
+    merged = multi_stage.single_file()
+    assert os.path.isfile(merged)
+    assert merged == multi_stage.single_file()  # cached per vintage
+    n_merged = pq.read_table(merged).num_rows
+    n_parts = pq.read_table(table_path(multi_sf_dir, "events")).num_rows
+    assert n_merged == n_parts
+
+
 def test_streaming_key_on_multifile_fixture(spark, sf_dir, multi_sf_dir):
     """End-to-end: a windowed streaming aggregate over a directory-shaped
     events table must equal the single-file run — the split is physical
