@@ -24,9 +24,15 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..chaos import maybe_fail
+
 
 def stack(col) -> "np.ndarray":
     """pandas Series of equal-length list/array cells -> N x D float64."""
+    # Every vector kernel funnels its Arrow batches through here, so this
+    # is the one instrumentation point that puts ALL embedding folds under
+    # the retry-determinism rung (chaos.py; no-op unless enabled).
+    maybe_fail("vector_kernel")
     return np.vstack(col.to_numpy()).astype(np.float64, copy=False)
 
 

@@ -80,6 +80,18 @@ def stream_session(spark: SparkSession) -> SparkSession:
                 )
             except Exception:
                 pass
+            # r11 RocksDB rung: SPARK_GRAFT_STATE_PROVIDER=rocksdb routes
+            # EVERY streaming key's state store through the RocksDB
+            # provider (what a production 100 TB cluster runs) instead of
+            # the default in-memory HDFS-backed map. Session-scoped on
+            # the drain child, so batch plans never observe it; keys that
+            # pin their own provider (q_stream_rocksdb, TWS) still win —
+            # they set the conf after this.
+            if os.environ.get("SPARK_GRAFT_STATE_PROVIDER") == "rocksdb":
+                child.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass",
+                    _ROCKSDB_PROVIDER,
+                )
             _STREAM_SESSIONS[spark] = child
     return child
 
@@ -127,10 +139,34 @@ def register(name: str, oracle: str | None = None):
 # Probe the parquet footer once per file *version* and adapt, mirroring
 # the batch loader's guard (catalog.py load_table) so stream and batch
 # always see identical values regardless of fixture vintage. Keyed by
-# (path, mtime, size): a fixture regenerated in-place with a different
-# physical type invalidates the entry instead of silently serving the
-# stale kind (1970-era or failed reads).
+# _fixture_cache_key: for a single file that is (path, mtime, size); for
+# a DIRECTORY table the key covers every leaf part file, because
+# rewriting parts in place need not change the directory inode's
+# mtime/size — a directory-stat key would silently serve a stale
+# ts-kind and stale staged artifacts after an in-place regeneration
+# (ADVICE r10 medium).
 _TS_KIND_CACHE: dict[tuple, str] = {}
+
+
+def _fixture_cache_key(path: str) -> tuple:
+    """Vintage-sensitive cache key for a fixture table (file or dir).
+
+    Any physical change to the table's bytes — including rewriting part
+    files inside a directory without touching the directory entry —
+    must produce a different key, so _TS_KIND_CACHE/_STAGES never serve
+    artifacts staged from a previous fixture vintage.
+    """
+    try:
+        if os.path.isdir(path):
+            parts = []
+            for p in _fixture_parts(path):
+                st = os.stat(p)
+                parts.append((os.path.basename(p), st.st_mtime_ns, st.st_size))
+            return (path, tuple(parts))
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (path, 0, 0)
 
 
 def _events_ts_kind(spark: SparkSession, sf_dir: str) -> str:
@@ -141,11 +177,7 @@ def _events_ts_kind(spark: SparkSession, sf_dir: str) -> str:
     # for the sized-shuffle helper (keys reading the fixture directly,
     # e.g. medallion's bronze pass, never touch events_stream/the stage).
     _note_stream_input(path)
-    try:
-        st = os.stat(path)
-        key = (path, st.st_mtime_ns, st.st_size)
-    except OSError:
-        key = (path, 0, 0)
+    key = _fixture_cache_key(path)
     kind = _TS_KIND_CACHE.get(key)
     if kind is None:
         ensure_session_confs(spark)
@@ -219,11 +251,24 @@ def _fixture_parts(path: str) -> list[str]:
     accept both shapes. Sorted for deterministic copy naming.
     """
     if os.path.isdir(path):
-        return sorted(
+        parts = sorted(
             f"{path}/{f}"
             for f in os.listdir(path)
             if f.endswith(".parquet") and not f.startswith((".", "_"))
         )
+        if not parts:
+            # Nested/hive-partitioned layouts keep their parts in
+            # subdirectories; silently returning [] here would make
+            # _note_stream_input record 0 bytes and _copy_fixture stage
+            # an EMPTY replay dir (wrong/hung streams). Fail loudly —
+            # the replay harness supports flat directories only
+            # (ADVICE r10 low).
+            raise ValueError(
+                f"fixture directory {path!r} has no top-level *.parquet "
+                "leaf files; nested/partitioned layouts are not "
+                "supported by the replay harness"
+            )
+        return parts
     return [path]
 
 
@@ -431,7 +476,13 @@ class _ReplayStage:
                 import pyarrow.parquet as pq
 
                 path = f"{self._dir}/fixture_single.parquet"
-                pq.write_table(pq.read_table(self.fixture), path)
+                # version='2.6' keeps TIMESTAMP(NANOS) physical for
+                # nanos-vintage fixtures (older writer defaults coerce
+                # to micros, silently changing the staged vintage —
+                # same pin as gen_nanos_fixture.py; ADVICE r10 low).
+                pq.write_table(
+                    pq.read_table(self.fixture), path, version="2.6"
+                )
                 self._scalars["single_file"] = path
             return path
 
@@ -505,11 +556,7 @@ def replay_stage(spark: SparkSession, sf_dir: str) -> _ReplayStage:
     fresh stage, never stale files)."""
     path = table_path(sf_dir, "events")
     _note_stream_input(path)
-    try:
-        st = os.stat(path)
-        key = (path, st.st_mtime_ns, st.st_size)
-    except OSError:
-        key = (path, 0, 0)
+    key = _fixture_cache_key(path)
     with _STAGE_LOCK:
         stage = _STAGES.get(key)
     if stage is None:
@@ -799,6 +846,12 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        from data_ingestion_service_spark.chaos import maybe_fail
+
+        # Retry-determinism rung (r11): failed attempts must not have
+        # committed state — a retried update starts from the last
+        # committed value, so the final state is attempt-count-invariant.
+        maybe_fail("stateful_update")
         # State accumulates integer cents (r10 float-sum audit): a double
         # running total would depend on micro-batch/row order.
         n, cents = state.get if state.exists else (0, 0)
@@ -2070,6 +2123,11 @@ def q_stream_stateful_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     def flush_on_timeout(key, pdf_iter, state):
         import numpy as np
 
+        from data_ingestion_service_spark.chaos import maybe_fail
+
+        # Retry-determinism rung (r11): timeout flushes must survive a
+        # first-attempt failure without double-emitting or losing state.
+        maybe_fail("stateful_timeout")
         if state.hasTimedOut:
             n, cents = state.get
             state.remove()

@@ -165,13 +165,51 @@ def canon_hash(pdf: pd.DataFrame) -> str:
 def main() -> int:
     import __spark_entry__ as entry_mod
 
-    only = set(sys.argv[1:])  # optional: run a subset of keys
+    argv = sys.argv[1:]
+    # --threads N (r11 concurrent rung): run all keys through a thread
+    # pool on ONE shared session — the bench's real interleaving — and
+    # print per-key lines sorted by key so the log stays diffable
+    # against the sequential run (sim_hash_diff).
+    threads = 0
+    if "--threads" in argv:
+        i = argv.index("--threads")
+        threads = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    only = set(argv)  # optional: run a subset of keys
 
+    # r11 execution-regime rungs: DRIVER_SIM_MASTER switches the whole
+    # sim onto another scheduler regime — `local-cluster[2,8,8192]`
+    # (real multi-process executors: closures, Arrow batches and shuffle
+    # blocks cross process/serde boundaries, like a 100x cluster) or
+    # `local[16,4]` (task retries permitted, for the chaos rung).
+    # DRIVER_SIM_CONF applies extra builder confs (semicolon-separated
+    # k=v), e.g. the speculation rung's spark.speculation=true set.
+    master = os.environ.get("DRIVER_SIM_MASTER", "local[16]")
     builder = (
-        SparkSession.builder.master("local[16]")
+        SparkSession.builder.master(master)
         .appName("driver-sim")
         .config("spark.ui.enabled", "false")
     )
+    if master.startswith("local-cluster"):
+        # Worker JVMs spawn their own Python workers; pin them to this
+        # interpreter, put the repo package on their import path (Arrow
+        # kernels import data_ingestion_service_spark.* executor-side),
+        # and ship chaos/provider knobs through executorEnv.
+        os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH",
+            ":".join(filter(None, [repo_root, os.environ.get("PYTHONPATH")])),
+        )
+        for env_k in ("SPARK_GRAFT_CHAOS", "SPARK_GRAFT_STATE_PROVIDER"):
+            if os.environ.get(env_k):
+                builder = builder.config(
+                    f"spark.executorEnv.{env_k}", os.environ[env_k]
+                )
+    extra = os.environ.get("DRIVER_SIM_CONF", "")
+    for kv in filter(None, (s.strip() for s in extra.split(";"))):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k, v)
     # Stress tiers (sf1+) need a real heap; the graded sf0.01 sim keeps
     # the driver's plain-session default (1g) by leaving this unset.
     mem = os.environ.get("DRIVER_SIM_DRIVER_MEM")
@@ -207,55 +245,71 @@ def main() -> int:
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
-    n_pass = n_fail = n_rows_only = 0
-    for key in sorted(qs):
-        if only and key not in only:
-            continue
+    def check_key(key, cur) -> tuple[str, str]:
+        """Run one key vs its oracle; returns (status, printable line)."""
         t0 = time.monotonic()
         try:
             sdf = qs[key](spark, SF_CORRECT)
             spdf = sdf.toPandas()
         except Exception as exc:  # noqa: BLE001
-            print(f"[FAIL] {key}: spark raised {type(exc).__name__}: {exc}")
-            n_fail += 1
-            continue
+            return "fail", f"[FAIL] {key}: spark raised {type(exc).__name__}: {exc}"
         el = time.monotonic() - t0
         if key not in oracles:
-            print(f"[rows-only] {key}: {len(spdf)} rows in {el:.2f}s")
-            n_rows_only += 1
-            continue
+            return "rows-only", f"[rows-only] {key}: {len(spdf)} rows in {el:.2f}s"
         try:
-            opdf = con.execute(oracles[key]).df()
+            opdf = cur.execute(oracles[key]).df()
         except Exception as exc:  # noqa: BLE001
-            print(f"[FAIL] {key}: oracle raised {type(exc).__name__}: {exc}")
-            n_fail += 1
-            continue
+            return "fail", f"[FAIL] {key}: oracle raised {type(exc).__name__}: {exc}"
         ok_schema = sorted(spdf.columns) == sorted(opdf.columns)
         ok_count = len(spdf) == len(opdf)
         try:
             sh = canon_hash(spdf)
             dh = canon_hash(opdf)
         except Exception as exc:  # noqa: BLE001
-            print(f"[FAIL] {key}: canonicalizer crash {type(exc).__name__}: {exc}")
-            n_fail += 1
-            continue
+            return "fail", f"[FAIL] {key}: canonicalizer crash {type(exc).__name__}: {exc}"
         ok_hash = sh == dh
         if ok_schema and ok_count and ok_hash:
-            print(f"[OK]   {key}: {len(spdf)} rows, hash={sh} in {el:.2f}s")
-            n_pass += 1
-        else:
-            detail = ""
-            if ok_count and not ok_hash:
-                sd = dict(zip(sorted(spdf.columns), spdf[sorted(spdf.columns)].dtypes))
-                od = dict(zip(sorted(opdf.columns), opdf[sorted(opdf.columns)].dtypes))
-                diff = {c: (str(sd[c]), str(od.get(c))) for c in sd if str(sd[c]) != str(od.get(c))}
-                if diff:
-                    detail = f" dtype-diff={diff}"
-            print(
-                f"[FAIL] {key}: schema={ok_schema} count={ok_count} "
-                f"({len(spdf)} vs {len(opdf)}) hash={sh} vs {dh}{detail}"
-            )
-            n_fail += 1
+            return "pass", f"[OK]   {key}: {len(spdf)} rows, hash={sh} in {el:.2f}s"
+        detail = ""
+        if ok_count and not ok_hash:
+            sd = dict(zip(sorted(spdf.columns), spdf[sorted(spdf.columns)].dtypes))
+            od = dict(zip(sorted(opdf.columns), opdf[sorted(opdf.columns)].dtypes))
+            diff = {c: (str(sd[c]), str(od.get(c))) for c in sd if str(sd[c]) != str(od.get(c))}
+            if diff:
+                detail = f" dtype-diff={diff}"
+        return "fail", (
+            f"[FAIL] {key}: schema={ok_schema} count={ok_count} "
+            f"({len(spdf)} vs {len(opdf)}) hash={sh} vs {dh}{detail}"
+        )
+
+    keys = [k for k in sorted(qs) if not only or k in only]
+    n_pass = n_fail = n_rows_only = 0
+    if threads:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def worker(key):
+            # DuckDB cursors share the parent connection's catalog
+            # (views) but are the thread-safe execution handle.
+            cur = con.cursor()
+            try:
+                return check_key(key, cur)
+            finally:
+                cur.close()
+
+        with ThreadPoolExecutor(max_workers=threads) as pool:
+            results = list(pool.map(worker, keys))
+        for status, line in results:  # keys order — diffable vs sequential
+            print(line)
+            n_pass += status == "pass"
+            n_fail += status == "fail"
+            n_rows_only += status == "rows-only"
+    else:
+        for key in keys:
+            status, line = check_key(key, con)
+            print(line)
+            n_pass += status == "pass"
+            n_fail += status == "fail"
+            n_rows_only += status == "rows-only"
     print(f"\nsummary: {n_pass} hash-match, {n_rows_only} rows-only, {n_fail} FAIL")
     spark.stop()
     return 1 if n_fail else 0

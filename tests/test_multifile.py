@@ -54,6 +54,34 @@ def test_fixture_parts_file_and_dir(sf_dir, multi_sf_dir):
     assert all(p.endswith(".parquet") for p in parts)
 
 
+def test_fixture_parts_rejects_nested_layout(tmp_path):
+    """A directory whose parts live in SUBDIRECTORIES (hive-partitioned
+    layout) must fail loudly, not stage an empty replay dir."""
+    tdir = tmp_path / "events.parquet"
+    (tdir / "dt=2024-01-01").mkdir(parents=True)
+    with pytest.raises(ValueError, match="no top-level"):
+        sq._fixture_parts(str(tdir))
+
+
+def test_cache_key_tracks_directory_parts(multi_sf_dir, tmp_path):
+    """_fixture_cache_key must change when a part file is rewritten in
+    place, even though the directory inode's stat may not (the stale-
+    vintage hazard for directory tables — ADVICE r10 medium)."""
+    import shutil
+
+    src = table_path(multi_sf_dir, "events")
+    work = tmp_path / "events.parquet"
+    shutil.copytree(src, work, symlinks=False)
+    k1 = sq._fixture_cache_key(str(work))
+    part = sorted(work.iterdir())[1]
+    t = pq.read_table(part)
+    pq.write_table(t.slice(0, max(1, t.num_rows - 1)), str(part))
+    k2 = sq._fixture_cache_key(str(work))
+    assert k1 != k2
+    # and it covers every part: keys are stable across repeated calls
+    assert k2 == sq._fixture_cache_key(str(work))
+
+
 def test_note_stream_input_sums_directory(multi_sf_dir):
     path = table_path(multi_sf_dir, "events")
     sq._note_stream_input(path)
@@ -79,9 +107,16 @@ def test_single_file_merges_directory(spark, sf_dir, multi_sf_dir):
     merged = multi_stage.single_file()
     assert os.path.isfile(merged)
     assert merged == multi_stage.single_file()  # cached per vintage
-    n_merged = pq.read_table(merged).num_rows
-    n_parts = pq.read_table(table_path(multi_sf_dir, "events")).num_rows
-    assert n_merged == n_parts
+    t_merged = pq.read_table(merged)
+    t_parts = pq.read_table(table_path(multi_sf_dir, "events"))
+    # Content equality, not just row count (ADVICE r10 low): a merge
+    # that drops columns or corrupts values at equal cardinality must
+    # fail here. Sort by event_id — the merge need not preserve order.
+    assert t_merged.schema.equals(t_parts.schema)
+    assert (
+        t_merged.sort_by("event_id").to_pydict()
+        == t_parts.sort_by("event_id").to_pydict()
+    )
 
 
 def test_streaming_key_on_multifile_fixture(spark, sf_dir, multi_sf_dir):
