@@ -211,6 +211,9 @@ def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        from data_ingestion_service_spark.chaos import maybe_fail
+
+        maybe_fail("grouped_zscore")  # retry rung (no-op unless enabled)
         mean = pdf["c_acctbal"].mean()
         std = pdf["c_acctbal"].std(ddof=1)
         return pd.DataFrame(
@@ -243,6 +246,9 @@ def q_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
 
     def boost(batches):
+        from data_ingestion_service_spark.chaos import maybe_fail
+
+        maybe_fail("map_in_pandas")  # retry rung (no-op unless enabled)
         for pdf in batches:
             hit = pdf[(pdf["event_type"] == "purchase") & (pdf["value"] > 100)]
             yield pd.DataFrame(

@@ -348,6 +348,9 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         import re
         import unicodedata
 
+        from data_ingestion_service_spark.chaos import maybe_fail
+
+        maybe_fail("text_normalize")  # retry rung (no-op unless enabled)
         return s.map(
             lambda t: re.sub(" +", " ", unicodedata.normalize("NFC", t).lower())
         )

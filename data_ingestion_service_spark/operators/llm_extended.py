@@ -321,6 +321,9 @@ def _embed_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def add_stats(batches):
+            from data_ingestion_service_spark.chaos import maybe_fail
+
+            maybe_fail("embed_blocks")  # retry rung (no-op unless enabled)
             for pdf in batches:
                 cents, radii = [], []
                 for mat in pdf["mat"]:
@@ -412,6 +415,9 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def block_cosine(batches):
+        from data_ingestion_service_spark.chaos import maybe_fail
+
+        maybe_fail("block_cosine")  # retry rung (no-op unless enabled)
         for pdf in batches:
             out_a, out_b, out_s = [], [], []
             for ia_l, ma_l, ib_l, mb_l in zip(
@@ -946,6 +952,9 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def extract(batches):
+        from data_ingestion_service_spark.chaos import maybe_fail
+
+        maybe_fail("media_extract")  # retry rung (no-op unless enabled)
         for pdf in batches:
             payloads = pdf["payload"]
             yield pd.DataFrame(
@@ -1204,6 +1213,9 @@ def q_knn_ivf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     best_cid = int(cids[order[0]])
 
     def search_cell(batches):
+        from data_ingestion_service_spark.chaos import maybe_fail
+
+        maybe_fail("ivf_search")  # retry rung (no-op unless enabled)
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -1786,6 +1798,9 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def sample_frames(batches):
+        from data_ingestion_service_spark.chaos import maybe_fail
+
+        maybe_fail("media_frames")  # retry rung (no-op unless enabled)
         for pdf in batches:
             ids, idxs, sums = [], [], []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):

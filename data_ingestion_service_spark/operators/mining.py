@@ -828,6 +828,9 @@ def _kmeans_assign_arrow(vecs: DataFrame, cent_rows) -> DataFrame:
     def kernel(batches):
         import pandas as pd
 
+        from data_ingestion_service_spark.chaos import maybe_fail
+
+        maybe_fail("kmeans_assign")  # retry rung (no-op unless enabled)
         for pdf in batches:
             if pdf.empty:
                 continue

@@ -2241,6 +2241,9 @@ def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError("q_label_noise: zero-norm probe embedding")
 
     def local_topk(batches):
+        from data_ingestion_service_spark.chaos import maybe_fail
+
+        maybe_fail("label_noise_topk")  # retry rung (no-op unless enabled)
         import pandas as pd
 
         for pdf in batches:

@@ -236,6 +236,9 @@ def q_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     odb = orders.withColumn("g", F.col("user_id") % n_buckets)
 
     def merge(events_pdf: pd.DataFrame, orders_pdf: pd.DataFrame) -> pd.DataFrame:
+        from data_ingestion_service_spark.chaos import maybe_fail
+
+        maybe_fail("asof_cogroup")  # retry rung (no-op unless enabled)
         if events_pdf.empty or orders_pdf.empty:
             return pd.DataFrame(columns=["event_id", "user_id", "asof_orderkey"])
         # merge_asof(by=) needs both frames sorted by the ON key; within

@@ -26,6 +26,9 @@ def _make_discounted_udf():
     # which doesn't exist at import time in the driver's verify flow.
     @pandas_udf(DoubleType())
     def _discounted_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+        from data_ingestion_service_spark.chaos import maybe_fail
+
+        maybe_fail("pandas_udf")  # retry rung (no-op unless enabled)
         return price * (1.0 - discount)
 
     return _discounted_price
@@ -179,6 +182,9 @@ GROUP BY o_orderpriority
 def _make_wavg_udaf():
     @pandas_udf(DoubleType())
     def _wavg_cents(w: pd.Series, cents: pd.Series) -> float:
+        from data_ingestion_service_spark.chaos import maybe_fail
+
+        maybe_fail("pandas_udaf")  # retry rung (no-op unless enabled)
         # int64 sums: exact, order-independent.
         return float((w * cents).sum()) / float(w.sum())
 
@@ -221,6 +227,9 @@ def _arrow_net_batches(batches):
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    from data_ingestion_service_spark.chaos import maybe_fail
+
+    maybe_fail("arrow_net")  # retry-determinism rung (no-op unless enabled)
     for batch in batches:
         ext = pc.cast(pc.round(pc.multiply(batch.column(1), 100.0)), pa.int64())
         disc = pc.cast(pc.round(pc.multiply(batch.column(2), 100.0)), pa.int64())
