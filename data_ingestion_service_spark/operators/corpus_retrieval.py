@@ -210,7 +210,22 @@ FROM tri CROSS JOIN stats
 )
 
 
-def _degree_directed_edges(e: DataFrame) -> DataFrame:
+def _vertex_degrees(e: DataFrame) -> DataFrame:
+    """(v, deg) over the undirected edge list — shared by the edge
+    orientation AND the graph-stat aggregates (n_vertices = |deg|,
+    n_edges = sum(deg) div 2), so the stats reuse this one shuffle
+    (ReuseExchange) instead of paying their own union-scan +
+    countDistinct shuffle over the vertex multiset (r11 action-census
+    cut on q_triangle_count)."""
+    return (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def _degree_directed_edges(e: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     """Orient each undirected edge from lower to higher (degree, id).
 
     The node-iterator refinement that survives hubs at 100 TB: a vertex
@@ -221,12 +236,8 @@ def _degree_directed_edges(e: DataFrame) -> DataFrame:
     Columns: src, dst, plus dst's order key (dd, dst) for wedge-side
     lexicographic comparison without a global rank (a global rank would
     need a corpus-wide window — one task)."""
-    deg = (
-        e.select(F.col("a").alias("v"))
-        .unionAll(e.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    if deg is None:
+        deg = _vertex_degrees(e)
     ed = (
         e.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
         .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
@@ -246,7 +257,8 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = near_dup_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
-    d = _degree_directed_edges(e)
+    deg = _vertex_degrees(e)
+    d = _degree_directed_edges(e, deg)
     # Wedges centered at each triangle's LOWEST-ordered vertex; the two
     # legs are kept in (deg,id) order so the closing edge — necessarily
     # directed low→high — is a single equi-semi-join probe.
@@ -264,13 +276,18 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("wa") == F.col("e3.src")) & (F.col("wc") == F.col("e3.dst")),
         "left_semi",
     ).agg(F.count(F.lit(1)).alias("n_triangles"))
-    verts = e.select(F.col("a").alias("v")).unionAll(e.select(F.col("b")))
-    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
-    n_verts = verts.agg(F.countDistinct("v").alias("n_vertices"))
-    return (
-        tri.crossJoin(F.broadcast(n_edges))
-        .crossJoin(F.broadcast(n_verts))
-        .select("n_triangles", "n_edges", "n_vertices")
+    # Graph stats from the SAME degree aggregate the orientation uses
+    # (n_vertices = |deg| rows; n_edges = sum(deg) div 2 — each
+    # undirected edge contributes two degree units), so the deg exchange
+    # is reused instead of paying a union re-scan + countDistinct
+    # shuffle + full-count job (r11 action-census cut: 21 -> fewer
+    # stages, identical values/hashes by construction).
+    stats = deg.agg(
+        F.expr("sum(deg) div 2").alias("n_edges"),
+        F.count(F.lit(1)).alias("n_vertices"),
+    )
+    return tri.crossJoin(F.broadcast(stats)).select(
+        "n_triangles", "n_edges", "n_vertices"
     )
 
 # ---------------------------------------------------------------------------
