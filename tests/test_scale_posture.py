@@ -644,10 +644,11 @@ def test_triangle_wedges_are_degree_ordered(spark, sf_dir):
     plan = formatted_plan(QUERIES["q_triangle_count"](spark, sf_dir))
     tree = plan.split("\n\n")[0]
     assert "CartesianProduct" not in tree
-    # Exactly the two deliberate 1-row stat crossJoins (n_edges,
-    # n_vertices) may be nested-loop; the wedge join and the closing
-    # semi-join must both be equi-joins.
-    assert tree.count("BroadcastNestedLoopJoin") == 2, tree
+    # Exactly the one deliberate 1-row stat crossJoin (n_edges +
+    # n_vertices ride a single degree-derived aggregate since r11) may
+    # be nested-loop; the wedge join and the closing semi-join must
+    # both be equi-joins.
+    assert tree.count("BroadcastNestedLoopJoin") == 1, tree
 
     # Star: hub 0 with spokes 1..40, plus one rim edge (1,2). Hub id is
     # LOWEST, so id-ordering makes it the center of 40*39/2 = 780 wedges;
