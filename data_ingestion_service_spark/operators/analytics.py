@@ -728,13 +728,25 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("s_start", F.col("d")).alias("c_start"),
         F.least("s_end", F.col("d") + 86400).alias("c_end"),
     )
+    # r11 optimization (guide §2.4): the former UNION ALL evaluated the
+    # sessionize→clip subtree once per branch; each clipped session emits
+    # its +1/-1 sweep points map-side through one explode instead.
     pts = clipped.select(
-        "day_s", F.col("c_start").alias("t"), F.lit(1).cast("bigint").alias("delta"), "user_id"
-    ).unionAll(
-        clipped.select(
-            "day_s", F.col("c_end").alias("t"), F.lit(-1).cast("bigint").alias("delta"), "user_id"
-        )
-    )
+        "day_s",
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("c_start").alias("t"),
+                    F.lit(1).cast("bigint").alias("delta"),
+                ),
+                F.struct(
+                    F.col("c_end").alias("t"),
+                    F.lit(-1).cast("bigint").alias("delta"),
+                ),
+            )
+        ).alias("td"),
+    ).select("day_s", F.col("td.t").alias("t"), F.col("td.delta").alias("delta"), "user_id")
     w_d = Window.partitionBy("day_s").orderBy("t", "delta", "user_id").rowsBetween(
         Window.unboundedPreceding, 0
     )

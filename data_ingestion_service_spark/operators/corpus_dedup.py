@@ -989,14 +989,26 @@ def substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_substring_dup", oracle=_SUBDUP_ORACLE)
 def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
     pairs = substring_dup_pairs(spark, sf_dir)
-    sizes = (
-        window_hash_rows(docs)
-        .select("doc_id", "wh")
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("nw"))
+
+    # r11 optimization (guide §2.4): the per-doc fingerprint count used
+    # to re-run the whole window-hash + distinct pipeline on EVERY call
+    # even though the pair store it joins against was already warm —
+    # the doc-sized count table is exactly the kind of index the store
+    # registry exists for (same family, same pattern, cold walls are on
+    # the bench record).
+    def _build_sizes() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return (
+            window_hash_rows(docs)
+            .select("doc_id", "wh")
+            .distinct()
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("nw"))
+        )
+
+    sizes = session_persisted(
+        spark, ("substring_dup_sizes", sf_dir), _build_sizes
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nw").alias("nw_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nw").alias("nw_b"))
@@ -1766,8 +1778,17 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     # Corpus-sized signature pass via the shared Arrow kernel (round 8).
-    sigs = _lsh_sigs_arrow(emb).select("vec_id", "bucket")
-    pairs = QUERIES["q_embed_near_dup"](spark, sf_dir).select("vec_a", "vec_b")
+    # r11 optimization (guide §4/§5): sigs has three consumers (both
+    # bucket lookups and the report rollup) and pairs two — unpersisted,
+    # the Arrow kernel ran 3x and the near-dup pair pipeline 2x per call
+    # (11 steady-state jobs, 18 Python plan nodes). Persist both for the
+    # action: sigs is two ints per vector, pairs is result-sized.
+    sigs = _lsh_sigs_arrow(emb).select("vec_id", "bucket").persist()
+    pairs = (
+        QUERIES["q_embed_near_dup"](spark, sf_dir)
+        .select("vec_a", "vec_b")
+        .persist()
+    )
     sa = sigs.select(F.col("vec_id").alias("vec_a"), F.col("bucket").alias("b_a"))
     sb = sigs.select(F.col("vec_id").alias("vec_b"), F.col("bucket").alias("b_b"))
     # Result-sized pair list broadcasts through both bucket lookups; the
@@ -2490,6 +2511,16 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("digest"),
         (F.col("e") - F.col("s") + 1).cast("bigint").alias("tok_cnt"),
     )
+    # r11 optimization (guide §5): `chunks` has two consumers (the
+    # shared-digest reduce and the probe side of the join back), so the
+    # whole tokenize→window-hash→span→md5 pipeline ran twice per call.
+    # Persist it for the action; the shared set stays a tiny broadcast.
+    # (The join-free alternative — pre-aggregate to (doc_id, digest) and
+    # take a count window over digest — measured WORSE here: it trades
+    # the recompute for an un-reduced corpus-sized exchange + sort,
+    # while this shape's only wide op is the partial-aggregated digest
+    # reduce. Guide §2.3: aggregate before you shuffle.)
+    chunks = chunks.persist()
     shared = (
         chunks.groupBy("digest")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -2497,7 +2528,7 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("digest", F.lit(1).alias("is_shared"))
     )
     return (
-        chunks.join(shared, "digest", "left")
+        chunks.join(F.broadcast(shared), "digest", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_chunks"),

@@ -1158,30 +1158,54 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("b"),
         )
     )
-    cnt = bb.groupBy("b").agg(
-        F.sum(F.col("is_raw").cast("long")).cast("bigint").alias("rc"),
-        F.sum((~F.col("is_raw")).cast("long")).cast("bigint").alias("tc"),
+    # r11 optimization (guide §2.3/§2.4): bb (the md5-hashed bigram
+    # stream) used to be consumed three times — the bucket counts, the
+    # totals broadcast (which re-ran bucket counts), and the per-doc
+    # scoring pass — so the corpus-sized hash work ran 3x (9 steady-
+    # state jobs). One partial-aggregated exchange reduces the stream to
+    # (doc_id, is_raw, b, k) instance counts; the ≤8192-row model
+    # derives from that via a plain rollup with its totals as a WINDOW
+    # (no broadcast-back), and the scoring pass re-reads the persisted
+    # reduce instead of re-hashing the corpus.
+    from pyspark.sql import Window
+
+    dbk = (
+        bb.groupBy("doc_id", "is_raw", "b")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .persist()
     )
-    tot = cnt.agg(
-        F.sum("rc").cast("bigint").alias("r_tot"),
-        F.sum("tc").cast("bigint").alias("t_tot"),
+    cnt = dbk.groupBy("b").agg(
+        F.sum(F.when(F.col("is_raw"), F.col("k")).otherwise(0))
+        .cast("bigint")
+        .alias("rc"),
+        F.sum(F.when(~F.col("is_raw"), F.col("k")).otherwise(0))
+        .cast("bigint")
+        .alias("tc"),
+    )
+    w_all = Window.partitionBy()
+    with_tot = cnt.select(
+        "b",
+        "rc",
+        "tc",
+        F.sum("rc").over(w_all).cast("bigint").alias("r_tot"),
+        F.sum("tc").over(w_all).cast("bigint").alias("t_tot"),
     )
     ratio = ((F.col("tc") + 1.0) * (F.col("r_tot") + float(_DSIR_BUCKETS))) / (
         (F.col("rc") + 1.0) * (F.col("t_tot") + float(_DSIR_BUCKETS))
     )
-    terms = cnt.crossJoin(F.broadcast(tot)).select(
+    terms = with_tot.select(
         "b",
         F.floor(F.log2(ratio) * 1000000).cast("bigint").alias("term_e6"),
     )
     # The model table is bounded by the bucket count (<= 8192 rows) no
     # matter the corpus size — broadcast it into the feature stream.
     return (
-        bb.filter(F.col("is_raw"))
+        dbk.filter(F.col("is_raw"))
         .join(F.broadcast(terms), "b")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.sum("term_e6").cast("bigint").alias("weight_e6"),
+            F.sum("k").cast("bigint").alias("n_feats"),
+            F.sum(F.col("k") * F.col("term_e6")).cast("bigint").alias("weight_e6"),
         )
     )
 

@@ -1116,13 +1116,18 @@ def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only Arrow pass. Recentering stays relational ((cid, dim) agg).
     Same oracle, bit-identical assignment (4dp round stays JVM-side)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select("vec_id", as_double("embedding").alias("emb"))
+    # r11 optimization (guide §5): vecs feeds the init collect, the a1
+    # kernel and both probe lookups, and a1 feeds the recenter collect
+    # AND the a2 kernel — unpersisted, the first Arrow assignment ran
+    # twice and the scan four times (2.8s noop wall). Persist both
+    # |embeddings|-bounded tables per call; each pass now runs once.
+    vecs = emb.select("vec_id", as_double("embedding").alias("emb")).persist()
     init_rows = (
         vecs.filter(F.col("vec_id") < 4)
         .select(F.col("vec_id").alias("cid"), F.col("emb").alias("c"))
         .collect()
     )
-    a1 = _argmax_centroid_arrow(vecs, init_rows)
+    a1 = _argmax_centroid_arrow(vecs, init_rows).persist()
     cent = (
         a1.select("cid", F.posexplode("emb").alias("p0", "v"))
         .groupBy("cid", (F.col("p0") + 1).alias("p"))
@@ -2197,42 +2202,48 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("pv"),
         F.col("code").alias("pcode"),
     )
+    # r11 optimization (guide §2.4): exact and system rankings used to be
+    # two separate windows over two copies of the scored stream, joined
+    # back on (p_id, vec_id) — the probe×corpus join and both sorts ran
+    # twice (6 steady-state jobs, 14 exchanges). Both ranks partition by
+    # p_id, so they ride ONE exchange of a single scored pass (two sorts,
+    # same stage) and land on the same row — the left join disappears
+    # (rel < 1 ⇔ outside the exact top-10 ⇔ the former join miss).
     joined = codes.join(
         F.broadcast(probes), F.col("vec_id") != F.col("p_id")
-    )
-    w_exact = Window.partitionBy("p_id").orderBy(
-        F.desc("cos"), F.asc("vec_id")
-    )
-    exact = (
-        joined.select(
-            "p_id", "vec_id", cosine(F.col("v"), F.col("pv")).alias("cos")
-        )
-        .withColumn("rel", 11 - F.row_number().over(w_exact))
-        .filter(F.col("rel") >= 1)
-        .select("p_id", "vec_id", "rel")
     )
     qdot = F.aggregate(
         F.zip_with("code", "pcode", lambda a, b: a * b),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    w_exact = Window.partitionBy("p_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
     w_sys = Window.partitionBy("p_id").orderBy(F.desc("qdot"), F.asc("vec_id"))
-    sys_rank = (
-        joined.select("p_id", "vec_id", qdot.alias("qdot"))
-        .withColumn("rk", F.row_number().over(w_sys))
+    ranked = (
+        joined.select(
+            "p_id",
+            "vec_id",
+            cosine(F.col("v"), F.col("pv")).alias("cos"),
+            qdot.alias("qdot"),
+        )
+        .select(
+            "p_id",
+            (11 - F.row_number().over(w_exact)).alias("rel"),
+            F.row_number().over(w_sys).alias("rk"),
+        )
         .filter(F.col("rk") <= _NDCG_K)
-        .select("p_id", "vec_id", "rk")
     )
     disc = F.create_map(
         *[F.lit(x) for pair in enumerate(_NDCG_DISC, 1) for x in pair]
     )
     idcg_int = sum((11 - rk) * d for rk, d in enumerate(_NDCG_DISC, 1))
     dcg = (
-        sys_rank.join(exact, ["p_id", "vec_id"], "left")
-        .select(
+        ranked.select(
             "p_id",
             (
-                F.coalesce(F.col("rel"), F.lit(0))
+                F.when(F.col("rel") >= 1, F.col("rel")).otherwise(0)
                 * F.element_at(disc, F.col("rk"))
             ).alias("term"),
         )

@@ -190,10 +190,16 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reuse shares the aggregation).
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    # r11 optimization (guide §2.4/§5): lists has three consumers (o,
+    # singles, pairs) and the o/sa/sb broadcast jobs each re-ran the
+    # lineitem⋈part + order-keyed shuffle (10 steady-state jobs).
+    # Persist the |orders|-bounded basket table for the action's
+    # lifetime; built fresh per call, ContextCleaner retires the block.
     lists = (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("l_orderkey").alias("ok"))
         .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+        .persist()
     )
     o = lists.agg(F.count(F.lit(1)).alias("n_orders"))
     singles = lists.select(F.explode("bs").alias("b")).groupBy("b").agg(
@@ -879,12 +885,17 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_ingestion_service_spark.functions.vector import as_double
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # r11 optimization (guide §5): every Lloyd pass (init collect + 3
+    # Arrow assignments) re-read the parquet and re-quantized the
+    # vectors — 4 scans per call. Persist the decoded table once per
+    # call (MLlib caches its k-means input for the same reason); the
+    # ContextCleaner retires the block when the plan is collected.
     vecs = emb.select(
         "vec_id",
         F.transform(
             as_double("embedding"), lambda v: F.floor(v * 1000000).cast("bigint")
         ).alias("x"),
-    )
+    ).persist()
     # Round 8: each of the 3 assignment passes is a map-only Arrow
     # kernel over the collected (tiny, k×64 int) centroids instead of a
     # crossJoin + vec_id window — one bounded driver round-trip per
@@ -1364,10 +1375,10 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with no float normalization hazard. Complements q_pagerank (random
 # walk on the dup graph) with the bipartite spectral family.
 #
-# Scale: edges = one distinct reduce over the fact join; iteration 1
-# broadcasts the |brands|-row authority table; iteration 2 is one
-# customer-keyed shuffle + one brand rollup. Iterations are the only
-# serial dimension.
+# Scale: edges = one distinct reduce over the fact join, persisted for
+# the action (three consumers); iteration 1 broadcasts the |brands|-row
+# authority table; iteration 2 is one customer-keyed shuffle + one brand
+# rollup. Iterations are the only serial dimension.
 # ---------------------------------------------------------------------------
 
 _HITS_ORACLE = """
@@ -1396,11 +1407,26 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     part = load_table(spark, sf_dir, "part")
+    # r11 optimization (guide §2.4/§5): edges has THREE consumers (a1,
+    # h1, a2) and a1 has two — each downstream broadcast job used to
+    # re-run the whole lineitem⋈orders⋈part + distinct lineage (lineitem
+    # scanned 4x, 11 steady-state jobs; warm 1.6s). Persisting the
+    # |customers×brands|-bounded edge reduce makes each iteration a
+    # partial-aggregated pass over the cache (warm 1.07s measured). The
+    # all-window alternative (auth1/hub1 as count/sum windows — no
+    # persist, straight-line) measured WORSE (1.73s): windows shuffle
+    # full edge rows three times with no map-side aggregation, while
+    # this shape shrinks every exchange to |brands| / |customers| rows
+    # first (guide §2.3 "aggregate before you shuffle"). Per-call (not
+    # session_persisted): this is one action's working set — two narrow
+    # columns, freed by the ContextCleaner when the plan is dropped —
+    # not a cross-key index.
     edges = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .select(F.col("o_custkey").alias("u"), F.col("p_brand").alias("b"))
         .distinct()
+        .persist()
     )
     a1 = edges.groupBy("b").agg(F.count(F.lit(1)).alias("auth1"))
     h1 = (
@@ -1475,17 +1501,30 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_type").over(full).alias("first_touch"),
     )
     purchases = touched.filter(F.col("event_type") == "purchase")
-    last_credits = purchases.groupBy(
-        F.coalesce("last_touch", F.lit("none")).alias("touch_type")
-    ).agg(F.count(F.lit(1)).alias("credits")).select(
-        F.lit("last").alias("model"), "touch_type", "credits"
+    # r11 optimization (guide §2.4): the former two-aggregate UNION ran
+    # the per-user window subtree once per branch (5 jobs, 8 exchanges).
+    # Both attribution models are rows of the same purchase stream, so
+    # explode each purchase into its two (model, touch_type) credits
+    # map-side and roll up once — one window pass, one tiny exchange.
+    # Same multiset of output rows as the UNION ALL.
+    credit = F.explode(
+        F.array(
+            F.struct(
+                F.lit("last").alias("model"),
+                F.coalesce("last_touch", F.lit("none")).alias("touch_type"),
+            ),
+            F.struct(
+                F.lit("first").alias("model"),
+                F.col("first_touch").alias("touch_type"),
+            ),
+        )
     )
-    first_credits = purchases.groupBy(
-        F.col("first_touch").alias("touch_type")
-    ).agg(F.count(F.lit(1)).alias("credits")).select(
-        F.lit("first").alias("model"), "touch_type", "credits"
+    return (
+        purchases.select(credit.alias("mt"))
+        .select("mt.model", "mt.touch_type")
+        .groupBy("model", "touch_type")
+        .agg(F.count(F.lit(1)).alias("credits"))
     )
-    return last_credits.unionAll(first_credits)
 
 
 # ---------------------------------------------------------------------------
@@ -1537,12 +1576,30 @@ def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("bigint")
-    s = ev.select("event_type", "user_id", surrogate.alias("surrogate"))
-    return s.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.countDistinct("user_id").alias("n_users"),
-        F.countDistinct("surrogate").alias("n_surrogates"),
-        F.sum(F.col("surrogate") % 1000000000).cast("bigint").alias("surrogate_cs"),
+    # r11 optimization (guide §2.3): the single groupBy with TWO distinct
+    # aggregates expanded every event row 3x before one skewed
+    # |types|-keyed exchange, and evaluated md5 once per EVENT. The
+    # surrogate is a pure function of user_id, so distinct surrogates ==
+    # distinct f(user_id): cascade (event_type, user_id) → (event_type,
+    # surrogate) → event_type. Each stage shrinks, partial aggregation
+    # applies throughout, no Expand, and md5 runs once per distinct
+    # (type, user) pair instead of once per event.
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_surr = per_user.groupBy(
+        "event_type", surrogate.alias("surrogate")
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    return per_surr.groupBy("event_type").agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum("n_users").cast("bigint").alias("n_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_surrogates"),
+        F.sum(F.col("n_events") * (F.col("surrogate") % 1000000000))
+        .cast("bigint")
+        .alias("surrogate_cs"),
     )
 
 
@@ -1590,11 +1647,16 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     trans = seq.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("n_trans")
     )
-    froms = trans.groupBy("from_type").agg(
-        F.sum("n_trans").cast("bigint").alias("n_from")
-    )
+    # r11 optimization (guide §2.4): the former froms-aggregate +
+    # broadcast-join-back re-ran the per-user window + pair count inside
+    # the broadcast job (5 jobs for a |types|²-row result). A sum window
+    # partitioned by from_type over the |types|²-sized transition table
+    # computes n_from in the same pass — one tiny exchange, no rebuild.
     return (
-        trans.join(F.broadcast(froms), "from_type")
+        trans.withColumn(
+            "n_from",
+            F.sum("n_trans").over(Window.partitionBy("from_type")).cast("bigint"),
+        )
         .select(
             "from_type",
             "to_type",
@@ -1614,7 +1676,7 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fixed-structure double expression floored to e6, summed as BIGINT.
 #
 # Scale: one (source, lang) count shuffle; the contingency table is
-# domain-sized (margins broadcast back over it).
+# domain-sized (margins are windows over the completed grid).
 # ---------------------------------------------------------------------------
 
 _CHI_SQUARE_ORACLE = """
@@ -1657,38 +1719,49 @@ FROM terms CROSS JOIN dims
 
 @register("q_chi_square", oracle=_CHI_SQUARE_ORACLE)
 def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r11 optimization (guide §2.4): the r6 shape scanned `documents`
+    # three times (obs, distinct sources, distinct langs) and rebuilt the
+    # domain-sized `cells` subtree once per margin broadcast — 21 Spark
+    # jobs / 74 plan exchanges for one contingency table. Now the single
+    # (source, lang) count shuffle is the ONLY corpus pass: sources and
+    # langs derive FROM obs (identical exchange subtree → ReusedExchange),
+    # obs broadcasts into the completed grid, and every margin (r, c, n)
+    # plus both grid dimensions (nr, nc — a complete cross has |sources|
+    # cells per lang and |langs| cells per source) come from window
+    # functions over the domain-sized grid instead of aggregate-and-
+    # broadcast-back joins. Same doubles, same BIGINT terms, same output.
     docs = load_table(spark, sf_dir, "documents")
     obs = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
-    sources = docs.select("source").distinct()
-    langs = docs.select("lang").distinct()
+    sources = obs.select("source").distinct()
+    langs = obs.select("lang").distinct()
     grid = sources.crossJoin(F.broadcast(langs))
-    cells = grid.join(obs, ["source", "lang"], "left").select(
+    cells = grid.join(F.broadcast(obs), ["source", "lang"], "left").select(
         "source", "lang", F.coalesce("o", F.lit(0)).cast("bigint").alias("o")
     )
-    rows_ = cells.groupBy("source").agg(F.sum("o").cast("bigint").alias("r"))
-    cols_ = cells.groupBy("lang").agg(F.sum("o").cast("bigint").alias("c"))
-    tot = cells.agg(F.sum("o").cast("bigint").alias("n"))
-    dims = rows_.agg(F.count(F.lit(1)).alias("nr")).crossJoin(
-        F.broadcast(cols_.agg(F.count(F.lit(1)).alias("nc")))
+    w_src = Window.partitionBy("source")
+    w_lang = Window.partitionBy("lang")
+    w_all = Window.partitionBy()
+    enriched = cells.select(
+        "o",
+        F.sum("o").over(w_src).alias("r"),
+        F.sum("o").over(w_lang).alias("c"),
+        F.sum("o").over(w_all).alias("n"),
+        F.count(F.lit(1)).over(w_lang).alias("nr"),
+        F.count(F.lit(1)).over(w_src).alias("nc"),
     )
     e = (F.col("r") * 1.0 * F.col("c")) / F.col("n")
     term = F.floor((F.col("o") - e) * (F.col("o") - e) / e * 1000000).cast(
         "bigint"
     )
     return (
-        cells.join(F.broadcast(rows_), "source")
-        .join(F.broadcast(cols_), "lang")
-        .crossJoin(F.broadcast(tot))
-        .select(term.alias("term_e6"))
+        enriched.select(
+            term.alias("term_e6"),
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"),
+        )
         .agg(
             F.sum("term_e6").cast("bigint").alias("chi2_e6"),
             F.count(F.lit(1)).cast("bigint").alias("n_cells"),
-        )
-        .crossJoin(F.broadcast(dims))
-        .select(
-            "chi2_e6",
-            "n_cells",
-            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"),
+            F.max("dof").cast("bigint").alias("dof"),
         )
     )
 

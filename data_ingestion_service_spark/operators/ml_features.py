@@ -1404,20 +1404,28 @@ def q_dedup_modality_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ep = ep.join(
         F.broadcast(ids.select(F.col("doc_id").alias("doc_a"))), "doc_a"
     ).join(F.broadcast(ids.select(F.col("doc_id").alias("doc_b"))), "doc_b")
-    both = tp.join(ep, ["doc_a", "doc_b"], "left_semi")
-    nt = tp.agg(F.count(F.lit(1)).alias("n_text_pairs"))
-    ne = ep.agg(F.count(F.lit(1)).alias("n_embed_pairs"))
-    nb = both.agg(F.count(F.lit(1)).alias("n_both"))
-    return (
-        nt.crossJoin(F.broadcast(ne))
-        .crossJoin(F.broadcast(nb))
-        .select(
-            "n_text_pairs",
-            "n_embed_pairs",
-            "n_both",
-            (F.col("n_text_pairs") - F.col("n_both")).alias("n_text_only"),
-            (F.col("n_embed_pairs") - F.col("n_both")).alias("n_embed_only"),
-        )
+    # r11 optimization (guide §2.4): the three separate counts (nt, ne,
+    # nb) crossJoined through broadcasts re-ran the tp/ep candidate
+    # pipelines once per aggregate — 18 steady-state jobs, 208 plan
+    # exchanges, 22 Python nodes, and an 8.5s noop wall for a 1-row
+    # answer. One full-outer join of the two (small) pair sets computes
+    # all three counts in a single pass: count(t) = |tp|, count(e) =
+    # |ep|, both-non-null = |tp ∩ ep|. Identical arithmetic, one job.
+    t = tp.withColumn("t", F.lit(1))
+    e = ep.withColumn("e", F.lit(1))
+    joined = t.join(e, ["doc_a", "doc_b"], "full_outer")
+    return joined.agg(
+        F.count("t").alias("n_text_pairs"),
+        F.count("e").alias("n_embed_pairs"),
+        F.count(
+            F.when(F.col("t").isNotNull() & F.col("e").isNotNull(), F.lit(1))
+        ).alias("n_both"),
+    ).select(
+        "n_text_pairs",
+        "n_embed_pairs",
+        "n_both",
+        (F.col("n_text_pairs") - F.col("n_both")).alias("n_text_only"),
+        (F.col("n_embed_pairs") - F.col("n_both")).alias("n_embed_only"),
     )
 
 
@@ -1493,42 +1501,69 @@ GROUP BY 1, 2
 def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_ingestion_service_spark.functions.text import tokens
 
+    # r11 optimization (guide §2.3/§2.4/§3.1): the r6 shape exploded the
+    # corpus three times (vocab, cnt, doc_scores), SHUFFLED the full
+    # token stream by `w` to join the model grid (both sides exchanged,
+    # and the joined stream carried |langs|× the token rows into the
+    # per-(doc, lang, l) aggregate), then ranked with a per-doc window —
+    # 18 steady-state jobs / 38 plan exchanges. Now the model BROADCASTS
+    # in map form (w → {lang: count}, the docstring's stated vocabulary×
+    # |langs|-bounded design) and every lang's log-score folds as a
+    # parallel SUM COLUMN in one pass over the token stream: no corpus-
+    # sized exchange, no |langs|× row fan-out, no window sort. The lang
+    # list and the exact-integer totals/vocab-size are bounded driver
+    # pulls off the persisted (l, w) count; every float step (the 1.0
+    # division, ln, ×1e6 floor) stays JVM-side with the identical
+    # expression structure, so the scores are bit-identical. The argmax
+    # is least(struct(-total, l)) — (total DESC, l ASC) ≡ (-total, l)
+    # ASC — evaluated per doc row after the one docs-keyed aggregate.
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", F.explode(tokens("text")).alias("w")
     )
-    vocab = toks.select("w").distinct()
-    vsize = vocab.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
-    langs = docs.select(F.col("lang").alias("l")).distinct()
-    cnt = toks.groupBy(F.col("lang").alias("l"), "w").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    cnt = (
+        toks.groupBy(F.col("lang").alias("l"), "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
     )
-    totals = cnt.groupBy("l").agg(F.sum("c").cast("bigint").alias("t"))
-    grid = (
-        vocab.crossJoin(F.broadcast(langs))
-        .join(F.broadcast(totals), "l")
-        .join(cnt, ["w", "l"], "left")
-        .crossJoin(F.broadcast(vsize))
-        .select(
-            "w",
-            "l",
-            F.floor(
-                F.log(
-                    (F.coalesce(F.col("c"), F.lit(0)) + 1)
-                    * 1.0
-                    / (F.col("t") + F.col("v"))
-                )
-                * 1000000
+    # Bounded pulls (|langs| rows + one scalar) — exact BIGINTs only;
+    # no float crosses the driver boundary.
+    totals_rows = sorted(
+        (r.l, int(r.t))
+        for r in cnt.groupBy("l").agg(F.sum("c").alias("t")).collect()
+    )
+    v_size = cnt.select("w").distinct().count()
+    langs = [l for l, _ in totals_rows]
+    per_w = cnt.groupBy("w").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("l", "c")))
+        ).alias("cm")
+    )
+    # Per-lang token log-probability, folded as one sum column per lang
+    # over the single broadcast-joined token pass.
+    scored = toks.join(F.broadcast(per_w), "w").groupBy("doc_id", "lang").agg(
+        *[
+            F.sum(
+                F.floor(
+                    F.log(
+                        (F.coalesce(F.col("cm").getItem(l), F.lit(0)) + 1)
+                        * 1.0
+                        / F.lit(int(t) + int(v_size)).cast("bigint")
+                    )
+                    * 1000000
+                ).cast("bigint")
             )
             .cast("bigint")
-            .alias("lp_e6"),
-        )
+            .alias(f"s_{i}")
+            for i, (l, t) in enumerate(totals_rows)
+        ]
     )
-    n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
+    # Priors stay relational (a 1-row lang→prior map, built JVM-side so
+    # the ln matches the engine's float path) and cross in as a map.
     priors = (
         docs.groupBy(F.col("lang").alias("l"))
         .agg(F.count(F.lit(1)).alias("nl"))
-        .crossJoin(F.broadcast(n_docs))
+        .withColumn("nd", F.sum("nl").over(Window.partitionBy()))
         .select(
             "l",
             F.floor(F.log(F.col("nl") * 1.0 / F.col("nd")) * 1000000)
@@ -1536,22 +1571,26 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("prior_e6"),
         )
     )
-    doc_scores = (
-        toks.join(grid, "w")
-        .groupBy("doc_id", "lang", "l")
-        .agg(F.sum("lp_e6").cast("bigint").alias("s"))
+    priors_map = priors.agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("l", "prior_e6")))
+        ).alias("pm")
     )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc(F.col("s") + F.col("prior_e6")), F.asc("l")
-    )
-    return (
-        doc_scores.join(F.broadcast(priors), "l")
-        .select(
-            "lang",
-            F.col("l").alias("predicted"),
-            F.row_number().over(w).alias("rn"),
+    cands = [
+        F.struct(
+            (
+                -(F.col(f"s_{i}") + F.col("pm").getItem(l))
+            ).alias("neg_total"),
+            F.lit(l).alias("l"),
         )
-        .filter(F.col("rn") == 1)
+        for i, l in enumerate(langs)
+    ]
+    predicted = (
+        F.least(*cands) if len(cands) > 1 else cands[0]
+    )["l"].alias("predicted")
+    return (
+        scored.crossJoin(F.broadcast(priors_map))
+        .select("lang", predicted)
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -2447,19 +2486,22 @@ def q_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("src", "dst", F.round("cos", 4).alias("cos_sim"))
     )
-    x = nn.alias("x")
-    y = nn.select(
-        F.col("src").alias("y_src"), F.col("dst").alias("y_dst")
-    ).alias("y")
+    # r11 optimization (guide §2.4): the reciprocity self-join broadcast
+    # a second copy of `nn`, re-running the probe×probe scoring and the
+    # rank window. Each probe has exactly ONE rank-1 row, so a pair is
+    # mutual iff its canonical (lo, hi) key appears twice in `nn` —
+    # one tiny groupBy over the |probes|-row NN table, no second pass.
+    # cos_sim is the lo→hi direction's score (the x.src < x.dst row).
+    lo = F.least("src", "dst")
+    hi = F.greatest("src", "dst")
     return (
-        x.join(
-            F.broadcast(y),
-            (F.col("y_src") == F.col("dst")) & (F.col("y_dst") == F.col("src")),
+        nn.groupBy(lo.alias("vec_a"), hi.alias("vec_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dir"),
+            F.max(
+                F.when(F.col("src") < F.col("dst"), F.col("cos_sim"))
+            ).alias("cos_sim"),
         )
-        .filter(F.col("src") < F.col("dst"))
-        .select(
-            F.col("src").alias("vec_a"),
-            F.col("dst").alias("vec_b"),
-            "cos_sim",
-        )
+        .filter(F.col("n_dir") == 2)
+        .select("vec_a", "vec_b", "cos_sim")
     )

@@ -424,16 +424,30 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     vsize = vocab.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("v")
     )
+    # r11 optimization (guide §2.4): the exact intersection used to
+    # self-join the persisted vocab on shingle equality — two full
+    # shuffles of the corpus-sized (source, shingle) table plus the join.
+    # One groupBy(s) with a |sources|-bounded collect_set emits the same
+    # (src_a < src_b) co-occurrence pairs map-side (posting-list pattern,
+    # fanout ≤ |sources|² per shingle — a domain constant), so the
+    # intersection needs exactly ONE corpus exchange.
+    posting = (
+        vocab.groupBy("s")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    expanded = posting.select(
+        "ss", F.explode(F.sequence(F.lit(0), F.size("ss") - 2)).alias("i")
+    )
     inter = (
-        vocab.alias("t1")
-        .join(
-            vocab.alias("t2"),
-            (F.col("t1.s") == F.col("t2.s"))
-            & (F.col("t1.source") < F.col("t2.source")),
+        expanded.select(
+            "ss",
+            "i",
+            F.explode(F.sequence(F.col("i") + 1, F.size("ss") - 1)).alias("j"),
         )
         .groupBy(
-            F.col("t1.source").alias("src_a"),
-            F.col("t2.source").alias("src_b"),
+            F.col("ss")[F.col("i")].alias("src_a"),
+            F.col("ss")[F.col("j")].alias("src_b"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
     )

@@ -1016,12 +1016,19 @@ def test_pseudonymize_is_map_plus_rollup(spark, sf_dir):
 
 
 def test_markov_window_per_user(spark, sf_dir):
-    """q_markov_transitions' lead() window partitions by user_id."""
+    """q_markov_transitions' corpus-sized lead() window partitions by
+    user_id; the only other window is the r11 n_from sum over the
+    |types|²-bounded transition table (partitioned by from_type), which
+    replaced the aggregate+broadcast-join-back — no unpartitioned or
+    corpus-keyed window exists."""
     import re
 
     plan = formatted_plan(QUERIES["q_markov_transitions"](spark, sf_dir))
     specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
-    assert specs and all("user_id" in s for s in specs)
+    assert specs and all(
+        "user_id" in s or "from_type" in s for s in specs
+    ), f"unexpected window partitioning: {specs}"
+    assert any("user_id" in s for s in specs)
 
 
 def test_chi_square_margins_broadcast(spark, sf_dir):
@@ -1289,14 +1296,19 @@ def test_ks_histogram_before_window(spark, sf_dir):
 
 
 def test_naive_bayes_model_broadcast_corpus_rollup(spark, sf_dir):
-    """The vocab×lang grid reaches the token stream via broadcast; the
-    per-doc argmax window partitions by doc_id."""
+    """The vocab-bounded model reaches the token stream via broadcast
+    (r11: in map form, one scoring pass with per-lang sum columns). The
+    corpus contributes NO window at all any more — the argmax is a
+    map-side least(struct) after the per-doc rollup; the only window
+    left is the |langs|-row priors total."""
     import re
 
     plan = formatted_plan(QUERIES["q_naive_bayes"](spark, sf_dir))
     assert "BroadcastExchange" in plan
-    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
-    assert specs and all("doc_id" in s for s in specs)
+    specs = re.findall(r"windowspecdefinition\(([^,]*),", plan)
+    # No corpus-keyed window: no windowspec may partition by doc_id (the
+    # old per-doc rank sort) — the priors window is over ≤|langs| rows.
+    assert all("doc_id" not in s for s in specs), specs
 
 
 def test_itemsets3_posting_list_expansion_no_self_join(spark, sf_dir):
