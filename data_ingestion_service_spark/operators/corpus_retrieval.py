@@ -1392,8 +1392,17 @@ LEFT JOIN e ON e.a = s.u AND e.b = s.vtx
 
 @register("q_adamic_adar", oracle=_ADAMIC_ADAR_ORACLE)
 def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = near_dup_pairs(spark, sf_dir).select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    # r11 optimization (guide §3.3 "very large plans"): the pair store's
+    # cached lineage is a ~100-exchange analyzed tree, and this key
+    # references it three times (both und directions + the edge flag) —
+    # 420 exchange nodes in the printed plan, with optimizer time
+    # dominating a result-sized graph computation. localCheckpoint
+    # truncates the lineage to a LogicalRDD: one bounded materialization
+    # of the tiny pair list per call, constant-size plan after.
+    e = (
+        near_dup_pairs(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint()
     )
     und = e.select(F.col("a").alias("v"), F.col("b").alias("nbr")).unionAll(
         e.select(F.col("b").alias("v"), F.col("a").alias("nbr"))

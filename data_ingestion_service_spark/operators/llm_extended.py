@@ -864,20 +864,29 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured: 4 exchanges -> 2, cold 4.0s -> 1.5s at sf0.1; a plain
     # .distinct() shuffles on (doc_id, t) and then re-shuffles on
     # doc_id).
+    # r11 optimization (guide §1.2 per-task work): the 16 bit tests used
+    # to be 16 substring+IN string comparisons per token row; two conv()
+    # parses turn the first 16 hex digits into integers once, and each
+    # bit is a shift+mask — digit i's high bit is bit (31 − 4i) of its
+    # 8-digit word, identical values by construction.
     tok = (
         docs.select("doc_id", F.explode(tokens("text")).alias("t"))
         .repartition("doc_id")
         .dropDuplicates(["doc_id", "t"])
         .select("doc_id", F.md5(F.col("t").cast("binary")).alias("h"))
+        .select(
+            "doc_id",
+            F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint").alias("c1"),
+            F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint").alias("c2"),
+        )
     )
-    high = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+    def _bit(i: int):
+        word = F.col("c1") if i < 8 else F.col("c2")
+        return F.shiftright(word, 31 - 4 * (i % 8)).bitwiseAND(F.lit(1))
+
     sums = tok.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.substring(F.col("h"), i + 1, 1).isin(*high), 1).otherwise(0)
-            ).alias(f"s{i}")
-            for i in range(16)
-        ],
+        *[F.sum(_bit(i)).alias(f"s{i}") for i in range(16)],
         F.count(F.lit(1)).alias("n"),
     )
     return sums.select(
@@ -1920,6 +1929,11 @@ FROM agg a
 def q_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_ingestion_service_spark.operators.llm import scored_pairs
 
+    # r11 note: a localCheckpoint lineage cut on sigs/truth (the
+    # q_adamic_adar treatment) was tried and MEASURED WORSE here
+    # (0.89s → 1.22s warm): the two eager materializations cost more
+    # than the plan-size saving, because the self-joined band exchange
+    # is already shared via ReusedExchange. Left as-is deliberately.
     sigs = minhash_signatures(spark, sf_dir)
     truth = (
         scored_pairs(spark, sf_dir)

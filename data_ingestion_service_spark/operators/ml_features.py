@@ -579,6 +579,12 @@ def q_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cs"
         ),
     )
+    # r11 note: folding the per-vector top-1 into a partial-aggregating
+    # groupBy with min(struct(-cs, c_label)) was tried and MEASURED
+    # WORSE (0.70s → 0.92s warm): a struct-typed MIN buffer falls out of
+    # whole-stage codegen into a sort-based aggregate, costing more than
+    # the window's exchange+sort saves at this fan-out. The window shape
+    # stays (per-vector partitions are embarrassingly parallel at scale).
     w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("c_label"))
     return (
         scored.select(

@@ -3018,9 +3018,11 @@ def q_stream_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # batch enriches independently and appends to a parquet sink, so the
 # drained result provably equals the batch as-of the oracle runs.
 #
-# Scale: per batch it is the batch as-of plan (equi key user=custkey +
-# date bound, rank-1 window per event); the dim broadcasts when small,
-# shuffles on the equi key otherwise; the sink is distributed parquet.
+# Scale: the static dim reduces once to per-customer order lists
+# (bounded fan-in); each batch is then an equi join + map-side array
+# as-of pick — no per-event window, no date-range join. The dim
+# broadcasts when small, shuffles on the equi key otherwise; the sink
+# is distributed parquet.
 # ---------------------------------------------------------------------------
 
 
@@ -3039,11 +3041,33 @@ FROM (
 ) WHERE rn = 1
 """)
 def q_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     ensure_session_confs(spark)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    # r11 optimization (guide §2.4/§3): the per-micro-batch theta join
+    # (equi user + date bound) shuffled the ORDERS side and ran a
+    # per-event rank window on EVERY batch. The dim is static, so build
+    # the per-customer order list once (one orders shuffle per call,
+    # persisted across the drain's batches) and make each batch a
+    # map-only pass: broadcast the dim, pick the as-of order with an
+    # array filter + array_max — max(struct(o_orderdate, o_orderkey))
+    # over orders at-or-before ts is exactly the former
+    # row_number(desc date, desc key) == 1 winner, and `d <= ts`
+    # resolves with the same date→timestamp cast as the old join
+    # predicate. Events with no qualifying order drop (inner-join
+    # semantics preserved via the null filter).
+    dim = (
+        orders.groupBy(F.col("o_custkey").alias("dim_user"))
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("o_orderdate").alias("d"),
+                    F.col("o_orderkey").alias("k"),
+                )
+            ).alias("os")
+        )
+        .persist()
     )
     ev = events_stream(spark, sf_dir)
     _reap_sink_dirs(keep_last=2)
@@ -3053,23 +3077,22 @@ def q_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(out_dir)
 
     def enrich(batch_df: DataFrame, batch_id: int) -> None:
-        w = Window.partitionBy("event_id").orderBy(
-            F.desc("o_orderdate"), F.desc("o_orderkey")
+        asof = F.array_max(
+            F.filter(F.col("os"), lambda x: x["d"] <= F.col("ts"))
         )
         (
             batch_df.select("event_id", "user_id", "ts")
-            .join(
-                orders,
-                (F.col("user_id") == F.col("o_custkey"))
-                & (F.col("o_orderdate") <= F.col("ts")),
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            # Replay-scale dim broadcasts; at 100 TB drop the hint and
+            # the planner shuffles once on the equi key per batch —
+            # still no per-event window, no date-range join blowup.
+            .join(F.broadcast(dim), F.col("user_id") == F.col("dim_user"))
+            .select("event_id", "user_id", asof.alias("a"))
+            .filter(F.col("a").isNotNull())
             .select(
                 "event_id",
                 "user_id",
-                F.col("o_orderkey").alias("asof_orderkey"),
-                F.col("o_orderdate").alias("asof_orderdate"),
+                F.col("a.k").alias("asof_orderkey"),
+                F.col("a.d").alias("asof_orderdate"),
             )
             # foreachBatch is at-least-once: a retried micro-batch must
             # land idempotently, so each batch OVERWRITES its own
