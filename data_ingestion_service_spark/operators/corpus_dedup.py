@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_service_spark.catalog import load_table
@@ -1049,6 +1049,13 @@ def pointer_jump_components(
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    # r12: localCheckpoint, not persist — every round's nbr_min and lut
+    # reference `edges`, and with persist the pair store's ~100-exchange
+    # cached lineage is pasted per reference (the pj store's warm plan
+    # printed 16,334 Exchange nodes; optimizer food, guide §3.3). A
+    # LogicalRDD of the tiny edge list keeps each round's plan
+    # constant-size. Cluster caveat as below: swap for reliable
+    # checkpoint() where executor loss matters.
     edges = (
         pairs.select("doc_a", "doc_b")
         .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
@@ -1056,7 +1063,7 @@ def pointer_jump_components(
         .union(
             touched.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst"))
         )
-        .persist()
+        .localCheckpoint()
     )
     labels = touched.select("doc_id", F.col("doc_id").alias("label")).persist()
     prev_sum = None
@@ -1099,8 +1106,12 @@ def pointer_jump_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    edges.unpersist()
-    return labels, rounds
+    # Converged labels become a session store consumers paste into their
+    # plans — truncate to a LogicalRDD so those plans stay constant-size
+    # (r12; no-op cost when the last round already localCheckpointed).
+    final = labels.localCheckpoint()
+    labels.unpersist()
+    return final, rounds
 
 
 @register("q_dup_clusters_pj", oracle=_DUP_CLUSTERS_ORACLE)
@@ -1117,9 +1128,14 @@ def q_dup_clusters_pj(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = docs.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("label", "doc_id").alias("rep_id")
     )
-    sizes = comp.groupBy("rep_id").agg(F.count(F.lit(1)).alias("n_members"))
-    return comp.join(F.broadcast(sizes), "rep_id").select(
-        "doc_id", "rep_id", "n_members"
+    # Cluster size via a count window over rep_id — ONE shuffle, one
+    # pass (r12: the same shape q_dup_clusters ships; the previous
+    # groupBy+broadcast-join-back evaluated the `comp` lineage twice —
+    # once to build the sizes table, once as the probe side — plus a
+    # broadcast job). Cluster sizes are bounded, so no window skew.
+    w = Window.partitionBy("rep_id")
+    return comp.select(
+        "doc_id", "rep_id", F.count(F.lit(1)).over(w).alias("n_members")
     )
 
 # ---------------------------------------------------------------------------

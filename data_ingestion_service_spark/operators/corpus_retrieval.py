@@ -362,10 +362,18 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     index. At 100 TB the graph is the near-dup fraction of the corpus,
     not the corpus."""
     def build() -> DataFrame:
+        # r12: localCheckpoint, not persist — the 3 iterations below
+        # reference `edges` (and each prior rank vector) in one growing
+        # tree, and with persist every reference pastes the pair store's
+        # ~100-exchange cached lineage; the final localCheckpoint action
+        # then optimizes 4+ copies of it (guide §3.3, the q_adamic_adar
+        # cut). A LogicalRDD of the tiny edge list keeps each iteration's
+        # plan constant-size. Cluster caveat: reliable checkpoint() where
+        # executor loss must not force a rebuild.
         pairs = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
         edges = pairs.union(
             pairs.select(F.col("doc_b"), F.col("doc_a"))
-        ).toDF("s", "d").persist()
+        ).toDF("s", "d").localCheckpoint()
         # One aggregation serves three roles: the degree table, the node
         # list (every touched node has deg >= 1, so deg's key set IS the
         # vertex set), and — via count() on the persisted result — the
@@ -395,10 +403,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.expr(f"{_PR_D_NUM} * coalesce(inflow, 0L) div {_PR_D_DEN}")
                 ).alias("r"),
             )
-        # Materialize the converged ranks, then free the edge/deg caches —
-        # iterations are done; only the result outlives the build.
+        # Materialize the converged ranks, then free the deg cache —
+        # iterations are done; only the result outlives the build (the
+        # checkpointed edge RDD is GC'd once unreferenced).
         ranks = ranks.localCheckpoint()
-        edges.unpersist()
         deg.unpersist()
         return ranks.select(F.col("id").alias("doc_id"), F.col("r").alias("pr_e12"))
 

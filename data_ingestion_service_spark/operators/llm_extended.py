@@ -1354,6 +1354,17 @@ def _dup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         # itself: each iteration is then ONE join + ONE groupBy (a single
         # shuffle keyed by dst) instead of join→groupBy→left-join — one
         # exchange fewer per iteration, at any scale.
+        # r12 optimization (guide §3.3 "very large plans", the
+        # q_adamic_adar cut applied to the iteration loop): the pair
+        # store's cached lineage is a ~100-exchange analyzed tree, and
+        # every propagate() below references `edges` once per step — 21
+        # steps deep after 7 rounds, the warm q_dup_clusters plan printed
+        # 5,462 Exchange nodes and optimizer time dominated a result-sized
+        # graph computation. localCheckpoint truncates the tiny edge list
+        # to a LogicalRDD (one bounded materialization per build), so each
+        # round's plan is constant-size. Cluster caveat unchanged: swap
+        # for reliable checkpoint() where executor loss must not force a
+        # rebuild.
         edges = (
             pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
             .toDF("src", "dst")
@@ -1362,7 +1373,7 @@ def _dup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")
                 )
             )
-            .persist()
+            .localCheckpoint()
         )
         labels = touched.select("doc_id", F.col("doc_id").alias("label")).persist()
 
@@ -1409,8 +1420,14 @@ def _dup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels = nxt
             if by_tag[0] == by_tag[1]:
                 break
-        edges.unpersist()
-        return labels
+        # Truncate the converged labels too (they are the session store
+        # every consumer pastes into its plan): a LogicalRDD of the tiny
+        # label table keeps q_dup_clusters' warm plan constant-size. The
+        # checkpoint reads the already-persisted nxt, then the loop
+        # persist is released.
+        final = labels.localCheckpoint()
+        labels.unpersist()
+        return final
 
     return session_persisted(spark, ("dup_cluster_labels", sf_dir), build)
 
