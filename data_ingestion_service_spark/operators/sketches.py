@@ -387,6 +387,21 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _KMV_K)
         .select("source", "h")
     )
+    # r12 (guide §3.3 / §5): sk has FOUR consumers below (side_a,
+    # broadcast side_b, and srcs twice) and each broadcast job re-ran the
+    # md5 + rank-window subtree over the corpus-sized vocab — the hash
+    # pass executed 4x per call. The sketch is ≤ |sources|·k rows by
+    # definition: one bounded localCheckpoint materialization per call,
+    # every consumer reads the LogicalRDD (same-session A/B: 1.88 →
+    # 1.42s). The two-phase bucket-bracket top-K (1024-bucket counts →
+    # per-source cutoff → windowed survivors) was built and MEASURED
+    # WORSE on both shapes (2.43s ckpt / 2.92s plain): its two extra
+    # aggregation passes + cutoff broadcast cost more than the one
+    # in-group sort they remove — the window's input is the cached
+    # domain-sized vocab, not the corpus. Reverted; at 100 TB the
+    # bracket math flips only if per-source vocab stops fitting a sort
+    # task, which the hot-shingle cap upstream already bounds.
+    sk = sk.localCheckpoint()
     srcs = sk.select("source").distinct()
     side_a = sk.alias("a").join(
         F.broadcast(srcs.alias("b")), F.col("a.source") < F.col("b.source")
@@ -421,9 +436,11 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("shared_mins"),
     )
+    # |sources| rows with two broadcast consumers (va, vb) — each
+    # broadcast job re-ran the vocab count; checkpoint once (r12).
     vsize = vocab.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("v")
-    )
+    ).localCheckpoint()
     # r11 optimization (guide §2.4): the exact intersection used to
     # self-join the persisted vocab on shingle equality — two full
     # shuffles of the corpus-sized (source, shingle) table plus the join.
