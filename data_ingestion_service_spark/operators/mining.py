@@ -969,30 +969,51 @@ GROUP BY event_type
 
 @register("q_latency_percentiles", oracle=_PCTL_ORACLE)
 def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12: histogram form of the exact rank pick (the documented §5 swap).
+    # The old shape shuffled EVERY event row by type and ran a full
+    # in-group sort (row_number over the stream) — at 100 TB one sort
+    # task per event type spills unboundedly. Ranks over (cents,
+    # event_id) assign all rows of equal cents a contiguous rank run, so
+    # the cents value at rank r is a pure function of per-cents counts:
+    # it is the bucket whose cumulative count first reaches r. The
+    # groupBy(type, cents) histogram partial-aggregates map-side, the
+    # rank arithmetic runs as windows over the DOMAIN-sized histogram
+    # (cents domain is bounded by construction), and no event-stream
+    # sort exists anywhere. Result-identical by the run-contiguity
+    # argument (oracle-verified).
     ev = load_table(spark, sf_dir, "events")
-    v = ev.select(
-        "event_type",
-        "event_id",
-        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    cnt = (
+        ev.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
-    wn = Window.partitionBy("event_type")
-    ranked = v.select(
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    h = cnt.select(
         "event_type",
         "cents",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
     )
 
     def pick(q: float):
+        rank = F.ceil(F.lit(q) * F.col("n")).cast("bigint")
         return F.min(
             F.when(
-                F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
+                (rank > F.col("cum") - F.col("c")) & (rank <= F.col("cum")),
                 F.col("cents"),
             )
         )
 
-    return ranked.groupBy("event_type").agg(
+    return h.groupBy("event_type").agg(
         F.any_value("n").alias("n_events"),
         pick(0.5).alias("p50_cents"),
         pick(0.9).alias("p90_cents"),
@@ -2082,6 +2103,23 @@ GROUP BY 1, 2
 
 @register("q_weighted_quantile", oracle=_WQ_ORACLE)
 def q_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 MEASURED REVERT (the q_band_tuning discipline): the documented
+    # two-pass histogram bracket was implemented two ways and A/B'd in
+    # one session against this window shape — (a) coarse 2^14-cent
+    # buckets → winning-bucket broadcast → exact window inside the
+    # bucket slice (1.19s), (b) same with the 21-row winner table
+    # eagerly collected to a local relation (1.47s), plus (c) a
+    # single-pass per-cents histogram (1.21s) — vs 0.76s for this
+    # shape, all outputs identical. l_extendedprice cents are
+    # near-unique, so a (flag, yr, cents) histogram reduces nothing and
+    # every variant just adds exchanges/scans to the same sort volume.
+    # The bracket becomes the right shape only when a group's rows stop
+    # fitting one sort task (~100 TB); at every tested tier the single
+    # group-keyed exchange + in-group sort wins. The rank-contiguity
+    # argument that makes the bracket EXACT (weighted median =
+    # min{cents : 2·cum_end(cents) ≥ totw}) is proven and kept in
+    # q_latency_percentiles/q_winsorized_stats, where the bounded cents
+    # domain makes it pay at every scale.
     li = load_table(spark, sf_dir, "lineitem")
     t = li.select(
         F.col("l_returnflag").alias("flag"),
@@ -2305,57 +2343,77 @@ GROUP BY 1
 
 @register("q_winsorized_stats", oracle=_WINSOR_ORACLE)
 def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12: histogram form (the documented §5 swap, same argument as
+    # q_latency_percentiles). The old shape ranked the FULL event stream
+    # per type AND evaluated that window subtree twice more (the bounds
+    # broadcast job plus the clamped probe side re-ran it per action —
+    # 3 corpus window passes per call). Ranks over (cents, event_id) are
+    # contiguous per cents value, so the percentile-bound cents at rank
+    # r is the histogram bucket whose cumulative count spans r, and the
+    # winsorized moments are exact integer folds of the per-bucket
+    # counts (sum(v) = Σ c·clamp(cents), etc.). One corpus exchange
+    # (map-side combined groupBy), bounds as windows over the
+    # domain-sized histogram — no broadcast-job subtree re-run, no
+    # event-stream sort. Result-identical (oracle-verified).
     t = load_table(spark, sf_dir, "events").select(
         "event_type",
-        "event_id",
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
-    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
-    w_all = Window.partitionBy("event_type").orderBy(
-        "cents", "event_id"
-    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    r = t.select(
+    cnt = t.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    h = cnt.select(
         "event_type",
         "cents",
-        F.row_number().over(w).cast("bigint").alias("rk"),
-        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
     )
-    bounds = r.groupBy("event_type").agg(
-        F.max(
+
+    def at_rank(rank):
+        # cents value whose contiguous rank run [cum-c+1, cum] covers rank
+        return F.min(
             F.when(
-                F.col("rk") == F.greatest(F.lit(1).cast("bigint"), F.expr("(n * 5) div 100")),
+                (rank > F.col("cum") - F.col("c")) & (rank <= F.col("cum")),
                 F.col("cents"),
             )
-        ).alias("lo"),
-        F.max(
-            F.when(
-                F.col("rk") == F.least(F.col("n"), F.expr("(n * 95) div 100 + 1")),
-                F.col("cents"),
-            )
-        ).alias("hi"),
-    )
-    clamped = r.join(F.broadcast(bounds), "event_type").select(
+        ).over(w_all)
+
+    r_lo = F.greatest(F.lit(1).cast("bigint"), F.expr("(n * 5) div 100"))
+    r_hi = F.least(F.col("n"), F.expr("(n * 95) div 100 + 1"))
+    b = h.select(
         "event_type",
-        F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi")).alias(
-            "v"
-        ),
+        "cents",
+        "c",
         "n",
+        at_rank(r_lo).alias("lo"),
+        at_rank(r_hi).alias("hi"),
+    )
+    v = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    clamped = b.select(
+        "event_type", "n", "c", v.alias("v")
     )
     return clamped.groupBy("event_type").agg(
         F.min("n").cast("bigint").alias("n_events"),
         F.min("v").cast("bigint").alias("lo_cents"),
         F.max("v").cast("bigint").alias("hi_cents"),
-        F.expr("cast(sum(v) div count(*) as bigint)").alias(
+        F.expr("cast(sum(c * v) div sum(c) as bigint)").alias(
             "winsor_mean_cents"
         ),
         F.floor(
             (
-                F.sum(F.col("v") * F.col("v")).cast("double")
-                - F.sum("v").cast("double")
-                * F.sum("v").cast("double")
-                / F.count(F.lit(1)).cast("double")
+                F.sum(F.col("c") * F.col("v") * F.col("v")).cast("double")
+                - F.sum(F.col("c") * F.col("v")).cast("double")
+                * F.sum(F.col("c") * F.col("v")).cast("double")
+                / F.sum("c").cast("double")
             )
-            / F.count(F.lit(1)).cast("double")
+            / F.sum("c").cast("double")
         )
         .cast("bigint")
         .alias("winsor_var_cents2"),

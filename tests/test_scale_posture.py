@@ -920,6 +920,27 @@ def test_latency_percentiles_window_per_type(spark, sf_dir):
         assert "event_type" in s, f"global rank window found: {s}"
 
 
+def test_latency_percentiles_histogram_no_stream_sort(spark, sf_dir):
+    """r12 histogram form: the rank pick runs over the (type, cents)
+    histogram, never a row_number over the raw event stream — the
+    partial-aggregating groupBy must sit below the window so no
+    event-stream in-group sort exists at any scale."""
+    plan = formatted_plan(QUERIES["q_latency_percentiles"](spark, sf_dir))
+    assert "row_number" not in plan, "event-stream rank window came back"
+    assert "partial_count" in plan, "histogram partial aggregation missing"
+
+
+def test_winsorized_stats_histogram_single_pass(spark, sf_dir):
+    """r12 histogram form: bounds are windows over the (type, cents)
+    histogram — no row_number over the event stream, and no join-back
+    (the old broadcast(bounds) re-ran the corpus window subtree per
+    action)."""
+    plan = formatted_plan(QUERIES["q_winsorized_stats"](spark, sf_dir))
+    assert "row_number" not in plan, "event-stream rank window came back"
+    assert "partial_count" in plan, "histogram partial aggregation missing"
+    assert "Join" not in plan, "bounds join-back came back"
+
+
 def test_psi_model_broadcast(spark, sf_dir):
     """q_psi_drift joins the per-type totals (|types| rows) back onto
     bucket counts via broadcast; the corpus contributes one count
