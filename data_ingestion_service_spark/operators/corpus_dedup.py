@@ -298,16 +298,21 @@ def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = as_double("embedding")
 
-    # Codebook: sub-vectors of the 4 seed rows, collected once (a
-    # 4x64-float broadcast — the PQ codebook is tiny by design; it
-    # rides the kernel closure like q_label_noise's probe block).
+    # Codebook: sub-vectors of the 4 seed rows PLUS the probe row,
+    # collected once (a 5x64-float bounded pull — the PQ codebook is
+    # tiny by design; it rides the kernel closure like q_label_noise's
+    # probe block). r12: the probe rides the same collect so its 16
+    # t-table values compute driver-side below — the old 1-row
+    # mapInPandas probe branch cost a broadcast job + an Arrow worker
+    # round-trip per action (same-session A/B: ~2.2 → ~1.4s warm).
     seed_rows = {
         r.vec_id: [float(x) for x in r.v]
-        for r in emb.filter(F.col("vec_id").isin(*_PQ_SEEDS))
+        for r in emb.filter(F.col("vec_id").isin(0, *_PQ_SEEDS))
         .select("vec_id", e.alias("v"))
         .collect()
     }
     cent_mat = np.array([seed_rows[seed] for seed in _PQ_SEEDS])  # K x 64
+    probe_mat = np.array([seed_rows[0]])  # 1 x 64
 
     dist_cols = [f"d{s}_{k}" for s in range(_PQ_M) for k in range(_PQ_K)]
 
@@ -356,23 +361,34 @@ def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in range(_PQ_M)
         ],
     )
-    probe_t = raw_for(F.col("vec_id") == 0).select(
-        *[
-            rd(s, k).alias(f"t{s}_{k}")
-            for s in range(_PQ_M)
-            for k in range(_PQ_K)
-        ]
-    )
+    # Probe t-table: the SAME kernel fold (vk.fold_sq_l2) over the same
+    # f64 sub-vectors, run once on the driver's 1x64 probe row — the
+    # values are bit-identical to the former mapInPandas probe branch,
+    # and the JVM F.round(lit, 6) below is the identical rounding step.
+    tvals = {
+        (s, k): float(
+            vk.fold_sq_l2(
+                probe_mat[:, s * _PQ_D : (s + 1) * _PQ_D],
+                cent_mat[k, s * _PQ_D : (s + 1) * _PQ_D],
+            )[0]
+        )
+        for s in range(_PQ_M)
+        for k in range(_PQ_K)
+    }
+
+    def rt(s: int, k: int):
+        return F.round(F.lit(tvals[(s, k)]), 6)
+
     adc = None
     for s in range(_PQ_M):
         term = (
-            F.when(F.col(f"code{s}") == 0, F.col(f"t{s}_0"))
-            .when(F.col(f"code{s}") == 1, F.col(f"t{s}_1"))
-            .when(F.col(f"code{s}") == 2, F.col(f"t{s}_2"))
-            .otherwise(F.col(f"t{s}_3"))
+            F.when(F.col(f"code{s}") == 0, rt(s, 0))
+            .when(F.col(f"code{s}") == 1, rt(s, 1))
+            .when(F.col(f"code{s}") == 2, rt(s, 2))
+            .otherwise(rt(s, 3))
         )
         adc = term if adc is None else adc + term
-    return codes.crossJoin(F.broadcast(probe_t)).select(
+    return codes.select(
         "vec_id",
         (
             F.col("code0") * 64

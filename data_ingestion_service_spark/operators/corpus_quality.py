@@ -68,21 +68,57 @@ GROUP BY doc_id
 @register("q_repetition_score", oracle=_REPETITION_ORACLE)
 def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition filters: what fraction of a doc's bigrams are repeats,
-    and how dominant is its single most frequent bigram. Two shuffles,
-    both keyed by doc_id (the second by doc_id alone) — partial
-    aggregation keeps the (doc, bigram) shuffle narrow, and nothing is
-    corpus-global, so the op is embarrassingly scalable."""
+    and how dominant is its single most frequent bigram.
+
+    r12 shape: ZERO shuffles. Every statistic is a function of ONE
+    document's own bigrams, so it folds inside the row — sort the doc's
+    bigram array, then one aggregate() pass counts distincts (value
+    changes) and the max run (= max bigram count). The former
+    explode → groupBy(doc_id, shingle) → groupBy(doc_id) shape shuffled
+    the full bigram STRING stream (partial aggregation barely reduces
+    it: within-doc bigrams are mostly distinct), which at 100 TB is a
+    corpus-sized exchange for a per-doc statistic (guide §2.3/§2.4 —
+    the biggest lever is not shuffling at all). The trade is interpreted
+    per-element lambda CPU (HOFs never codegen) for zero network, and it
+    wins even locally (same-session A/B: 1.35 → 1.16s warm, identical
+    rows)."""
     docs = load_table(spark, sf_dir, "documents")
-    cnt = (
-        shingle_rows(docs, 2)
-        .groupBy("doc_id", "shingle")
-        .agg(F.count(F.lit(1)).alias("c"))
+    t = docs.select("doc_id", tokens("text").alias("t")).filter(
+        F.size("t") >= 2
     )
-    return cnt.groupBy("doc_id").agg(
-        F.sum("c").cast("bigint").alias("n_bigrams"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.round(1 - F.count(F.lit(1)) / F.sum("c"), 4).alias("dup_bigram_frac"),
-        F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_frac"),
+    st = F.expr(
+        """
+      aggregate(
+        array_sort(transform(sequence(0, size(t)-2),
+                             i -> concat(t[i], ' ', t[i+1]))),
+        named_struct('prev', cast(null as string), 'run', cast(0 as bigint),
+                     'mx', cast(0 as bigint), 'nd', cast(0 as bigint)),
+        (s, x) -> named_struct(
+            'prev', x,
+            'run', IF(s.prev IS NOT NULL AND x = s.prev,
+                      s.run + 1, cast(1 as bigint)),
+            'mx', greatest(s.mx, IF(s.prev IS NOT NULL AND x = s.prev,
+                                    s.run + 1, cast(1 as bigint))),
+            'nd', s.nd + IF(s.prev IS NULL OR x != s.prev,
+                            cast(1 as bigint), cast(0 as bigint))),
+        s -> named_struct('mx', s.mx, 'nd', s.nd))
+    """
+    )
+    r = t.select(
+        "doc_id",
+        (F.size("t") - 1).cast("bigint").alias("n_bigrams"),
+        st.alias("st"),
+    )
+    return r.select(
+        "doc_id",
+        "n_bigrams",
+        F.col("st.nd").alias("n_distinct"),
+        F.round(1 - F.col("st.nd") / F.col("n_bigrams"), 4).alias(
+            "dup_bigram_frac"
+        ),
+        F.round(F.col("st.mx") / F.col("n_bigrams"), 4).alias(
+            "top_bigram_frac"
+        ),
     )
 
 # ---------------------------------------------------------------------------

@@ -1641,14 +1641,20 @@ def test_cdc_chunks_no_pair_expansion(spark, sf_dir):
 
 
 def test_pq_scored_arrow_kernel_shape(spark, sf_dir):
-    """q_knn_pq: 16 sub-distance folds in ONE kernel per branch; the
-    probe branch's vec_id=0 filter is applied BEFORE the kernel so it
-    still reaches the parquet scan (mapInPandas is a pushdown barrier)."""
+    """q_knn_pq: 16 sub-distance folds in ONE corpus kernel; the probe's
+    t-table is driver-computed literals (r12 — no 1-row kernel branch,
+    no broadcast join), and the codes branch's vec_id filter is applied
+    BEFORE the kernel so it still reaches the parquet scan (mapInPandas
+    is a pushdown barrier)."""
+    import re
+
     plan = formatted_plan(QUERIES["q_knn_pq"](spark, sf_dir))
-    assert "MapInPandas" in plan
+    n_kernels = len(re.findall(r"\(\d+\) MapInPandas", plan))
+    assert n_kernels == 1, f"probe kernel branch came back ({n_kernels})"
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("vec_id" in l and "EqualTo" in l for l in pushed), pushed
     assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" not in plan, "probe t-table join came back"
 
 
 def test_lsh_sigs_arrow_kernel_shape(spark, sf_dir):
