@@ -36,7 +36,7 @@ from data_ingestion_service_spark.operators.llm_extended import (
 )
 
 from data_ingestion_service_spark.registry import register
-from data_ingestion_service_spark.session import session_persisted
+from data_ingestion_service_spark.session import call_persisted, session_persisted
 
 # Single-pass oracle-side minhash derivation (shared shape with
 # llm_extended._BAND_SQL): 16 min aggregates over sh in one scan, zipped
@@ -1815,11 +1815,9 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the Arrow kernel ran 3x and the near-dup pair pipeline 2x per call
     # (11 steady-state jobs, 18 Python plan nodes). Persist both for the
     # action: sigs is two ints per vector, pairs is result-sized.
-    sigs = _lsh_sigs_arrow(emb).select("vec_id", "bucket").persist()
-    pairs = (
-        QUERIES["q_embed_near_dup"](spark, sf_dir)
-        .select("vec_a", "vec_b")
-        .persist()
+    sigs = call_persisted(_lsh_sigs_arrow(emb).select("vec_id", "bucket"))
+    pairs = call_persisted(
+        QUERIES["q_embed_near_dup"](spark, sf_dir).select("vec_a", "vec_b")
     )
     sa = sigs.select(F.col("vec_id").alias("vec_a"), F.col("bucket").alias("b_a"))
     sb = sigs.select(F.col("vec_id").alias("vec_b"), F.col("bucket").alias("b_b"))
@@ -2552,15 +2550,22 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the recompute for an un-reduced corpus-sized exchange + sort,
     # while this shape's only wide op is the partial-aggregated digest
     # reduce. Guide §2.3: aggregate before you shuffle.)
-    chunks = chunks.persist()
+    chunks = call_persisted(chunks)
     shared = (
         chunks.groupBy("digest")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
         .select("digest", F.lit(1).alias("is_shared"))
     )
+    # No broadcast hint (ADVICE r11): the shared-digest set grows with
+    # corpus CONTENT (digests appearing in >= 2 docs), not a bounded
+    # domain — a forced broadcast risks OOM at the 100 TB posture. AQE
+    # sees the aggregate's true runtime size and still picks a broadcast
+    # join whenever it is small (it is, at every tested tier — verified
+    # in plans/r12/q_cdc_chunks_after.txt), and degrades to a shuffle
+    # join instead of an OOM when it is not.
     return (
-        chunks.join(F.broadcast(shared), "digest", "left")
+        chunks.join(shared, "digest", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_chunks"),

@@ -28,7 +28,7 @@ from data_ingestion_service_spark.operators.llm_extended import (
     _EMBED_NEAR_DUP_ORACLE,
 )
 from data_ingestion_service_spark.registry import register
-from data_ingestion_service_spark.session import session_persisted
+from data_ingestion_service_spark.session import call_persisted, session_persisted
 
 # ---------------------------------------------------------------------------
 # q_bm25 — BM25 keyword retrieval over the corpus (k1=1.2, b=0.75).
@@ -1177,10 +1177,8 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reduce instead of re-hashing the corpus.
     from pyspark.sql import Window
 
-    dbk = (
-        bb.groupBy("doc_id", "is_raw", "b")
-        .agg(F.count(F.lit(1)).alias("k"))
-        .persist()
+    dbk = call_persisted(
+        bb.groupBy("doc_id", "is_raw", "b").agg(F.count(F.lit(1)).alias("k"))
     )
     cnt = dbk.groupBy("b").agg(
         F.sum(F.when(F.col("is_raw"), F.col("k")).otherwise(0))

@@ -35,7 +35,7 @@ from data_ingestion_service_spark.operators.llm import (
 )
 from data_ingestion_service_spark.functions.vector import as_double, cosine
 from data_ingestion_service_spark.registry import register
-from data_ingestion_service_spark.session import session_persisted
+from data_ingestion_service_spark.session import call_persisted, session_persisted
 
 # `sh` is MATERIALIZED: DuckDB re-inlines a plain CTE once per
 # reference, and q_lsh_recall's oracle references sh ~6 times (sizes,
@@ -1130,13 +1130,13 @@ def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AND the a2 kernel — unpersisted, the first Arrow assignment ran
     # twice and the scan four times (2.8s noop wall). Persist both
     # |embeddings|-bounded tables per call; each pass now runs once.
-    vecs = emb.select("vec_id", as_double("embedding").alias("emb")).persist()
+    vecs = call_persisted(emb.select("vec_id", as_double("embedding").alias("emb")))
     init_rows = (
         vecs.filter(F.col("vec_id") < 4)
         .select(F.col("vec_id").alias("cid"), F.col("emb").alias("c"))
         .collect()
     )
-    a1 = _argmax_centroid_arrow(vecs, init_rows).persist()
+    a1 = call_persisted(_argmax_centroid_arrow(vecs, init_rows))
     cent = (
         a1.select("cid", F.posexplode("emb").alias("p0", "v"))
         .groupBy("cid", (F.col("p0") + 1).alias("p"))

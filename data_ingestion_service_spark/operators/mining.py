@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from data_ingestion_service_spark.catalog import load_table
 from data_ingestion_service_spark.functions.text import shingle_rows
 from data_ingestion_service_spark.registry import register
+from data_ingestion_service_spark.session import call_persisted
 
 # ---------------------------------------------------------------------------
 # q_pmi_collocations — top bigram collocations by pointwise mutual
@@ -195,11 +196,10 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineitem⋈part + order-keyed shuffle (10 steady-state jobs).
     # Persist the |orders|-bounded basket table for the action's
     # lifetime; built fresh per call, ContextCleaner retires the block.
-    lists = (
+    lists = call_persisted(
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("l_orderkey").alias("ok"))
         .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
-        .persist()
     )
     o = lists.agg(F.count(F.lit(1)).alias("n_orders"))
     singles = lists.select(F.explode("bs").alias("b")).groupBy("b").agg(
@@ -890,12 +890,12 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vectors — 4 scans per call. Persist the decoded table once per
     # call (MLlib caches its k-means input for the same reason); the
     # ContextCleaner retires the block when the plan is collected.
-    vecs = emb.select(
+    vecs = call_persisted(emb.select(
         "vec_id",
         F.transform(
             as_double("embedding"), lambda v: F.floor(v * 1000000).cast("bigint")
         ).alias("x"),
-    ).persist()
+    ))
     # Round 8: each of the 3 assignment passes is a map-only Arrow
     # kernel over the collected (tiny, k×64 int) centroids instead of a
     # crossJoin + vec_id window — one bounded driver round-trip per
@@ -1442,12 +1442,11 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session_persisted): this is one action's working set — two narrow
     # columns, freed by the ContextCleaner when the plan is dropped —
     # not a cross-key index.
-    edges = (
+    edges = call_persisted(
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .select(F.col("o_custkey").alias("u"), F.col("p_brand").alias("b"))
         .distinct()
-        .persist()
     )
     a1 = edges.groupBy("b").agg(F.count(F.lit(1)).alias("auth1"))
     h1 = (

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from data_ingestion_service_spark.catalog import load_table
 from data_ingestion_service_spark.functions.vector import as_double, cosine
 from data_ingestion_service_spark.registry import register
-from data_ingestion_service_spark.session import session_persisted
+from data_ingestion_service_spark.session import call_persisted, session_persisted
 
 # ---------------------------------------------------------------------------
 # q_rfm_segments — classic RFM customer segmentation: recency (days
@@ -1527,17 +1527,28 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "lang", F.explode(tokens("text")).alias("w")
     )
-    cnt = (
+    cnt = call_persisted(
         toks.groupBy(F.col("lang").alias("l"), "w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .persist()
     )
     # Bounded pulls (|langs| rows + one scalar) — exact BIGINTs only;
-    # no float crosses the driver boundary.
+    # no float crosses the driver boundary. NOTE (ADVICE r11): these
+    # collects make DataFrame CONSTRUCTION eager — an explain-only
+    # caller pays the two bounded jobs; the bench/driver always execute
+    # the query, so the cost lands inside the timed call either way. A
+    # NULL lang would break both the Python sort below (None vs str)
+    # and map_from_entries (null map key), and the model's label column
+    # must be total anyway — guard it explicitly rather than letting
+    # either failure surface downstream.
     totals_rows = sorted(
         (r.l, int(r.t))
-        for r in cnt.groupBy("l").agg(F.sum("c").alias("t")).collect()
+        for r in cnt.filter(F.col("l").isNotNull())
+        .groupBy("l")
+        .agg(F.sum("c").alias("t"))
+        .collect()
     )
+    if not totals_rows:
+        raise ValueError("q_naive_bayes: no non-null lang labels in corpus")
     v_size = cnt.select("w").distinct().count()
     langs = [l for l, _ in totals_rows]
     per_w = cnt.groupBy("w").agg(

@@ -736,7 +736,16 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-trip itself is the feature under test and stays).
     agg.persist()
     try:
-        agg.write.format("jsonl_manifest").option("path", out).mode(
+        # coalesce(1): the aggregate is ≤|priorities| rows, but the cached
+        # plan keeps the shuffle's partitioning (AQE does not re-plan
+        # cached output), so the sink write otherwise launches one Python
+        # writer TASK — a worker round-trip and a near-empty part file —
+        # per shuffle partition (measured r12 at sf0.001: 32 part files
+        # for 5 rows, write wall 0.82 → 0.55s with the coalesce; guide §6
+        # output sizing). One task also makes the manifest's two-phase
+        # commit read one part, which is the shape a real manifest sink
+        # wants for a result-sized table.
+        agg.coalesce(1).write.format("jsonl_manifest").option("path", out).mode(
             "append"
         ).save()
         with open(f"{out}/_MANIFEST") as f:

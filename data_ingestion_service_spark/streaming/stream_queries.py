@@ -3057,6 +3057,14 @@ def q_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     # resolves with the same date→timestamp cast as the old join
     # predicate. Events with no qualifying order drop (inner-join
     # semantics preserved via the null filter).
+    # Fan-in bound (ADVICE r11): collect_list packs one row per CUSTOMER
+    # holding that customer's full order list — bounded by the fixture's
+    # ~10 orders/customer and, at any scale, by the hottest customer's
+    # order count, NOT by |orders|. If a production tenant could exceed
+    # single-row limits, cap the list (slice of sort_array) or fall back
+    # to the per-batch join shape this replaced. The broadcast hint
+    # below is likewise replay-scale: drop it at 100 TB and let AQE
+    # size the join from the persisted dim's runtime stats.
     dim = (
         orders.groupBy(F.col("o_custkey").alias("dim_user"))
         .agg(
@@ -3112,6 +3120,10 @@ def q_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
+            # The drain is this operator's terminal action and the
+            # returned DataFrame reads the sink parquet, not the dim —
+            # retire the per-call dim cache eagerly (ADVICE r11 medium).
+            dim.unpersist()
     # Explicit schema (zero-row drains have no footer to infer from) +
     # recursive lookup over the per-batch subdirs.
     from pyspark.sql.types import StructField, StructType

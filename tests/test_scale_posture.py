@@ -1053,10 +1053,13 @@ def test_markov_window_per_user(spark, sf_dir):
 
 
 def test_chi_square_margins_broadcast(spark, sf_dir):
-    """q_chi_square joins domain-sized margins back over the contingency
-    cells via broadcast; the corpus contributes one count shuffle."""
+    """q_chi_square's margins and grid dimensions are WINDOW functions
+    over the domain-sized cell grid (r11); the one broadcast left is the
+    corpus-rollup obs landing on the completed grid, and the corpus
+    contributes one count shuffle."""
     plan = formatted_plan(QUERIES["q_chi_square"](spark, sf_dir))
     assert "BroadcastExchange" in plan
+    assert "windowspecdefinition" in plan, "margin windows missing"
     assert "CartesianProduct" not in plan
 
 
@@ -1329,6 +1332,9 @@ def test_naive_bayes_model_broadcast_corpus_rollup(spark, sf_dir):
     specs = re.findall(r"windowspecdefinition\(([^,]*),", plan)
     # No corpus-keyed window: no windowspec may partition by doc_id (the
     # old per-doc rank sort) — the priors window is over ≤|langs| rows.
+    # The priors window must actually BE in the plan (ADVICE r11: an
+    # empty specs list would otherwise pass the all() vacuously).
+    assert specs, "expected the priors window in the naive-bayes plan"
     assert all("doc_id" not in s for s in specs), specs
 
 
